@@ -1,0 +1,58 @@
+"""Schema-conformance operators (reference P8/P9/P10/P11, SURVEY.md §2.2).
+
+The reference tolerates ragged inputs by renaming only columns that exist and
+null-filling missing ones (reference cola_transformer.py:165-167, 271-287;
+unified_transformer.py:190-207). Here the same tolerance is an explicit,
+cheap, narrow (shuffle-free) operator set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def rename_existing(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P8 — bulk rename applied only to columns actually present."""
+    present = {k: v for k, v in mapping.items() if k in df.columns}
+    return df.withColumnsRenamed(present) if present else df
+
+
+def ensure_columns(df: DataFrame, cols: dict[str, str] | list[str]) -> DataFrame:
+    """P9 — add missing columns as typed nulls so downstream joins/selects
+    never fail. `cols` is {name: ddl_type} or a list (string type)."""
+    if isinstance(cols, list):
+        cols = {c: "string" for c in cols}
+    missing = {c: F.lit(None).cast(t) for c, t in cols.items() if c not in df.columns}
+    return df.withColumns(missing) if missing else df
+
+
+def default_fill(df: DataFrame, defaults: dict[str, Column]) -> DataFrame:
+    """P10 — create absent metadata columns with default expressions
+    (reference fills 建立時間 := now, KP := '')."""
+    missing = {c: e for c, e in defaults.items() if c not in df.columns}
+    return df.withColumns(missing) if missing else df
+
+
+def blank_strings_to_null(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P11 — whitespace-only strings -> NULL across all string columns
+    (reference unified_transformer.py:539-544 does this elementwise over the
+    whole frame; here it is a single narrow projection)."""
+    targets = set(columns) if columns is not None else {
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    }
+    exprs = [
+        F.when(F.trim(F.col(c)) == "", None).otherwise(F.col(c)).alias(c)
+        if c in targets
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*exprs)
+
+
+def select_aliased(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """P7 — wide projection builder: one select with every output column an
+    aliased expression (the engine's flagship projection node; the
+    reference's 94-column rebuild at unified_transformer.py:290-503)."""
+    return df.select(*[e.alias(name) for name, e in exprs.items()])

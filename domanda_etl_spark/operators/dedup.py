@@ -1,0 +1,135 @@
+"""Deduplication operators — exact and near-duplicate.
+
+Exact dedup mirrors the reference (A1 source DISTINCT, A2 latest-wins);
+the near-dup family (MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine) is the training-data-pipeline surface the reference lacks.
+
+Scale notes (100 TB design point):
+- MinHash/LSH: per-doc signatures are computed in one pass (explode
+  shingles -> groupBy doc), candidate generation joins docs only within an
+  LSH band bucket — no all-pairs shuffle ever materializes. Band hash
+  cardinality grows with corpus size, so bucket joins stay balanced; skewed
+  mega-buckets (boilerplate docs) are handled by AQE skew-join splitting.
+- All hashes are md5-based => bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def distinct_rows(df: DataFrame) -> DataFrame:
+    """A1 — full-row DISTINCT (reference pushes this into each source scan,
+    etl/extractor.py:67-120; Catalyst plans a partial-agg before shuffle)."""
+    return df.distinct()
+
+
+def first_per_key(df: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep min(id) per duplicate-key group — a groupBy (not a
+    window) so the partial aggregation halves shuffle volume."""
+    return df.groupBy(key).agg(F.min(id_col).alias(id_col))
+
+
+def shingle_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct k-char shingles per doc."""
+    return df.select(id_col, F.explode(T.char_shingles(text_col, k)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    md5('i:'||shingle). One explode + one groupBy — linear, no joins."""
+    sh = shingle_docs(df, id_col, text_col, k)
+    aggs = [
+        F.min(T.minhash_element(F.col("shingle"), i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (a < b) sharing at least one LSH band.
+
+    bands × rows_per_band = num_hashes; docs agreeing on ALL minhashes of
+    one band collide. The pair join happens per band-bucket — the classic
+    shuffle-bounded LSH plan that survives web-scale corpora.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    banded = sig.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)])
+        ).alias("bucket"),
+    )
+    left = melted.alias("l")
+    right = melted.alias("r")
+    pairs = (
+        left.join(right, on="bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_expr(text_a: Column | str, text_b: Column | str, k: int = 3) -> Column:
+    """Jaccard over k-char shingles as a single expression (rounded to 6
+    digits for oracle determinism)."""
+    a = T.char_shingles(text_a, k)
+    b = T.char_shingles(text_b, k)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, F.round(inter / union, 6))
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash per doc as a `bits`-length bitstring column `simhash`.
+
+    Token t contributes +1/-1 to each bit position depending on bit b of
+    md5(t); the sign of the per-position sum is the fingerprint bit. The
+    whole computation is explode + groupBy (linear, shuffle on doc id), and
+    md5-nibble arithmetic keeps it portable to the DuckDB oracle.
+    """
+    toks = df.select(id_col, F.explode(F.array_distinct(T.tokens(text_col))).alias("tok"))
+    per_bit = toks.select(
+        id_col,
+        F.md5(F.col("tok")).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    # bit b of the 128-bit md5 (MSB-first): nibble = hexdigit b//4,
+    # mask = 2^(3 - b%4); vote +1 when set, -1 when clear
+    nibble = F.conv(F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1), 16, 10).cast("int")
+    mask = F.pow(F.lit(2), F.lit(3) - F.col("b") % 4).cast("int")
+    vote = F.when(nibble.bitwiseAND(mask) > 0, 1).otherwise(-1)
+    agg = per_bit.select(id_col, "b", vote.alias("vote")).groupBy(id_col, "b").agg(
+        F.sum("vote").alias("s")
+    )
+    bit_ch = F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        agg.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("b", bit_ch.alias("c")))), lambda x: x["c"])
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,62 @@
+"""Window operators (reference W1/A2/O1-O3, SURVEY.md §2.5-2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int = 1,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """row_number() <= k per group. One shuffle on the partition keys; no
+    global sort. Pass deterministic `order_by` (include a tiebreaker)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
+def latest_wins(
+    df: DataFrame,
+    version_col: str,
+    key_cols: list[str] | None = None,
+    tiebreakers: list[Column] | None = None,
+) -> DataFrame:
+    """A2/W1 — per group of `key_cols` (default: every column except
+    `version_col`) keep the row with the greatest `version_col`.
+
+    The reference realizes this as a GLOBAL sort + drop_duplicates
+    (reference etl/pipeline.py:56); at 100 TB a total sort is the wrong
+    plan — a partitioned window (single hash shuffle, map-side combinable
+    by AQE) computes the same result. The group key covers ~93 columns in
+    the domanda pipeline, so the shuffle key is pre-hashed to one 64-bit
+    column to keep shuffle rows narrow.
+    """
+    keys = key_cols if key_cols is not None else [c for c in df.columns if c != version_col]
+    order = [F.col(version_col).desc()] + (tiebreakers or [])
+    if len(keys) > 4:
+        # Shuffle/sort on two independent 64-bit hashes (~128-bit key)
+        # instead of a 90+-column tuple: same shuffle volume (full rows move
+        # either way) but a radically cheaper sort comparator; collision
+        # probability is negligible even at 100 TB row counts, unlike a
+        # single xxhash64.
+        hashed = df.withColumns(
+            {
+                "__gk1": F.xxhash64(*[F.col(k) for k in keys]),
+                "__gk2": F.xxhash64(F.lit("salt"), *[F.col(k) for k in keys]),
+            }
+        )
+        w = Window.partitionBy("__gk1", "__gk2").orderBy(*order)
+        return (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__gk1", "__gk2")
+        )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

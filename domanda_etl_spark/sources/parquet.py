@@ -1,0 +1,65 @@
+"""Parquet sources.
+
+The reference's sources are BigQuery SQL scans with filter + DISTINCT pushed
+into the source text (reference etl/extractor.py:42-121). Spark-first this is
+simply `spark.read.parquet(...)` + declarative `.filter/.distinct` — Catalyst
+pushes predicates and column pruning into the parquet scan, which is the same
+"compute at the source" rewrite done by hand in the reference (S1/S2 in
+SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Filters/projections applied by the caller reach the
+    scan via Catalyst pushdown — check `.explain` for PushedFilters.
+
+    Spark's parquet reader rejects TIMESTAMP(NANOS) columns; those are read
+    as nano-longs (`nanosAsLong`) and converted to microsecond timestamps —
+    the same ns -> us truncation DuckDB applies, keeping oracle parity.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # `div` = integer division on longs (a double division would lose
+        # precision on 63-bit nano values)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Register temp views so `spark.sql(...)` (the reference's ad-hoc SQL
+    entry point, etl/extractor.py:42-58) works against the lake."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
