@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from domanda_etl_spark.functions import scalars as S
 from domanda_etl_spark.functions import text as T
-from domanda_etl_spark.operators import conform, dedup, joins, similarity, windows
+from domanda_etl_spark.operators import (
+    conform,
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    windows,
+)
 from domanda_etl_spark.sources import load_table
 
 
@@ -638,6 +645,597 @@ def horizontal_nonnull_count(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.greatest(F.lit(0), nn - 1).cast("int").alias("transfer_count"),
+    )
+
+
+# ==========================================================================
+# Scalar-function queries (F1-F17): the constructed input strings are
+# identical on both sides; the ORACLE computes expected outputs from the
+# GENERATING integers (an independent derivation, not a re-implementation).
+# ==========================================================================
+@q(
+    "scalar_airline_code",
+    """
+    SELECT l_orderkey, l_linenumber, code,
+           CASE WHEN l_orderkey % 5 = 0 THEN ''
+                ELSE upper(l_returnflag || l_linestatus) END AS airline
+    FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                 CASE WHEN l_orderkey % 5 = 0
+                      THEN CAST(l_partkey AS VARCHAR)
+                      ELSE lower(l_returnflag || l_linestatus) || CAST(l_partkey AS VARCHAR) END AS code
+          FROM lineitem)
+    """,
+)
+def scalar_airline_code(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    code = F.when(
+        F.col("l_orderkey") % 5 == 0, F.col("l_partkey").cast("string")
+    ).otherwise(
+        F.concat(F.lower(F.concat("l_returnflag", "l_linestatus")), F.col("l_partkey").cast("string"))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", code.alias("code")
+    ).withColumn("airline", S.airline_code(F.col("code")))
+
+
+@q(
+    "scalar_flight_canonical",
+    """
+    SELECT l_orderkey, l_linenumber, raw,
+           upper(l_returnflag || l_linestatus) || lpad(CAST(l_orderkey % 100 AS VARCHAR), 3, '0') AS canonical
+    FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                 ' ' || lower(l_returnflag || l_linestatus) || ' ' || CAST(l_orderkey % 100 AS VARCHAR) AS raw
+          FROM lineitem)
+    """,
+)
+def scalar_flight_canonical(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    raw = F.concat(
+        F.lit(" "),
+        F.lower(F.concat("l_returnflag", "l_linestatus")),
+        F.lit(" "),
+        (F.col("l_orderkey") % 100).cast("string"),
+    )
+    return li.select("l_orderkey", "l_linenumber", raw.alias("raw")).withColumn(
+        "canonical", S.canonical_flight_number(F.col("raw"))
+    )
+
+
+@q(
+    "scalar_duration_minutes",
+    """
+    SELECT l_orderkey, l_linenumber, raw,
+           CASE WHEN l_orderkey % 7 = 0 THEN l_partkey % 500
+                WHEN l_orderkey % 7 = 1 THEN NULL
+                ELSE (l_orderkey % 3) * 1440 + (l_partkey % 24) * 60 + (l_suppkey % 60)
+                     + (CASE WHEN l_linenumber * 13 % 60 >= 30 THEN 1 ELSE 0 END) END AS minutes
+    FROM (SELECT *,
+                 CASE WHEN l_orderkey % 7 = 0 THEN CAST(l_partkey % 500 AS VARCHAR)
+                      WHEN l_orderkey % 7 = 1 THEN 'n/a'
+                      ELSE printf('%d days %02d:%02d:%02d', l_orderkey % 3, l_partkey % 24,
+                                  l_suppkey % 60, l_linenumber * 13 % 60) END AS raw
+          FROM lineitem)
+    """,
+)
+def scalar_duration_minutes(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    raw = (
+        F.when(F.col("l_orderkey") % 7 == 0, (F.col("l_partkey") % 500).cast("string"))
+        .when(F.col("l_orderkey") % 7 == 1, F.lit("n/a"))
+        .otherwise(
+            F.format_string(
+                "%d days %02d:%02d:%02d",
+                F.col("l_orderkey") % 3,
+                F.col("l_partkey") % 24,
+                F.col("l_suppkey") % 60,
+                F.col("l_linenumber") * 13 % 60,
+            )
+        )
+    )
+    return li.select("l_orderkey", "l_linenumber", raw.alias("raw")).withColumn(
+        "minutes", S.duration_to_minutes(F.col("raw")).cast("bigint")
+    )
+
+
+@q(
+    "scalar_time_hhmm",
+    """
+    SELECT l_orderkey, l_linenumber, raw,
+           CASE WHEN l_orderkey % 4 = 3 THEN ''
+                ELSE printf('%02d:%02d', l_partkey % 24, l_suppkey % 60) END AS hhmm
+    FROM (SELECT *,
+                 CASE WHEN l_orderkey % 4 = 0
+                        THEN printf('2025-11-05 %02d:%02d:00', l_partkey % 24, l_suppkey % 60)
+                      WHEN l_orderkey % 4 = 1
+                        THEN printf('%d:%02d', l_partkey % 24, l_suppkey % 60)
+                      WHEN l_orderkey % 4 = 2
+                        THEN printf('took %d:%02d total', l_partkey % 24, l_suppkey % 60)
+                      ELSE 'no time here' END AS raw
+          FROM lineitem)
+    """,
+)
+def scalar_time_hhmm(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    h, m = F.col("l_partkey") % 24, F.col("l_suppkey") % 60
+    raw = (
+        F.when(F.col("l_orderkey") % 4 == 0, F.format_string("2025-11-05 %02d:%02d:00", h, m))
+        .when(F.col("l_orderkey") % 4 == 1, F.format_string("%d:%02d", h, m))
+        .when(F.col("l_orderkey") % 4 == 2, F.format_string("took %d:%02d total", h, m))
+        .otherwise(F.lit("no time here"))
+    )
+    return li.select("l_orderkey", "l_linenumber", raw.alias("raw")).withColumn(
+        "hhmm", S.to_time_hhmm(F.col("raw"))
+    )
+
+
+@q(
+    "scalar_dates",
+    """
+    SELECT o_orderkey, raw,
+           strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+           strftime(o_orderdate, '%m/%d')    AS mmdd_slice,
+           strftime(o_orderdate, '%Y')       AS year_part,
+           strftime(o_orderdate, '%Y') || '/' || strftime(o_orderdate, '%m/%d') AS reattached
+    FROM (SELECT o_orderkey, o_orderdate,
+                 CASE o_orderkey % 4
+                   WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                   WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                   WHEN 2 THEN strftime(o_orderdate, '%Y/%m/%d %H:%M')
+                   ELSE strftime(o_orderdate, '%Y/%m/%d') END AS raw
+          FROM orders)
+    """,
+)
+def scalar_dates(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format(d, "yyyy/MM/dd HH:mm"))
+        .otherwise(F.date_format(d, "yyyy/MM/dd"))
+    )
+    iso = F.date_format(d, "yyyy-MM-dd")
+    out = orders.select("o_orderkey", raw.alias("raw"), iso.alias("_iso"))
+    return out.select(
+        "o_orderkey",
+        "raw",
+        S.to_date_yyyy_mm_dd(F.col("raw")).alias("ymd"),
+        S.date_to_mm_dd_slice(F.col("_iso")).alias("mmdd_slice"),
+        S.year_prefix(F.col("_iso")).alias("year_part"),
+        S.attach_year(S.year_prefix(F.col("_iso")), S.date_to_mm_dd_slice(F.col("_iso"))).alias("reattached"),
+    )
+
+
+@q(
+    "scalar_luggage",
+    """
+    SELECT l_orderkey, l_linenumber, raw,
+           CASE WHEN l_orderkey % 5 IN (0, 1, 2) THEN CAST(q AS DOUBLE)
+                WHEN l_orderkey % 5 = 3 THEN q + 0.5 END AS lug_value,
+           CASE WHEN l_orderkey % 5 = 0 THEN '件'
+                WHEN l_orderkey % 5 IN (1, 2, 3) THEN '公斤'
+                ELSE '' END AS lug_unit,
+           CASE WHEN l_orderkey % 5 = 0 THEN CAST(q AS VARCHAR) || '件'
+                WHEN l_orderkey % 5 IN (1, 2) THEN CAST(q AS VARCHAR) || '公斤'
+                WHEN l_orderkey % 5 = 3 THEN printf('%.1f', q + 0.5) || '公斤'
+                ELSE '' END AS reassembled
+    FROM (SELECT l_orderkey, l_linenumber, CAST(trunc(l_quantity) AS INT) % 40 + 1 AS q,
+                 CASE l_orderkey % 5
+                   WHEN 0 THEN printf('%d件', CAST(trunc(l_quantity) AS INT) % 40 + 1)
+                   WHEN 1 THEN printf('%d 公斤', CAST(trunc(l_quantity) AS INT) % 40 + 1)
+                   WHEN 2 THEN printf('%dkg', CAST(trunc(l_quantity) AS INT) % 40 + 1)
+                   WHEN 3 THEN printf('%.1f公斤', CAST(trunc(l_quantity) AS INT) % 40 + 1.5)
+                   ELSE '無' END AS raw
+          FROM lineitem)
+    """,
+)
+def scalar_luggage(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qn = (S.guarded_to_long(F.col("l_quantity")) % 40 + 1).cast("int")
+    raw = (
+        F.when(F.col("l_orderkey") % 5 == 0, F.format_string("%d件", qn))
+        .when(F.col("l_orderkey") % 5 == 1, F.format_string("%d 公斤", qn))
+        .when(F.col("l_orderkey") % 5 == 2, F.format_string("%dkg", qn))
+        .when(F.col("l_orderkey") % 5 == 3, F.format_string("%.1f公斤", qn.cast("double") + 0.5))
+        .otherwise(F.lit("無"))
+    )
+    return li.select("l_orderkey", "l_linenumber", raw.alias("raw")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "raw",
+        S.luggage_value(F.col("raw")).alias("lug_value"),
+        S.luggage_unit(F.col("raw")).alias("lug_unit"),
+        S.luggage_reassemble(F.col("raw")).alias("reassembled"),
+    )
+
+
+@q(
+    "scalar_placeholder_ws",
+    """
+    SELECT c_custkey, raw,
+           CASE WHEN c_custkey % 7 IN (0, 1, 2, 3, 4) THEN ''
+                ELSE trim(regexp_replace(raw, '\\s+', ' ', 'g')) END AS cleaned,
+           COALESCE(regexp_extract(trim(raw), '^(\\S+)', 1), '') AS first_tok
+    FROM (SELECT c_custkey, c_name,
+                 CASE c_custkey % 7
+                   WHEN 0 THEN 'NaN' WHEN 1 THEN '<NA>' WHEN 2 THEN 'null'
+                   WHEN 3 THEN 'NaT' WHEN 4 THEN '   '
+                   WHEN 5 THEN ' a  b ' ELSE c_name END AS raw
+          FROM customer)
+    """,
+)
+def scalar_placeholder_ws(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey") % 7
+    raw = (
+        F.when(k == 0, "NaN").when(k == 1, "<NA>").when(k == 2, "null")
+        .when(k == 3, "NaT").when(k == 4, "   ").when(k == 5, " a  b ")
+        .otherwise(F.col("c_name"))
+    )
+    staged = cust.select("c_custkey", raw.alias("raw"))
+    # F15 after trim (placeholders include the all-blank case), F16, F12
+    cleaned = S.placeholder_to_empty(S.collapse_whitespace(F.trim(F.col("raw"))))
+    return staged.select(
+        "c_custkey",
+        "raw",
+        cleaned.alias("cleaned"),
+        S.first_token(F.col("raw")).alias("first_tok"),
+    )
+
+
+@q(
+    "scalar_join_date_normalize",
+    """
+    SELECT o_orderkey, raw,
+           CASE WHEN o_orderkey % 6 = 4 THEN 'TBD'
+                WHEN o_orderkey % 6 = 5 THEN '13/45'
+                ELSE strftime(o_orderdate, '%m/%d') END AS normalized
+    FROM (SELECT o_orderkey, o_orderdate,
+                 CASE o_orderkey % 6
+                   WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                   WHEN 1 THEN strftime(o_orderdate, '%Y.%m.%d')
+                   WHEN 2 THEN CAST(month(o_orderdate) AS VARCHAR) || '-' || CAST(day(o_orderdate) AS VARCHAR)
+                   WHEN 3 THEN strftime(o_orderdate, '%m/%d') || '/2025'
+                   WHEN 4 THEN 'TBD'
+                   ELSE '13/45' END AS raw
+          FROM orders)
+    """,
+)
+def scalar_join_date_normalize(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    k = F.col("o_orderkey") % 6
+    raw = (
+        F.when(k == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(k == 1, F.date_format(d, "yyyy.MM.dd"))
+        .when(k == 2, F.concat(F.month(d).cast("string"), F.lit("-"), F.dayofmonth(d).cast("string")))
+        .when(k == 3, F.concat(F.date_format(d, "MM/dd"), F.lit("/2025")))
+        .when(k == 4, F.lit("TBD"))
+        .otherwise(F.lit("13/45"))
+    )
+    return orders.select("o_orderkey", raw.alias("raw")).withColumn(
+        "normalized", S.normalize_join_date(F.col("raw"))
+    )
+
+
+@q(
+    "scalar_guarded_long",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey % 3 = 0 THEN CAST(trunc(l_extendedprice) AS BIGINT)
+                WHEN l_orderkey % 3 = 1 THEN CAST(trunc(-l_extendedprice) AS BIGINT) END AS v_long
+    FROM lineitem
+    """,
+)
+def scalar_guarded_long(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = (
+        F.when(F.col("l_orderkey") % 3 == 0, F.col("l_extendedprice"))
+        .when(F.col("l_orderkey") % 3 == 1, -F.col("l_extendedprice"))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return li.select("l_orderkey", "l_linenumber", S.guarded_to_long(v).alias("v_long"))
+
+
+@q(
+    "scalar_split_flight_class",
+    """
+    SELECT p_partkey, raw,
+           trim(split_part(raw, ' ', 1)) AS flight,
+           CASE WHEN strpos(raw, ' ') > 0 THEN substr(raw, strpos(raw, ' ') + 1) END AS cabin
+    FROM (SELECT p_partkey,
+                 CASE WHEN p_partkey % 3 = 0 THEN 'CI' || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0') || ' ' || p_brand
+                      WHEN p_partkey % 3 = 1 THEN 'BR' || CAST(p_partkey % 100 AS VARCHAR)
+                      ELSE 'JX' || CAST(p_partkey % 1000 AS VARCHAR) || ' 經濟艙 K' END AS raw
+          FROM part)
+    """,
+)
+def scalar_split_flight_class(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    raw = (
+        F.when(k % 3 == 0, F.concat(F.lit("CI"), F.lpad((k % 1000).cast("string"), 3, "0"), F.lit(" "), F.col("p_brand")))
+        .when(k % 3 == 1, F.concat(F.lit("BR"), (k % 100).cast("string")))
+        .otherwise(F.concat(F.lit("JX"), (k % 1000).cast("string"), F.lit(" 經濟艙 K")))
+    )
+    staged = part.select("p_partkey", raw.alias("raw"))
+    fl, cl = S.split_flight_and_class(F.col("raw"))
+    return staged.select("p_partkey", "raw", fl.alias("flight"), cl.alias("cabin"))
+
+
+# ==========================================================================
+# Text-analysis / dedup / similarity queries (training-data pipeline ops)
+# ==========================================================================
+@q(
+    "text_stats",
+    """
+    SELECT doc_id, n_chars,
+           len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                 t -> t IN ('the','and','of','to','is','in','that','it','was','for')))::DOUBLE
+                 / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        T.token_count("text").alias("n_tokens"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@q(
+    "text_quality_score",
+    """
+    WITH parts AS (
+      SELECT doc_id,
+             least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                   / length(text), 6) AS pr,
+             round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   t -> t IN ('the','and','of','to','is','in','that','it','was','for')))::DOUBLE
+                   / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS sw
+      FROM documents)
+    SELECT doc_id,
+           round((len_score + greatest(0.0, 1.0 - pr * 4) + least(sw * 5, 1.0)) / 3, 6) AS quality
+    FROM parts
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@q(
+    "lang_id_vote",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    votes AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','was','for'))) AS en_n,
+             len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS de_n,
+             len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS fr_n,
+             len(list_filter(t, x -> x IN ('el','la','los','las','es','un','una','que','de','por'))) AS es_n
+      FROM toks)
+    SELECT doc_id,
+           CASE WHEN greatest(en_n, de_n, fr_n, es_n) = 0 THEN 'und'
+                WHEN en_n = greatest(en_n, de_n, fr_n, es_n) THEN 'en'
+                WHEN de_n = greatest(de_n, fr_n, es_n) THEN 'de'
+                WHEN fr_n = greatest(fr_n, es_n) THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM votes
+    """,
+)
+def lang_id_vote(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_guess"))
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           min(doc_id) AS keep_doc_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(T.fingerprint("text").alias("fp"), "doc_id").groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+@q(
+    "dedup_minhash_signatures",
+    """
+    WITH sh AS (
+      SELECT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents))
+    SELECT doc_id,
+           min(md5(0 || ':' || s)) AS mh0, min(md5(1 || ':' || s)) AS mh1,
+           min(md5(2 || ':' || s)) AS mh2, min(md5(3 || ':' || s)) AS mh3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", k=3, num_hashes=4)
+
+
+@q(
+    "dedup_minhash_lsh_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || s)) AS m
+      FROM sh, (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=8, bands=4)
+
+
+@q(
+    "dedup_ngram_jaccard_adjacent",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)),
+    cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, count(*) AS n
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.s = a.s
+      GROUP BY a.doc_id)
+    SELECT c1.doc_id AS id_a, c2.doc_id AS id_b,
+           round(COALESCE(inter.n, 0)::DOUBLE / (c1.c + c2.c - COALESCE(inter.n, 0)), 6) AS jaccard
+    FROM cnt c1
+    JOIN cnt c2 ON c2.doc_id = c1.doc_id + 1
+    LEFT JOIN inter ON inter.id_a = c1.doc_id
+    """,
+)
+def dedup_ngram_jaccard_adjacent(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select(
+        "id_a", "id_b", dedup.jaccard_expr("text_a", "text_b", 3).alias("jaccard")
+    )
+
+
+@q(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    per_bit AS (
+      SELECT doc_id, b,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+                       & CAST(pow(2, 3 - (b % 4)) AS INT) > 0 THEN 1 ELSE -1 END AS vote
+      FROM toks, (SELECT unnest(range(64)) AS b) bits),
+    agg AS (SELECT doc_id, b, sum(vote) AS s FROM per_bit GROUP BY doc_id, b)
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+    FROM agg GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_bits(docs, "doc_id", "text", bits=64)
+
+
+@q(
+    "similarity_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             round(
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    out = similarity.cosine_topk_bruteforce(qs, emb, "vec_id", "vec_id", k=5)
+    return out.select("q_id", "n_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+@q(
+    "media_metadata",
+    """
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS byte_len,
+           upper(left(hex(encode(text)), 8)) AS prefix_hex
+    FROM documents
+    """,
+)
+def media_metadata_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs, "text")
+    return multimodal.media_metadata(payload, "doc_id")
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH lagged AS (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged)
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
+    FROM flagged
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() | (F.unix_micros("ts") - F.unix_micros(prev) > 1800 * 1_000_000)
+    ).cast("int")
+    flagged = ev.select("event_id", "user_id", "ts", new_s.alias("new_session"))
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        "event_id", "user_id", F.sum("new_session").over(wrun).cast("bigint").alias("session_num")
     )
 
 

@@ -1,3 +1,3 @@
-from . import conform, dedup, joins, similarity, windows
+from . import conform, dedup, joins, multimodal, similarity, windows
 
-__all__ = ["conform", "dedup", "joins", "similarity", "windows"]
+__all__ = ["conform", "dedup", "joins", "multimodal", "similarity", "windows"]

@@ -60,8 +60,10 @@ def cosine_topk_bruteforce(
 
 
 def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes; components rounded to 6 decimals so the
+    exact same constants can be baked into an oracle SQL text."""
     rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    return [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def cosine_topk_lsh(
