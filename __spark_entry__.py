@@ -42,6 +42,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Wide scan for CPU-heavy downstream stages. The driver fixtures are
+    single-row-group parquet files -> Spark reads them as ONE split, which
+    serializes regex/array-heavy work on local[N]. A real 100 TB table is
+    thousands of files/row-groups and never needs this; locally one cheap
+    round-robin shuffle buys full-core parallelism."""
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dec_sum(col, scale: int = 2, alias: str | None = None):
     """Order-insensitive exact sum of a double column: via decimal, back to
     double (identical float64 in Spark and DuckDB)."""
@@ -178,7 +188,7 @@ def predicate_split_source(spark, sf_dir):
     """,
 )
 def regex_validity_filter(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     code = F.upper(
         F.concat(F.col("l_returnflag"), F.col("l_linestatus"), (F.col("l_orderkey") % 100000).cast("string"))
     )
@@ -225,7 +235,7 @@ def any_notnull_filter(spark, sf_dir):
     """,
 )
 def wide_projection(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     return conform.select_aliased(
         li,
         {
@@ -667,7 +677,7 @@ def horizontal_nonnull_count(spark, sf_dir):
     """,
 )
 def scalar_airline_code(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     code = F.when(
         F.col("l_orderkey") % 5 == 0, F.col("l_partkey").cast("string")
     ).otherwise(
@@ -689,7 +699,7 @@ def scalar_airline_code(spark, sf_dir):
     """,
 )
 def scalar_flight_canonical(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     raw = F.concat(
         F.lit(" "),
         F.lower(F.concat("l_returnflag", "l_linestatus")),
@@ -718,7 +728,7 @@ def scalar_flight_canonical(spark, sf_dir):
     """,
 )
 def scalar_duration_minutes(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     raw = (
         F.when(F.col("l_orderkey") % 7 == 0, (F.col("l_partkey") % 500).cast("string"))
         .when(F.col("l_orderkey") % 7 == 1, F.lit("n/a"))
@@ -755,7 +765,7 @@ def scalar_duration_minutes(spark, sf_dir):
     """,
 )
 def scalar_time_hhmm(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     h, m = F.col("l_partkey") % 24, F.col("l_suppkey") % 60
     raw = (
         F.when(F.col("l_orderkey") % 4 == 0, F.format_string("2025-11-05 %02d:%02d:00", h, m))
@@ -786,7 +796,7 @@ def scalar_time_hhmm(spark, sf_dir):
     """,
 )
 def scalar_dates(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
+    orders = _tw(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     raw = (
         F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "yyyy-MM-dd HH:mm:ss"))
@@ -830,7 +840,7 @@ def scalar_dates(spark, sf_dir):
     """,
 )
 def scalar_luggage(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")
     qn = (S.guarded_to_long(F.col("l_quantity")) % 40 + 1).cast("int")
     raw = (
         F.when(F.col("l_orderkey") % 5 == 0, F.format_string("%d件", qn))
@@ -865,7 +875,7 @@ def scalar_luggage(spark, sf_dir):
     """,
 )
 def scalar_placeholder_ws(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
+    cust = _tw(spark, sf_dir, "customer")
     k = F.col("c_custkey") % 7
     raw = (
         F.when(k == 0, "NaN").when(k == 1, "<NA>").when(k == 2, "null")
@@ -902,7 +912,7 @@ def scalar_placeholder_ws(spark, sf_dir):
     """,
 )
 def scalar_join_date_normalize(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
+    orders = _tw(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     k = F.col("o_orderkey") % 6
     raw = (
@@ -980,7 +990,7 @@ def scalar_split_flight_class(spark, sf_dir):
     """,
 )
 def text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "n_chars",
@@ -1008,7 +1018,7 @@ def text_stats(spark, sf_dir):
     """,
 )
 def text_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select("doc_id", T.quality_score("text").alias("quality"))
 
 
@@ -1034,7 +1044,7 @@ def text_quality_score(spark, sf_dir):
     """,
 )
 def lang_id_vote(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id("text").alias("lang_guess"))
 
 
@@ -1046,7 +1056,7 @@ def lang_id_vote(spark, sf_dir):
     """,
 )
 def doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
@@ -1060,7 +1070,7 @@ def doc_fingerprint(spark, sf_dir):
     """,
 )
 def dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select(T.fingerprint("text").alias("fp"), "doc_id").groupBy("fp").agg(
         F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups")
     )
@@ -1081,7 +1091,7 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_minhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return dedup.minhash_signatures(docs, "doc_id", "text", k=3, num_hashes=4)
 
 
@@ -1105,7 +1115,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=8, bands=4)
 
 
@@ -1130,7 +1140,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard_adjacent(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
@@ -1157,7 +1167,7 @@ def dedup_ngram_jaccard_adjacent(spark, sf_dir):
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return dedup.simhash_bits(docs, "doc_id", "text", bits=64)
 
 
@@ -1184,7 +1194,7 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def similarity_topk_bruteforce(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tw(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 8)
     out = similarity.cosine_topk_bruteforce(qs, emb, "vec_id", "vec_id", k=5)
     return out.select("q_id", "n_id", "sim", F.col("rank").cast("bigint").alias("rank"))
@@ -1200,7 +1210,7 @@ def similarity_topk_bruteforce(spark, sf_dir):
     """,
 )
 def media_metadata_q(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     payload = multimodal.with_binary_payload(docs, "text")
     return multimodal.media_metadata(payload, "doc_id")
 
@@ -1246,7 +1256,7 @@ def _flightify(spark, sf_dir):
     """Deterministic flight-domain frames synthesized from the TPC-H tables
     (the sf_dir corpus has no flight tables; this keeps the full pipeline
     runnable and benchable at every scale factor)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _tw(spark, sf_dir, "orders")
     ok = F.col("o_orderkey")
     fn1 = F.concat(F.lit("CI"), F.lpad((ok % 900).cast("string"), 3, "0"))
     fn1_ret = F.concat(F.lit("CI"), F.lpad((ok % 900 + 1).cast("string"), 3, "0"))
@@ -1335,7 +1345,7 @@ def domanda_pipeline_full(spark, sf_dir):  # practically SQL-expressible
 def domanda_unify_mini(spark, sf_dir):
     # reduced unify: J2 ''-key canonicalization (Q1: NULL legs join as '')
     # + broadcast left enrich — the core join shape of the pipeline
-    orders = _t(spark, sf_dir, "orders")
+    orders = _tw(spark, sf_dir, "orders")
     ok = F.col("o_orderkey")
     fn1 = F.concat(F.lit("CI"), F.lpad((ok % 900).cast("string"), 3, "0"))
     fn2 = F.when(ok % 2 == 0, F.concat(F.lit("BR"), F.lpad((F.col("o_custkey") % 90).cast("string"), 3, "0")))
@@ -1359,6 +1369,126 @@ def domanda_unify_mini(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Driver API
 # --------------------------------------------------------------------------
+# ==========================================================================
+# LSH ANN + embedding near-dup (scale path) — the SRP hyperplanes are
+# deterministic (seeded, 6-decimal) and BAKED into the oracle SQL text, so
+# even the approximate path is fully oracle-checked.
+# ==========================================================================
+_PLANES = similarity.random_planes(dim=64, n_planes=6, seed=42)
+
+
+def _plane_sql(vec_expr: str, plane: list[float]) -> str:
+    lits = ",".join(repr(x) for x in plane)
+    return (
+        f"(list_sum(list_transform(range(1, 65), i -> CAST({vec_expr}[i] AS DOUBLE) * ([{lits}])[i])) >= 0)"
+    )
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = [f"CASE WHEN {_plane_sql(vec_expr, p)} THEN '1' ELSE '0' END" for p in _PLANES]
+    return " || ".join(bits)
+
+
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ne[i] AS DOUBLE) * CAST(ne[i] AS DOUBLE))))), 6)"
+)
+
+
+@q(
+    "similarity_topk_lsh",
+    f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+    qset AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM coded WHERE vec_id < 32),
+    cand AS (
+      SELECT q.q_id, c.vec_id AS n_id, q.qe AS qe, c.embedding AS ne
+      FROM coded c JOIN qset q USING (bucket) WHERE c.vec_id <> q.q_id),
+    scored AS (SELECT q_id, n_id, {_COS_SQL} AS sim FROM cand)
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def similarity_topk_lsh(spark, sf_dir):
+    emb = _tw(spark, sf_dir, "embeddings")
+    qs_df = emb.filter(F.col("vec_id") < 32)
+    out = similarity.cosine_topk_lsh(
+        qs_df, emb, "vec_id", "vec_id", dim=64, k=3, n_planes=6, seed=42
+    )
+    return out.select("q_id", "n_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+@q(
+    "dedup_embedding_neardup",
+    f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS qe, b.embedding AS ne
+      FROM coded a JOIN coded b USING (bucket) WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, sim FROM (SELECT id_a, id_b, {_COS_SQL} AS sim FROM pairs)
+    WHERE sim >= 0.2
+    """,
+)
+def dedup_embedding_neardup(spark, sf_dir):
+    # near-duplicate embedding pairs: SRP-bucket candidates -> exact cosine
+    # threshold. The bucket join (not an all-pairs cross) is the 100 TB plan.
+    from domanda_etl_spark.functions import vectors as V
+
+    emb = _tw(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        V.srp_bits("embedding", _PLANES).alias("bucket"),
+    )
+    a = coded.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b = coded.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(V.cosine("ea", "eb"), 6).alias("sim")
+    ).filter(F.col("sim") >= 0.2)
+
+
+@q(
+    "text_bpe_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '([a-z0-9]+|[^a-z0-9\\s])')) AS n_pieces,
+           regexp_extract_all(lower(text), '([a-z0-9]+|[^a-z0-9\\s])')[1] AS first_piece
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    docs = _tw(spark, sf_dir, "documents")
+    toks = T.word_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_pieces"),
+        F.get(toks, 0).alias("first_piece"),
+    )
+
+
+@q(
+    "incremental_lookback",
+    """
+    SELECT event_id, user_id FROM events
+    WHERE epoch_us(ts) / 1000000.0 > 1705276800.0
+    """,
+)
+def incremental_lookback_q(spark, sf_dir):
+    # S3 — the reference's 12h-lookback incremental scan with an injected
+    # cutoff (2024-01-15T00:00:00Z here); pushed to the parquet scan
+    from domanda_etl_spark.streaming import incremental_lookback as lb
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select("event_id", "user_id", (F.unix_micros("ts") / 1e6).alias("epoch"))
+    return lb(staged, "epoch", 1705276800.0).drop("epoch")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) per SURVEY.md §5.4:
+- F10/F17/J2 canonicalization idempotence (normalize(normalize(x)) == normalize(x))
+- latest-wins dedup determinism under row shuffling
+- jaccard bounds and symmetry
+
+Strings are batched through one Spark job per example-set to keep runtime
+sane (row-at-a-time collect would dominate)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from domanda_etl_spark.functions import scalars as S
+from domanda_etl_spark.operators import dedup, windows
+
+TEXTISH = st.text(
+    alphabet=st.sampled_from(list("ABCXYZabcxyz0123456789 /.-和件公斤艙\t")), max_size=24
+)
+
+
+def _batch_apply(spark, values, expr_builder):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r["o"] for r in df.select(expr_builder("v").alias("o")).collect()]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXTISH, min_size=1, max_size=24))
+def test_flight_canonicalization_idempotent(spark, vals):
+    once = _batch_apply(spark, vals, S.canonical_flight_number)
+    twice = _batch_apply(spark, once, S.canonical_flight_number)
+    assert once == twice
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXTISH, min_size=1, max_size=24))
+def test_join_date_normalize_idempotent(spark, vals):
+    once = _batch_apply(spark, vals, S.normalize_join_date)
+    twice = _batch_apply(spark, once, S.normalize_join_date)
+    assert once == twice
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXTISH, min_size=1, max_size=24))
+def test_join_key_normalize_idempotent(spark, vals):
+    build = lambda c: S.normalize_join_key(c, strip_all_whitespace=True)  # noqa: E731
+    once = _batch_apply(spark, vals, build)
+    twice = _batch_apply(spark, once, build)
+    assert once == twice
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.randoms(),
+)
+def test_latest_wins_deterministic_under_shuffle(spark, rows, rnd):
+    data = [(k, g, float(v)) for k, g, v in rows]
+    shuffled = list(data)
+    rnd.shuffle(shuffled)
+    mk = lambda d: spark.createDataFrame(d, "k int, g int, ct double")  # noqa: E731
+    out1 = sorted(
+        map(tuple, windows.latest_wins(mk(data), "ct", key_cols=["k", "g"],
+                                       tiebreakers=[F.col("ct")]).collect())
+    )
+    out2 = sorted(
+        map(tuple, windows.latest_wins(mk(shuffled), "ct", key_cols=["k", "g"],
+                                       tiebreakers=[F.col("ct")]).collect())
+    )
+    # per (k,g) the max ct must win regardless of input order
+    expect = {}
+    for k, g, v in data:
+        expect[(k, g)] = max(expect.get((k, g), float("-inf")), v)
+    assert {(r[0], r[1]): r[2] for r in out1} == expect
+    assert {(r[0], r[1]): r[2] for r in out2} == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.text(min_size=3, max_size=40), st.text(min_size=3, max_size=40))
+def test_jaccard_bounds_and_symmetry(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    row = df.select(
+        dedup.jaccard_expr("a", "b").alias("ab"),
+        dedup.jaccard_expr("b", "a").alias("ba"),
+        dedup.jaccard_expr("a", "a").alias("aa"),
+    ).collect()[0]
+    assert row["ab"] == row["ba"]
+    if row["ab"] is not None:
+        assert 0.0 <= row["ab"] <= 1.0
+    assert row["aa"] in (None, 1.0)
