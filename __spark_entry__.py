@@ -1108,15 +1108,17 @@ def dedup_minhash_signatures(spark, sf_dir):
       FROM sh, (SELECT unnest(range(8)) AS seed) seeds
       GROUP BY doc_id, seed),
     bands AS (
-      SELECT doc_id, seed // 2 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS bh
-      FROM mh GROUP BY doc_id, seed // 2)
+      SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 4)
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     docs = _tw(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=8, bands=4)
+    # 4-row bands: candidate sparsity that scales (2-row bands flood on
+    # low-entropy corpora: 6.4M vs 0.3M pairs on the sf0.1 fixture)
+    return dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=8, bands=2)
 
 
 @q(
@@ -1487,6 +1489,178 @@ def incremental_lookback_q(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     staged = ev.select("event_id", "user_id", (F.unix_micros("ts") / 1e6).alias("epoch"))
     return lb(staged, "epoch", 1705276800.0).drop("epoch")
+
+
+@q(
+    "scalar_despace_cabin",
+    """
+    SELECT p_partkey, raw, replace(raw, ' ', '') AS despaced
+    FROM (SELECT p_partkey, '經濟艙 ' || p_brand AS raw FROM part)
+    """,
+)
+def scalar_despace_cabin(spark, sf_dir):
+    # F11 — cabin-class despace (literal spaces only, not all whitespace)
+    part = _t(spark, sf_dir, "part")
+    raw = F.concat(F.lit("經濟艙 "), F.col("p_brand"))
+    return part.select("p_partkey", raw.alias("raw")).withColumn(
+        "despaced", S.despace(F.col("raw"))
+    )
+
+
+# ==========================================================================
+# As-of / range / salted joins, pivot, explode, JSON, sketches
+# ==========================================================================
+@q(
+    "asof_join_events",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+    signups AS (
+      SELECT user_id, ts, max(event_id) AS ref_event, max(value) AS ref_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT p.user_id, epoch_us(p.ts) AS ts_us, p.event_id, p.value,
+           s.ref_event, s.ref_value
+    FROM purchases p ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # right side unique per (user_id, ts) so the as-of winner is well-defined
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("ref_event"), F.max("value").alias("ref_value"))
+    )
+    out = joins.asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["ref_event", "ref_value"],
+    )
+    return out.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value",
+        "ref_event", "ref_value",
+    )
+
+
+@q(
+    "range_join_value_bands",
+    """
+    WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
+    SELECT e.event_id, e.value, b.band
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def range_join_value_bands(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return joins.range_join(ev, bands, "value", "lo", "hi").select("event_id", "value", "band")
+
+
+@q(
+    "salted_join_skew",
+    """
+    SELECT k.l_orderkey, k.skew_key, c.c_name
+    FROM (SELECT l_orderkey,
+                 CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_orderkey % 100 + 1 END AS skew_key
+          FROM lineitem) k
+    JOIN customer c ON k.skew_key = c.c_custkey
+    """,
+)
+def salted_join_skew(spark, sf_dir):
+    # ~70% of rows share one hot key; salting spreads it across reducers
+    # while producing the IDENTICAL result set as the plain join (oracle)
+    li = _tw(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("l_orderkey") % 100 + 1)
+        .cast("bigint")
+        .alias("skew_key"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("skew_key"), "c_name"
+    )
+    return joins.salted_join(skewed, cust, ["skew_key"], salt=8).select(
+        "l_orderkey", "skew_key", "c_name"
+    )
+
+
+@q(
+    "pivot_status_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS status_o,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS status_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+    )
+
+
+@q(
+    "word_freq_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM documents),
+    freq AS (SELECT word, count(*) AS n FROM toks GROUP BY word)
+    SELECT word, n FROM (
+      SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS r FROM freq)
+    WHERE r <= 20
+    """,
+)
+def word_freq_topk(spark, sf_dir):
+    docs = _tw(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        freq.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+        .select("word", "n")
+    )
+
+
+@q(
+    "json_extract_props",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select("event_id", k.alias("k_str"), k.cast("bigint").alias("k_num"))
+
+
+@q("approx_sketches", None)  # approximate by design -> rows-only gate;
+def approx_sketches(spark, sf_dir):  # accuracy asserted in tests/test_operators.py
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5)").alias("p50_value"),
+        F.expr("percentile_approx(value, 0.99)").alias("p99_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -70,6 +70,107 @@ def enrich_left_join(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the right row with the
+    greatest right_ts <= left_ts within the same key group; unmatched left
+    rows keep NULL payload.
+
+    Spark has no native as-of join; the scalable plan is the union-window
+    form — ONE shuffle on the key, no range-condition join that would
+    degenerate to a broadcast-nested-loop at scale:
+      union(left tagged 1, right tagged 0)
+      -> window per key ordered by (ts, tag[, tiebreaker])
+      -> last(non-null payload struct) carried forward
+      -> keep left rows.
+    Right rows sort before left rows at equal ts, so `<=` semantics match
+    e.g. DuckDB's ASOF JOIN. Pass `tiebreaker` when (key, right_ts) is not
+    unique to make the winning right row deterministic.
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns if c not in on]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{p}:{dict(right.dtypes)[p]}" for p in payload) + ">"
+        ).alias("__p"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        (F.col(tiebreaker).cast("long") if tiebreaker else F.lit(0)).alias("__tb"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(*[F.col(p) for p in payload]).alias("__p"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).withColumn(
+        "__pf", F.last("__p", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *on,
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l.{c}").alias(c) for c in lcols if c != left_ts],
+        *[F.col(f"__pf.{p}").alias(p) for p in payload],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right_small: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Band/range join: left.value in [right.lo, right.hi). The small side
+    is broadcast so the non-equi condition never becomes a shuffled
+    nested-loop — the only plan shape that survives a 100 TB left side."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return left.join(F.broadcast(right_small), cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-buster equi-join: left rows get a deterministic salt in
+    [0, salt), the right side is replicated `salt` times, and the join runs
+    on key+salt — a hot key's rows spread over `salt` reducers instead of
+    one straggler. Result set is IDENTICAL to the plain join (verified by
+    the salted_join_skew oracle). AQE's skew-join split is the automatic
+    alternative; explicit salting also covers aggregations and older
+    runtimes."""
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    rrep = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = lsalt.join(rrep, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     """EXISTS — rows of left with at least one match in right."""
     return left.join(right, on=on, how="left_semi")

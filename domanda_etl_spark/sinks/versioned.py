@@ -146,6 +146,15 @@ class VersionedTable:
         return df.filter(cond).limit(1).count() > 0
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Date/key-partitioned lake layout (hive-style directories). This is
+    what turns the reference's 12h-lookback predicate (S3) into a partition
+    PRUNE at 100 TB: a filter on the partition column skips directories
+    entirely (PartitionFilters in the scan, verified in tests) instead of
+    reading and discarding rows."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """S11 — the reference's declared-but-unimplemented CSV sink
     (etl/extractor.py:29, SURVEY.md Q8)."""

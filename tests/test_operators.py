@@ -1,0 +1,70 @@
+"""Operator-level tests: as-of join semantics, salted-join equivalence,
+sketch accuracy, partitioned-write pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from domanda_etl_spark.operators import joins
+from domanda_etl_spark.sinks.versioned import write_partitioned
+from domanda_etl_spark.sources import load_table
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 7, "l0"), (2, 5, "l3")],
+        "k int, ts int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 15, "b"), (1, 20, "c"), (2, 99, "z")],
+        "k int, ts int, v string",
+    )
+    out = {
+        (r["k"], r["ts"]): r["v"]
+        for r in joins.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", payload=["v"]
+        ).collect()
+    }
+    assert out == {
+        (1, 7): None,   # before any right row
+        (1, 10): "a",   # latest right ts <= 10 is 8
+        (1, 20): "c",   # equal ts matches (<=)
+        (2, 5): None,   # right row is in the future
+    }
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(customer, ["o_custkey"]).select("o_orderkey", "c_name")
+    salted = joins.salted_join(orders, customer, ["o_custkey"], salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.agg(F.approx_count_distinct("user_id").alias("a")).collect()[0]["a"]
+    exact = ev.agg(F.countDistinct("user_id").alias("e")).collect()[0]["e"]
+    assert abs(approx - exact) / exact < 0.05
+    p50 = ev.agg(F.expr("percentile_approx(value, 0.5)").alias("p")).collect()[0]["p"]
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    assert lo <= p50 <= hi
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["order_year"])
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the year filter must land in PartitionFilters (directory prune),
+    # not PushedFilters (row filter)
+    assert "PartitionFilters: [" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert back.count() == orders.filter(F.year("o_orderdate") == 1995).count()
