@@ -1653,6 +1653,33 @@ def json_extract_props(spark, sf_dir):
     return ev.select("event_id", k.alias("k_str"), k.cast("bigint").alias("k_num"))
 
 
+@q(
+    "monthly_revenue_rollup",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def monthly_revenue_rollup(spark, sf_dir):
+    # time-bucketed warehouse rollup (date_trunc); avg computed as exact
+    # decimal sum / count to stay order-insensitive, then one double divide
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(30,2)")
+    return (
+        orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"))
+        .agg(
+            F.sum(dec).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            # divide in DOUBLE after the exact decimal sum (Spark's decimal
+            # division would round to scale 6; DuckDB's AVG divides in double)
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+
+
 @q("approx_sketches", None)  # approximate by design -> rows-only gate;
 def approx_sketches(spark, sf_dir):  # accuracy asserted in tests/test_operators.py
     ev = _t(spark, sf_dir, "events")

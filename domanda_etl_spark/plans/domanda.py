@@ -316,6 +316,34 @@ def dedup_latest(df: DataFrame) -> DataFrame:
     return windows.latest_wins(df, "creation_time")
 
 
+def load_output(
+    df: DataFrame,
+    table,
+    verify_row: dict[str, object] | None = None,
+) -> tuple[int, dict]:
+    """The loader stage (reference etl/loader.py:15-96, 197-238): P6 drop
+    rows with NULL gds_type (removed count surfaced via a Spark observation,
+    the native form of the reference's removed-row warning logs) ->
+    versioned overwrite (S5, atomic by construction) -> optional S9
+    verification read. Returns (version, metrics)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("load_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.col("gds_type").isNull().cast("long")).alias("removed_null_gds"),
+    )
+    filtered = observed.filter(F.col("gds_type").isNotNull())
+    version = table.overwrite(filtered)
+    metrics = dict(obs.get)
+    if verify_row is not None:
+        assert table.verify_write(df.sparkSession, verify_row), (
+            "post-write verification failed (S9)"
+        )
+    return version, metrics
+
+
 def run_pipeline(
     cola: DataFrame,
     set_df: DataFrame,

@@ -149,13 +149,36 @@ def rich_rows() -> list[dict]:
     return [r]
 
 
+NUMERIC_COLS = {
+    "基礎票價", "票價加價成數", "總售價", "稅金", "稅金加價成數",
+    "折扣", "固定金額", "建立時間", "票面價格",
+}
+BOOL_COLS = {"海外供應商"}
+
+
 def build_frames(spark):
-    """Spark frames with all-string supplier columns except typed
-    price/tax/bool, mirroring BigQuery result shapes."""
-    import pandas as pd
+    """Spark frames with EXPLICIT schemas (all-string except typed
+    price/tax/bool), mirroring BigQuery result shapes. Explicit because
+    inference dies on all-None columns on a vanilla session."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StringType, StructField, StructType,
+    )
 
     def mk(rows: list[dict]):
-        return spark.createDataFrame(pd.DataFrame(rows))
+        cols = list(rows[0].keys())
+        schema = StructType(
+            [
+                StructField(
+                    c,
+                    DoubleType() if c in NUMERIC_COLS
+                    else BooleanType() if c in BOOL_COLS
+                    else StringType(),
+                    True,
+                )
+                for c in cols
+            ]
+        )
+        return spark.createDataFrame([tuple(r.get(c) for c in cols) for r in rows], schema)
 
     cola = mk(cola_rows())
     settour = mk(settour_rows())

@@ -24,6 +24,49 @@ def test_incremental_lookback(spark):
 
 
 @pytest.mark.slow
+def test_stream_windowed_aggregation(spark, tmp_path):
+    """Tumbling-window counts with a watermark — the streaming form of the
+    warehouse's time-bucketed rollups (late rows beyond the watermark drop)."""
+    src = tmp_path / "win_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("2024-01-01 10:05:00", "a", 1.0),
+         ("2024-01-01 10:20:00", "a", 2.0),
+         ("2024-01-01 10:40:00", "b", 3.0),
+         ("2024-01-01 11:10:00", "a", 4.0)],
+        "ts string, k string, v double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema("ts string, k string, v double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), F.col("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["w"]["start"].minute, r["k"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert rows[(0, "a")] == (2, 3.0)   # 10:00-10:30 window
+    assert rows[(30, "b")] == (1, 3.0)  # 10:30-11:00 window
+    assert rows[(0, "a")] != rows.get((0, "b"))
+
+
+@pytest.mark.slow
 def test_stream_dedup_latest_wins_sink(spark, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
