@@ -1690,6 +1690,59 @@ def approx_sketches(spark, sf_dir):  # accuracy asserted in tests/test_operators
     )
 
 
+@q("dedup_cluster_assignment", None)  # iterative algorithm -> rows-only gate
+def dedup_cluster_assignment(spark, sf_dir):  # (exactness tested vs union-find
+    # in tests/test_operators.py)
+    docs = _tw(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=8, bands=2)
+    return dedup.connected_components(pairs, "id_a", "id_b", max_iterations=10)
+
+
+@q(
+    "sample_split_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < '34' THEN 'valid'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def sample_split_hash(spark, sf_dir):
+    # deterministic, engine-portable train/valid/test assignment: hash the
+    # stable id, threshold the hex digest (~10%/10%/80%). Unlike
+    # sample()/rand(), identical on every engine, run, and cluster size.
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id",
+        F.when(h < "1a", "test").when(h < "34", "valid").otherwise("train").alias("split"),
+    )
+
+
+@q(
+    "deterministic_shuffle",
+    """
+    SELECT doc_id, shuffle_rank FROM (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_rank
+      FROM documents)
+    WHERE shuffle_rank <= 100
+    """,
+)
+def deterministic_shuffle(spark, sf_dir):
+    # reproducible corpus shuffling for training-data ordering: global order
+    # by hash of the stable id (seedable by salting the hashed string)
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+        .filter(F.col("shuffle_rank") <= 100)
+        .select("doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"))
+    )
+
+
 # ==========================================================================
 # TPC-H classics (DataFrame form, decimal-routed aggregates)
 # ==========================================================================

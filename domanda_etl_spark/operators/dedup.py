@@ -102,6 +102,58 @@ def jaccard_expr(text_a: Column | str, text_b: Column | str, k: int = 3) -> Colu
     return F.when(union > 0, F.round(inter / union, 6))
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, component) where
+    component = min id in the component. This is the step that turns
+    pairwise candidates into dedup clusters ("keep one doc per component").
+
+    Algorithm: iterative min-label propagation (each round every node
+    adopts the smallest label among itself and its neighbors) — the
+    standard MapReduce-CC shape. Rounds needed = graph diameter, which for
+    near-dup clusters is tiny (dups of a doc are dups of each other);
+    `max_iterations` bounds pathological chains. Each round is one
+    self-join + one groupBy — shuffle-bounded, no driver-side graph.
+    Labels are checkpointed via localCheckpoint each round to keep the
+    lineage (and thus the plan) from growing exponentially.
+    """
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").union(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_bits(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash per doc as a `bits`-length bitstring column `simhash`.
 

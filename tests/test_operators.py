@@ -55,6 +55,37 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     assert lo <= p50 <= hi
 
 
+def test_connected_components_matches_union_find(spark):
+    from domanda_etl_spark.operators import dedup
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 8), (10, 11), (11, 12), (12, 10)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(edf, max_iterations=10).collect()
+    }
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
