@@ -118,38 +118,45 @@ def connected_components(
     Labels are checkpointed via localCheckpoint each round to keep the
     lineage (and thus the plan) from growing exponentially.
     """
-    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").union(
-        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
-    ).distinct()
+    # materialize the edge set ONCE — without this every label-propagation
+    # round would re-execute the (possibly expensive) upstream candidate
+    # generation, e.g. the whole MinHash/LSH pipeline
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .union(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iterations):
+    from pyspark.sql import Observation
+
+    for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        new_component = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
+        # convergence metric rides the SAME job that materializes the new
+        # labels (Observation), instead of costing a second action per round
+        obs = Observation(f"cc_round_{i}")
+        staged = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component != F.col("component")).cast("long").alias("__chg"),
             )
+            .observe(obs, F.sum("__chg").alias("n_changed"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
+        labels = staged.drop("__chg").localCheckpoint(eager=True)
+        if not obs.get["n_changed"]:
             break
     return labels
 
