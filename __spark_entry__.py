@@ -1690,6 +1690,57 @@ def approx_sketches(spark, sf_dir):  # accuracy asserted in tests/test_operators
     )
 
 
+@q(
+    "fillna_defaults",
+    """
+    SELECT doc_id,
+           COALESCE(nullif(lang, 'de'), 'unknown') AS lang_filled,
+           COALESCE(CASE WHEN doc_id % 4 = 0 THEN NULL ELSE n_chars END, -1) AS n_chars_filled
+    FROM documents
+    """,
+)
+def fillna_defaults(spark, sf_dir):
+    # P9/P10-adjacent conformance: dropna/fillna surface via na.fill
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.nullif(F.col("lang"), F.lit("de")).alias("lang_filled"),
+        F.when(F.col("doc_id") % 4 != 0, F.col("n_chars")).alias("n_chars_filled"),
+    )
+    return staged.na.fill({"lang_filled": "unknown", "n_chars_filled": -1})
+
+
+@q(
+    "dedup_minhash_word_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+      FROM toks WHERE len(t) >= 2)
+    SELECT doc_id,
+           min(md5(0 || ':' || s)) AS mh0, min(md5(1 || ':' || s)) AS mh1,
+           min(md5(2 || ':' || s)) AS mh2, min(md5(3 || ':' || s)) AS mh3
+    FROM sh GROUP BY doc_id
+    """,
+)
+def dedup_minhash_word_ngrams(spark, sf_dir):
+    # word-bigram MinHash — the discriminative shingle choice for
+    # natural-language corpora (char shingles saturate on small vocab)
+    docs = _tw(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+    sh = docs.select("doc_id", F.explode(bigrams).alias("s")).filter(F.col("s").isNotNull())
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 @q("dedup_cluster_assignment", None)  # iterative algorithm -> rows-only gate
 def dedup_cluster_assignment(spark, sf_dir):  # (exactness tested vs union-find
     # in tests/test_operators.py)

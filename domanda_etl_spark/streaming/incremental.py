@@ -41,6 +41,37 @@ def stream_dedup(
     )
 
 
+def stateful_running_totals(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-key running (count, sum) that survives across micro-batches — the
+    escape hatch for operators Structured Streaming's built-ins can't
+    express (SURVEY.md §2.9 maps the reference's batch dedup to built-ins;
+    this is the template for anything beyond them). State is a compact
+    (count, total) pair per key, Arrow-batched on both sides."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((count, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [count], "total": [total]})
+
+    renamed = stream.select(F.col(key_col).alias("key"), F.col(value_col).alias(value_col))
+    return (
+        renamed.groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType="key string, n long, total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_latest_wins_overwrite(
     table: VersionedTable, version_col: str, key_cols: list[str] | None = None
 ):

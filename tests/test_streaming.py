@@ -13,6 +13,7 @@ from domanda_etl_spark.streaming import (
     incremental_lookback,
     stream_dedup,
 )
+from domanda_etl_spark.streaming.incremental import stateful_running_totals
 
 
 def test_incremental_lookback(spark):
@@ -64,6 +65,43 @@ def test_stream_windowed_aggregation(spark, tmp_path):
     assert rows[(0, "a")] == (2, 3.0)   # 10:00-10:30 window
     assert rows[(30, "b")] == (1, 3.0)  # 10:30-11:00 window
     assert rows[(0, "a")] != rows.get((0, "b"))
+
+
+@pytest.mark.slow
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches."""
+    src = tmp_path / "state_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    spark.createDataFrame([("a", 4.0)], "k string, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+
+    # maxFilesPerTrigger=1 -> multiple micro-batches within one query;
+    # the per-key state must accumulate across them, not reset
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stateful_running_totals(stream, "k", "v")
+        .writeStream.format("memory").queryName("state_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    best = {}
+    for r in spark.sql("SELECT * FROM state_totals").collect():
+        if r["key"] not in best or r["n"] > best[r["key"]][0]:
+            best[r["key"]] = (r["n"], r["total"])
+    assert best["a"] == (3, 7.0)  # 2 rows from one micro-batch + 1 from the other
+    assert best["b"] == (1, 10.0)
 
 
 @pytest.mark.slow
