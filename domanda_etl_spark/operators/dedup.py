@@ -109,14 +109,20 @@ def connected_components(
     component = min id in the component. This is the step that turns
     pairwise candidates into dedup clusters ("keep one doc per component").
 
-    Algorithm: iterative min-label propagation (each round every node
-    adopts the smallest label among itself and its neighbors) — the
-    standard MapReduce-CC shape. Rounds needed = graph diameter, which for
-    near-dup clusters is tiny (dups of a doc are dups of each other);
-    `max_iterations` bounds pathological chains. Each round is one
-    self-join + one groupBy — shuffle-bounded, no driver-side graph.
-    Labels are checkpointed via localCheckpoint each round to keep the
-    lineage (and thus the plan) from growing exponentially.
+    Algorithm: min-label propagation with a pointer-doubling shortcut —
+    each round every node adopts the smallest of (its label, its
+    neighbors' labels, its label's label). The label-of-label hop halves
+    the remaining distance to the component minimum each round, so
+    convergence is O(log diameter) rounds rather than O(diameter): a
+    chain of 1000 near-dup docs converges in ~10 rounds, not 1000. Each
+    round is two joins + one groupBy — shuffle-bounded, no driver-side
+    graph. Labels are checkpointed via localCheckpoint each round to keep
+    the lineage (and thus the plan) from growing exponentially.
+
+    Raises RuntimeError if the label set is still changing after
+    `max_iterations` rounds — a silently split component is a correctness
+    bug (docs in one dup-cluster would get different cluster ids), so
+    non-convergence must be loud.
     """
     # materialize the edge set ONCE — without this every label-propagation
     # round would re-execute the (possibly expensive) upstream candidate
@@ -134,20 +140,29 @@ def connected_components(
     )
     from pyspark.sql import Observation
 
+    converged = False
     for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # pointer-doubling hop: the label of my current label (labels are
+        # always node ids, so the lookup always hits)
+        shortcut = labels.select(
+            F.col("id").alias("s_id"), F.col("component").alias("s_comp")
+        )
         new_component = F.least(
-            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            F.col("component"),
+            F.coalesce(F.col("nbr_min"), F.col("component")),
+            F.coalesce(F.col("s_comp"), F.col("component")),
         )
         # convergence metric rides the SAME job that materializes the new
         # labels (Observation), instead of costing a second action per round
         obs = Observation(f"cc_round_{i}")
         staged = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .join(shortcut, labels.component == F.col("s_id"), "left")
             .select(
                 "id",
                 new_component.alias("component"),
@@ -157,7 +172,13 @@ def connected_components(
         )
         labels = staged.drop("__chg").localCheckpoint(eager=True)
         if not obs.get["n_changed"]:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "components would be silently split. Raise max_iterations."
+        )
     return labels
 
 

@@ -160,7 +160,17 @@ def salted_join(
     one straggler. Result set is IDENTICAL to the plain join (verified by
     the salted_join_skew oracle). AQE's skew-join split is the automatic
     alternative; explicit salting also covers aggregations and older
-    runtimes."""
+    runtimes.
+
+    Only inner/left/left_semi are result-identical under salting: the
+    right side is replicated `salt` times, so a right/full outer join
+    would emit `salt` null-extended copies of every unmatched right row.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe (right side is "
+            "replicated); use 'inner', 'left', or 'left_semi'"
+        )
     lsalt = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     )

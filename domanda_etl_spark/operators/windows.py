@@ -46,10 +46,19 @@ def latest_wins(
         # either way) but a radically cheaper sort comparator; collision
         # probability is negligible even at 100 TB row counts, unlike a
         # single xxhash64.
+        #
+        # Spark hash expressions SKIP null inputs (the hash state is left
+        # unchanged), so ('a', NULL) and (NULL, 'a') would collide. A
+        # null-position bitmask prepended to the hash input makes null
+        # placement part of the key: same mask => same null positions, and
+        # the non-null values are then consumed in identical column order.
+        null_mask = F.concat_ws(
+            "", *[F.col(k).isNull().cast("int").cast("string") for k in keys]
+        )
         hashed = df.withColumns(
             {
-                "__gk1": F.xxhash64(*[F.col(k) for k in keys]),
-                "__gk2": F.xxhash64(F.lit("salt"), *[F.col(k) for k in keys]),
+                "__gk1": F.xxhash64(null_mask, *[F.col(k) for k in keys]),
+                "__gk2": F.xxhash64(F.lit("salt"), null_mask, *[F.col(k) for k in keys]),
             }
         )
         w = Window.partitionBy("__gk1", "__gk2").orderBy(*order)

@@ -39,10 +39,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same ns -> us truncation DuckDB applies, keeping oracle parity.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = [f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"]
+    file_schema = pq.read_schema(path)
+    ns_cols = [f.name for f in file_schema if str(f.type) == "timestamp[ns]"]
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        # Explicit read schema (ns columns declared as long) instead of the
+        # session-wide `spark.sql.legacy.parquet.nanosAsLong` flag — a
+        # global flag would silently change how OTHER parquet reads in the
+        # same session surface ns timestamps.
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        as_long = pa.schema(
+            [
+                pa.field(f.name, pa.int64()) if str(f.type) == "timestamp[ns]" else f
+                for f in file_schema
+            ]
+        )
+        df = spark.read.schema(from_arrow_schema(as_long)).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     for c in ns_cols:
         # `div` = integer division on longs (a double division would lose
         # precision on 63-bit nano values)

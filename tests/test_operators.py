@@ -86,6 +86,63 @@ def test_connected_components_matches_union_find(spark):
     assert got == expect
 
 
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="not salt-safe"):
+        joins.salted_join(df, df, ["k"], how="full")
+    with pytest.raises(ValueError, match="not salt-safe"):
+        joins.salted_join(df, df, ["k"], how="right")
+
+
+def test_latest_wins_null_shifted_keys(spark):
+    """Hashed-key path (>4 keys): tuples that differ only in WHERE the null
+    sits must stay distinct — Spark hash exprs skip null inputs, so without
+    the null-position mask ('a',NULL,..) and (NULL,'a',..) collide."""
+    from domanda_etl_spark.operators.windows import latest_wins
+
+    rows = [
+        ("a", None, "x", "x", "x", 1),
+        (None, "a", "x", "x", "x", 2),
+        ("x", "a", None, "x", "x", 3),
+        ("x", "a", "x", None, "x", 4),
+        ("x", "a", "x", None, "x", 9),  # true dup of the row above, newer
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 string, k3 string, k4 string, k5 string, v int")
+    out = latest_wins(df, "v", key_cols=["k1", "k2", "k3", "k4", "k5"])
+    got = {(r.k1, r.k2, r.k3, r.k4, r.k5, r.v) for r in out.collect()}
+    assert got == {
+        (None, "a", "x", "x", "x", 2),
+        ("a", None, "x", "x", "x", 1),
+        ("x", "a", None, "x", "x", 3),
+        ("x", "a", "x", None, "x", 9),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer-doubling: a 40-edge chain converges in O(log n) rounds (would
+    need 40 rounds under plain one-hop min-label propagation)."""
+    from domanda_etl_spark.operators import dedup
+
+    edges = [(i, i + 1) for i in range(40)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dedup.connected_components(edf, max_iterations=10).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 41
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from domanda_etl_spark.operators import dedup
+
+    edges = [(i, i + 1) for i in range(12)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edf, max_iterations=1)
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
