@@ -45,11 +45,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Wide scan for CPU-heavy downstream stages. The driver fixtures are
     single-row-group parquet files -> Spark reads them as ONE split, which
-    serializes regex/array-heavy work on local[N]. A real 100 TB table is
-    thousands of files/row-groups and never needs this; locally one cheap
-    round-robin shuffle buys full-core parallelism."""
+    serializes regex/array-heavy work on local[N]. CONDITIONAL: the
+    round-robin repartition happens only when the scan yields fewer splits
+    than cores — on a real lake (thousands of files/row-groups) the plan
+    contains no extra Exchange."""
     df = load_table(spark, sf_dir, name)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        df = df.repartition(cores)
+    return df
 
 
 def _dec_sum(col, scale: int = 2, alias: str | None = None):
@@ -68,11 +72,12 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    # dims are small: broadcast keeps the lineitem scan shuffle-free until
-    # the final group-by
+    # nation/region are bounded dims -> broadcast; customer scales with the
+    # data (NOT broadcast-safe at 100 TB) -> plain join, AQE converts to
+    # broadcast at small SFs where it fits the threshold
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -309,7 +314,7 @@ def multiway_left_join(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     out = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
     )
@@ -336,7 +341,7 @@ def normalized_key_join(spark, sf_dir):
     )
     o = joins.normalize_join_keys(o, ["k"])
     c = customer.select(F.col("c_name"), F.col("c_custkey").cast("string").alias("k"))
-    return o.join(F.broadcast(c), on="k").select("o_orderkey", "c_name")
+    return o.join(c, on="k").select("o_orderkey", "c_name")
 
 
 # ---- A2/W1: latest-wins dedup --------------------------------------------
@@ -1955,7 +1960,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(30,8)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -1989,7 +1994,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(30,8)")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
@@ -2023,7 +2028,7 @@ def tpch_q10_returned_items(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(30,8)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -2050,12 +2055,18 @@ def tpch_q18_large_volume_customers(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(30,2)")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "o_orderkey")
+    # The HAVING is on the per-ORDER quantity sum, so aggregate lineitem by
+    # l_orderkey BELOW the joins: the join input shrinks ~4x (one row per
+    # order instead of per line) and the post-HAVING survivors are a tiny
+    # fraction — the orders/customer joins then move almost nothing.
+    per_order = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("__tq"))
         .filter(F.col("__tq") > 120)
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "o_orderkey", F.col("__tq").cast("double").alias("total_qty"))
     )
 
@@ -2155,7 +2166,7 @@ def tpch_q14_promo_effect(spark, sf_dir):
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(30,8)")
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(30,8)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100.0).alias(
                 "promo_revenue_pct"

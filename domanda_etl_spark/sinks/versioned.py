@@ -42,7 +42,7 @@ class VersionedTable:
 
     def _read_manifest(self) -> dict:
         if not os.path.exists(self._manifest_path):
-            return {"current": None, "next_id": 0, "versions": []}
+            return {"current": None, "next_id": 0, "next_seg": 0, "versions": []}
         with open(self._manifest_path) as f:
             return json.load(f)
 
@@ -55,8 +55,25 @@ class VersionedTable:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path)
 
-    def _vdir(self, version: int) -> str:
-        return os.path.join(self.path, f"_v{version}")
+    def _sdir(self, segment: int) -> str:
+        return os.path.join(self.path, f"_s{segment}")
+
+    def _version_entry(self, m: dict, version: int) -> dict:
+        for e in m["versions"]:
+            if e["id"] == version:
+                return e
+        raise FileNotFoundError(f"{self.path}: version {version} vacuumed or unknown")
+
+    def _commit_version(self, m: dict, op: str, segments: list[int]) -> int:
+        v = m["next_id"]
+        m["versions"].append(
+            {"id": v, "ts": time.time(), "op": op, "segments": segments}
+        )
+        m["current"] = v
+        m["next_id"] = v + 1
+        self._write_manifest(m)
+        self._cleanup_old_versions()
+        return v
 
     # ---------------- write paths ----------------------------------------
     def overwrite(self, df: DataFrame) -> int:
@@ -64,30 +81,25 @@ class VersionedTable:
         failure the pointer never moves — the reference's restore-on-failure
         path (etl/loader.py:233-238) is unnecessary by construction."""
         m = self._read_manifest()
-        v = m["next_id"]
-        df.write.mode("overwrite").parquet(self._vdir(v))
-        m["versions"].append({"id": v, "ts": time.time(), "op": "overwrite"})
-        m["current"] = v
-        m["next_id"] = v + 1
-        self._write_manifest(m)
-        self._cleanup_old_versions()
-        return v
+        seg = m.get("next_seg", 0)
+        df.write.mode("overwrite").parquet(self._sdir(seg))
+        m["next_seg"] = seg + 1
+        return self._commit_version(m, "overwrite", [seg])
 
     def append(self, df: DataFrame) -> int:
-        """S4 batch insert: new version = previous data + appended rows
-        (copy-on-write at the version level)."""
+        """S4 batch insert, O(delta) not O(table): ONLY the appended rows are
+        written (a fresh segment directory); the new version's manifest entry
+        references the previous version's segments plus the new one —
+        Delta-style copy-on-write at the FILE-SET level, so appending N rows
+        to a 100 TB table costs N rows of IO, not a full rewrite."""
         m = self._read_manifest()
-        v = m["next_id"]
+        seg = m.get("next_seg", 0)
+        df.write.mode("overwrite").parquet(self._sdir(seg))
+        m["next_seg"] = seg + 1
+        prev_segments: list[int] = []
         if m["current"] is not None:
-            prev = df.sparkSession.read.parquet(self._vdir(m["current"]))
-            df = prev.unionByName(df, allowMissingColumns=True)
-        df.write.mode("overwrite").parquet(self._vdir(v))
-        m["versions"].append({"id": v, "ts": time.time(), "op": "append"})
-        m["current"] = v
-        m["next_id"] = v + 1
-        self._write_manifest(m)
-        self._cleanup_old_versions()
-        return v
+            prev_segments = list(self._version_entry(m, m["current"])["segments"])
+        return self._commit_version(m, "append", prev_segments + [seg])
 
     # ---------------- read / history / restore ---------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -95,10 +107,12 @@ class VersionedTable:
         v = m["current"] if version is None else version
         if v is None:
             raise FileNotFoundError(f"{self.path}: empty table")
-        retained = {e["id"] for e in m["versions"]}
-        if v not in retained:
-            raise FileNotFoundError(f"{self.path}: version {v} vacuumed or unknown")
-        return spark.read.parquet(self._vdir(v))
+        segments = self._version_entry(m, v)["segments"]
+        # mergeSchema: appended segments may carry evolved schemas (the old
+        # unionByName(allowMissingColumns=True) semantics, now at scan time)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[self._sdir(s) for s in segments]
+        )
 
     def history(self) -> list[dict]:
         """S6/DESCRIBE HISTORY — retained versions, newest first."""
@@ -115,7 +129,8 @@ class VersionedTable:
             if not older:
                 raise FileNotFoundError(f"{self.path}: no prior version to restore")
             version = max(older)
-        n = spark.read.parquet(self._vdir(version)).count()
+        self._version_entry(m, version)  # raises if vacuumed
+        n = self.read(spark, version).count()
         assert n >= 0
         m["current"] = version
         self._write_manifest(m)
@@ -123,17 +138,24 @@ class VersionedTable:
 
     def _cleanup_old_versions(self) -> None:
         """S8 retention: keep the newest `max_versions` versions (and never
-        drop current); vacuum the directories of the rest."""
+        drop current); vacuum segment directories no retained version
+        references (a segment shared by a retained and a dropped version
+        survives — this is what makes O(delta) appends safe to vacuum)."""
         m = self._read_manifest()
         keep = {e["id"] for e in sorted(m["versions"], key=lambda e: -e["id"])[: self.max_versions]}
         if m["current"] is not None:
             keep.add(m["current"])
         dropped = [e for e in m["versions"] if e["id"] not in keep]
+        if not dropped:
+            return
+        kept_entries = [e for e in m["versions"] if e["id"] in keep]
+        referenced = {s for e in kept_entries for s in e["segments"]}
         for e in dropped:
-            shutil.rmtree(self._vdir(e["id"]), ignore_errors=True)
-        if dropped:
-            m["versions"] = [e for e in m["versions"] if e["id"] in keep]
-            self._write_manifest(m)
+            for s in e["segments"]:
+                if s not in referenced:
+                    shutil.rmtree(self._sdir(s), ignore_errors=True)
+        m["versions"] = kept_entries
+        self._write_manifest(m)
 
     # ---------------- verification ---------------------------------------
     def verify_write(self, spark: SparkSession, predicates: dict[str, object]) -> bool:

@@ -30,6 +30,21 @@ def incremental_lookback(df: DataFrame, ts_col: str, cutoff_epoch: float) -> Dat
     return df.filter(F.col(ts_col).cast("double") > F.lit(float(cutoff_epoch)))
 
 
+def incremental_lookback_partitioned(
+    df: DataFrame, ts_col: str, date_col: str, cutoff_epoch: float
+) -> DataFrame:
+    """S3 at 100 TB: on a date-partitioned lake the lookback must become a
+    partition PRUNE, not a row filter over the full history. The date-column
+    predicate (derived from the same cutoff) skips directories entirely
+    (PartitionFilters in the scan — asserted in tests); the ts predicate
+    handles the sub-day residual inside the surviving partitions."""
+    cutoff_date = F.to_date(F.timestamp_seconds(F.lit(float(cutoff_epoch))))
+    return df.filter(
+        (F.col(date_col) >= cutoff_date)
+        & (F.col(ts_col).cast("double") > F.lit(float(cutoff_epoch)))
+    )
+
+
 def stream_dedup(
     stream: DataFrame, key_cols: list[str], event_time_col: str, delay: str = "12 hours"
 ) -> DataFrame:

@@ -58,6 +58,104 @@ def test_no_python_udfs_in_scalar_queries(spark):
         assert "EvalPython" not in p, name
 
 
+def test_no_forced_broadcast_on_fact_tables(spark):
+    """Forced broadcast hints are reserved for bounded dims (region/nation/
+    supplier); customer/part/orders/lineitem scale with the data — a forced
+    hint overrides AQE's size check and OOMs at 100x. Hint counts per query
+    = exactly the legit dim hints."""
+    expected = {
+        "flagship_regional_revenue": 2,  # nation, region
+        "multiway_left_join": 2,         # nation, region
+        "tpch_q10_returned_items": 1,    # nation
+        "tpch_q18_large_volume_customers": 0,
+        "tpch_q14_promo_effect": 0,
+        "tpch_q5_local_supplier_volume": 3,  # supplier, nation, region
+    }
+    for name, n_hints in expected.items():
+        analyzed = QS[name](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == n_hints, (
+            f"{name}: expected {n_hints} dim hints, "
+            f"got {analyzed.count('ResolvedHint')}"
+        )
+
+
+def test_q18_aggregates_below_join(spark):
+    """The per-order quantity rollup must sit BELOW the orders/customer
+    joins (join input shrinks ~4x; HAVING survivors are tiny)."""
+    p = plan_of(spark, "tpch_q18_large_volume_customers")
+    agg_pos = p.find("HashAggregate")
+    join_pos = min(
+        x for x in (p.find("SortMergeJoin"), p.find("BroadcastHashJoin")) if x >= 0
+    )
+    assert agg_pos >= 0 and join_pos >= 0
+    # toString prints operators top-down: the aggregate printed LAST (deepest)
+    # must be below every join
+    last_agg = p.rfind("HashAggregate")
+    last_join = max(p.rfind("SortMergeJoin"), p.rfind("BroadcastHashJoin"))
+    assert last_agg > last_join, "lineitem aggregate is not below the join"
+
+
+def test_lookback_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 12h-lookback on a date-partitioned lake must hit PartitionFilters
+    (directory prune), not just a row filter."""
+    import pyspark.sql.functions as F
+
+    from domanda_etl_spark.sources import load_table
+    from domanda_etl_spark.streaming.incremental import incremental_lookback_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = str(tmp_path / "events_by_date")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path).withColumn("ts_epoch", F.unix_timestamp("ts"))
+    cutoff = 1704844800.0  # 2024-01-10 00:00:00 UTC
+    pruned = incremental_lookback_partitioned(back, "ts_epoch", "event_date", cutoff)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_date" in pf, f"date predicate not in PartitionFilters: {pf}"
+    expect = back.filter(F.col("ts_epoch") > cutoff).filter(
+        F.to_date(F.timestamp_seconds(F.lit(cutoff))) <= F.col("event_date")
+    )
+    assert pruned.count() == expect.count()
+
+
+def test_aqe_splits_skewed_join_without_salting(spark):
+    """salted_join's automatic alternative: AQE's skew-join split must
+    activate on a skewed SMJ (the PERF.md claim, machine-checked)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying ~90% of the left side
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's queryExecution (count() would
+        # plan a separate aggregate and leave this one isFinalPlan=false)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, "AQE skew-join split did not activate"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_pipeline_loader_stage(spark, tmp_path):
     from domanda_etl_spark.plans import domanda
     from domanda_etl_spark.sinks import VersionedTable

@@ -31,6 +31,51 @@ def test_append(spark, table):
     assert sorted(r["id"] for r in table.read(spark).collect()) == [1, 2, 3]
 
 
+def test_append_is_o_delta(spark, table, tmp_path):
+    """Appending N rows writes ONLY N rows' worth of files: the base
+    segment's parquet files are untouched (same bytes/mtime) and the new
+    segment holds exactly the delta."""
+    import os
+
+    table.overwrite(df_of(spark, *range(100)))
+    base_dir = table._sdir(0)
+    before = {
+        f: os.path.getmtime(os.path.join(base_dir, f))
+        for f in os.listdir(base_dir)
+        if f.endswith(".parquet")
+    }
+    table.append(df_of(spark, 100, 101))
+    after = {
+        f: os.path.getmtime(os.path.join(base_dir, f))
+        for f in os.listdir(base_dir)
+        if f.endswith(".parquet")
+    }
+    assert before == after, "append rewrote base-segment files (O(table) append)"
+    assert spark.read.parquet(table._sdir(1)).count() == 2
+    assert table.read(spark).count() == 102
+
+
+def test_append_schema_evolution(spark, table):
+    table.overwrite(df_of(spark, 1))
+    evolved = spark.createDataFrame([(2, "name2", "x")], "id int, name string, extra string")
+    table.append(evolved)
+    rows = {(r["id"], r["extra"]) for r in table.read(spark).collect()}
+    assert rows == {(1, None), (2, "x")}
+
+
+def test_retention_vacuums_unreferenced_segments_only(spark, table):
+    """A base segment shared by retained append-versions must survive
+    retention; segments only dropped versions reference are vacuumed."""
+    import os
+
+    table.overwrite(df_of(spark, 1))          # v0 = [s0]
+    for i in range(4):                        # v1..v4 = [s0, s1..]
+        table.append(df_of(spark, 10 + i))
+    assert [e["id"] for e in table.history()] == [4, 3, 2]
+    assert os.path.exists(table._sdir(0)), "shared base segment was vacuumed"
+    assert table.read(spark).count() == 5
+
+
 def test_restore_latest_backup(spark, table):
     table.overwrite(df_of(spark, 1, 2))
     table.overwrite(df_of(spark, 9))
