@@ -2221,6 +2221,380 @@ for _name, _sql in _SQL_SUITE.items():
     _REGISTRY[_name] = (_passthrough(_sql), _sql)
 
 
+# ==========================================================================
+# Round-2 surface: second multimodal operator, streaming/batch equivalence,
+# and the engine-function suites (explode, datetime, string, conditional
+# agg, array agg, null handling, range frames, exact percentiles, moment
+# stats, tumbling windows, regex extraction).
+# ==========================================================================
+@q(
+    "media_frame_extract",
+    """
+    WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS h,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    fr AS (SELECT doc_id, h, n,
+                  unnest(range(1, CAST(ceil(n / 256.0) AS BIGINT) + 1)) AS f
+           FROM d)
+    SELECT doc_id AS id, CAST(f - 1 AS INT) AS frame_idx,
+           CAST(least(256, n - 256 * (f - 1)) AS INT) AS frame_len,
+           md5(substr(h, CAST(1 + 512 * (f - 1) AS BIGINT), 512)) AS frame_md5
+    FROM fr
+    WHERE (f - 1) % 2 = 0
+    """,
+)
+def media_frame_extract(spark, sf_dir):
+    # audio/video keyframe sampling over the same mapInPandas plumbing as
+    # media_metadata: 256-byte frames, every 2nd kept, per-frame fingerprint
+    docs = _tw(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs, "text")
+    return multimodal.frame_extract(payload, "doc_id", frame_bytes=256, stride=2)
+
+
+@q(
+    "streaming_batch_equiv",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def streaming_batch_equiv(spark, sf_dir):
+    """§2.9 end-to-end: orders as a file STREAM -> foreachBatch latest-wins
+    versioned overwrite -> read the published table. The oracle is the pure
+    BATCH latest-wins; row equality IS the stream/batch equivalence claim
+    (the reference is batch-only, so this pins the streaming surface to the
+    reference's semantics)."""
+    import tempfile
+
+    from domanda_etl_spark.sinks import VersionedTable
+    from domanda_etl_spark.streaming.incremental import (
+        foreach_batch_latest_wins_overwrite,
+    )
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(path).schema
+    tdir = tempfile.mkdtemp(prefix="stream_equiv_")
+    table = VersionedTable(os.path.join(tdir, "t"))
+    # the file-stream source wants a DIRECTORY; glob-filter it to orders
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    sq = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_latest_wins_overwrite(
+                table, "o_orderkey", key_cols=["o_custkey"]
+            )
+        )
+        .option("checkpointLocation", os.path.join(tdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return table.read(spark).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+@q(
+    "explode_unnest",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part),
+         e AS (SELECT p_partkey, toks, unnest(range(0, len(toks))) AS pos FROM t)
+    SELECT p_partkey, CAST(pos AS INT) AS pos, toks[pos + 1] AS token
+    FROM e
+    """,
+)
+def explode_unnest(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "token")
+    )
+
+
+@q(
+    "datetime_functions",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INT) AS days_to_cutoff,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def datetime_functions(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("quarter", od), "yyyy-MM-dd").alias("quarter_start"),
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        (F.weekday(od) + F.lit(1)).alias("iso_dow"),
+        F.datediff(F.lit("1998-12-01").cast("date"), od.cast("date")).alias("days_to_cutoff"),
+        F.date_format(F.add_months(od.cast("date"), 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day(od.cast("date")), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@q(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           concat_ws('|', c_mktsegment, c_name) AS seg_name,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '*') AS padded,
+           translate(c_name, 'Custome', 'KUSTOME') AS translated,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev_dist,
+           left(c_name, 8) AS l8,
+           right(c_name, 4) AS r4,
+           reverse(c_mktsegment) AS rev_seg,
+           split_part(c_name, '#', 2) AS name_num,
+           CAST(strpos(c_name, '1') AS INT) AS pos1
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def string_functions(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    return cust.select(
+        "c_custkey",
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "*").alias("padded"),
+        F.translate("c_name", "Custome", "KUSTOME").alias("translated"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_dist"),
+        F.substring("c_name", 1, 8).alias("l8"),
+        F.substring("c_name", -4, 4).alias("r4"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+        F.instr("c_name", "1").alias("pos1"),
+    )
+
+
+@q(
+    "conditional_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_finished"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@q(
+    "array_agg_sorted",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+           CAST(len(list(o_orderkey)) AS INT) AS n
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    GROUP BY o_custkey
+    """,
+)
+def array_agg_sorted(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    arr = F.sort_array(F.collect_list("o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.transform(arr, lambda v: v.cast("string"))).alias("orderkeys"),
+        F.size(arr).alias("n"),
+    )
+
+
+@q(
+    "null_handling",
+    """
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'defaulted') AS rf,
+           CASE WHEN NULLIF(l_returnflag, 'N') IS NOT NULL THEN 'flagged' ELSE 'unflagged' END AS nvl2_flag,
+           GREATEST(l_quantity, l_discount * 100) AS g,
+           LEAST(l_tax, l_discount) AS l,
+           CAST(l_quantity IS NULL AS VARCHAR) IS NOT NULL AS always_true
+    FROM lineitem WHERE l_orderkey % 11 = 0
+    """,
+)
+def null_handling(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("defaulted")).alias("rf"),
+        F.nvl2(
+            F.nullif("l_returnflag", F.lit("N")), F.lit("flagged"), F.lit("unflagged")
+        ).alias("nvl2_flag"),
+        F.greatest("l_quantity", F.col("l_discount") * 100).alias("g"),
+        F.least("l_tax", "l_discount").alias("l"),
+        F.col("l_quantity").isNull().cast("string").isNotNull().alias("always_true"),
+    )
+
+
+@q(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, epoch_s,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch_s
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 epoch(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s
+          FROM orders WHERE o_custkey % 50 = 0)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    # 30-day rolling revenue per customer: RANGE frame over epoch seconds —
+    # peers with equal timestamps are summed together regardless of order,
+    # which is what makes the result deterministic
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    staged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return staged.select(
+        "o_orderkey",
+        "o_custkey",
+        "epoch_s",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double").alias("rev_30d"),
+    )
+
+
+@q(
+    "exact_median_groups",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def exact_median_groups(spark, sf_dir):
+    # EXACT percentiles (sort-based, interpolated) — not percentile_approx:
+    # both engines compute the same interpolation, rounded to 6 digits
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@q(
+    "variance_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+           round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1)), 6) AS var_samp_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def variance_stats(spark, sf_dir):
+    # moment statistics derived from EXACT decimal sums (n, Σx, Σx²) so the
+    # result is order-insensitive — engine-native stddev/variance stream in
+    # float and are not cross-engine reproducible
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(30,2)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(30,2)")).cast("double").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - F.lit(1.0)))
+    return agg.select("l_returnflag", "n", "s1", F.round(var, 6).alias("var_samp_q"))
+
+
+@q(
+    "events_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    # F.window = the streaming tumbling-window operator, exercised in batch
+    # (same operator Structured Streaming uses with a watermark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "regexp_extract_groups",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_capitalized,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           regexp_replace(text, '[aeiou]', '_', 'g') LIKE '%_%' AS has_vowel
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def regexp_extract_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_extract("text", r"([A-Z][a-z]+)", 1).alias("first_capitalized"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"))).alias("n_numbers"),
+        F.regexp_replace("text", r"[aeiou]", "_").contains("_").alias("has_vowel"),
+    )
+
+
 # The driver's CORRECTNESS gate covers the FIRST 50 registered queries, so
 # ordering is evidence placement: round 1 verified the first 50 of the r1
 # registration order (CORRECTNESS_r01.json); round 2 front-loads everything
@@ -2265,6 +2639,20 @@ _FIRST50: list[str] = [
     "dedup_cluster_assignment",
     "sample_split_hash",
     "deterministic_shuffle",
+    # round-2 additions
+    "media_frame_extract",
+    "streaming_batch_equiv",
+    "explode_unnest",
+    "datetime_functions",
+    "string_functions",
+    "conditional_agg",
+    "array_agg_sorted",
+    "null_handling",
+    "window_range_frame",
+    "exact_median_groups",
+    "variance_stats",
+    "events_tumbling_window",
+    "regexp_extract_groups",
 ]
 
 

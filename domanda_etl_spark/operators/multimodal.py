@@ -45,6 +45,48 @@ def media_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") -> 
     return df.select(id_col, payload_col).mapInPandas(compute, MEDIA_META_SCHEMA)
 
 
+FRAME_SCHEMA = "id bigint, frame_idx int, frame_len int, frame_md5 string"
+
+
+def frame_extract(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    stride: int = 1,
+) -> DataFrame:
+    """Audio/video frame sampling over opaque media bytes: chunk the payload
+    into fixed `frame_bytes` frames, keep every `stride`-th one (keyframe
+    sampling), fingerprint each (md5 over the frame's uppercase hex — a
+    cross-engine-stable stand-in for a perceptual hash). Same Arrow-batched
+    mapInPandas plumbing as `media_metadata`; a real decoder (ffmpeg frame
+    grab, PCM windowing) replaces only the inner loop. One input row fans
+    out to ceil(len/frame_bytes)/stride output rows — partition sizing must
+    account for the multiplier, exactly like real frame extraction."""
+    import hashlib
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            digests: list[str] = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                bb = bytes(b)
+                n_frames = (len(bb) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    fr = bb[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(fi)
+                    lens.append(len(fr))
+                    digests.append(hashlib.md5(fr.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": digests}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, FRAME_SCHEMA)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """STUB — image decode. Real deployments plug PIL/libvips here; the
     container ships no codec, so only the deterministic fake path exists

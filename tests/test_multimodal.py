@@ -27,3 +27,20 @@ def test_image_features_fake_codec(spark):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_extract_chunks_and_stride(spark):
+    from domanda_etl_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "a" * 600), (2, "b" * 256), (3, "")], "id long, text string"
+    )
+    payload = multimodal.with_binary_payload(df, "text")
+    out = multimodal.frame_extract(payload, "id", frame_bytes=256, stride=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append((r["frame_idx"], r["frame_len"]))
+    # 600 bytes -> frames 0,1,2 (256,256,88); stride 2 keeps 0 and 2
+    assert sorted(by_id[1]) == [(0, 256), (2, 88)]
+    assert by_id[2] == [(0, 256)]
+    assert 3 not in by_id  # empty payload -> no frames

@@ -116,3 +116,19 @@ def test_csv_sink(spark, tmp_path):
     write_csv(df_of(spark, 1, 2), p)
     back = spark.read.option("header", "true").csv(p)
     assert back.count() == 2
+
+
+def test_jdbc_round_trip_append_and_truncate_overwrite(spark, tmp_path):
+    """Real JDBC round trip against the Derby driver Spark ships: S4 append
+    accumulates, S5 overwrite truncate-and-loads, S9 read verifies."""
+    from domanda_etl_spark.sinks import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_jdbc(df_of(spark, 1, 2), url, "t", mode="append", properties=props)
+    write_jdbc(df_of(spark, 3), url, "t", mode="append", properties=props,
+               num_partitions=1)
+    back = read_jdbc(spark, url, "t", properties=props)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+    write_jdbc(df_of(spark, 9), url, "t", mode="overwrite", properties=props)
+    assert [r["id"] for r in read_jdbc(spark, url, "t", properties=props).collect()] == [9]
