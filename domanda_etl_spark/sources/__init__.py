@@ -1,3 +1,4 @@
-from .parquet import load_table, load_tables, register_views, TPCH_TABLES
+from .extractors import Extractor
+from .parquet import TPCH_TABLES, load_table, load_tables, register_views
 
-__all__ = ["load_table", "load_tables", "register_views", "TPCH_TABLES"]
+__all__ = ["Extractor", "TPCH_TABLES", "load_table", "load_tables", "register_views"]
