@@ -147,29 +147,26 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        # pointer-doubling hop: the label of my current label (labels are
-        # always node ids, so the lookup always hits)
-        shortcut = labels.select(
-            F.col("id").alias("s_id"), F.col("component").alias("s_comp")
-        )
-        new_component = F.least(
-            F.col("component"),
-            F.coalesce(F.col("nbr_min"), F.col("component")),
-            F.coalesce(F.col("s_comp"), F.col("component")),
-        )
+        staged = labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+        terms = [F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))]
+        if i > 0:
+            # pointer-doubling hop: the label of my current label (labels
+            # are always node ids, so the lookup always hits). Skipped in
+            # round 0 where labels are still the identity map.
+            shortcut = labels.select(
+                F.col("id").alias("s_id"), F.col("component").alias("s_comp")
+            )
+            staged = staged.join(shortcut, labels.component == F.col("s_id"), "left")
+            terms.append(F.coalesce(F.col("s_comp"), F.col("component")))
+        new_component = F.least(*terms) if len(terms) > 1 else terms[0]
         # convergence metric rides the SAME job that materializes the new
         # labels (Observation), instead of costing a second action per round
         obs = Observation(f"cc_round_{i}")
-        staged = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .join(shortcut, labels.component == F.col("s_id"), "left")
-            .select(
-                "id",
-                new_component.alias("component"),
-                (new_component != F.col("component")).cast("long").alias("__chg"),
-            )
-            .observe(obs, F.sum("__chg").alias("n_changed"))
-        )
+        staged = staged.select(
+            "id",
+            new_component.alias("component"),
+            (new_component != F.col("component")).cast("long").alias("__chg"),
+        ).observe(obs, F.sum("__chg").alias("n_changed"))
         labels = staged.drop("__chg").localCheckpoint(eager=True)
         if not obs.get["n_changed"]:
             converged = True
