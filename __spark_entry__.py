@@ -2181,6 +2181,112 @@ def tpch_q14_promo_effect(spark, sf_dir):
 # registered views AND through the DuckDB oracle — subqueries, CTEs,
 # correlation (the reference's fetch_data_as_dataframe surface, §3.2).
 # ==========================================================================
+# Round-2 LLM-pipeline additions: per-stratum deterministic sampling and
+# token-budget shard packing (the "write training shards of ~N tokens"
+# step), plus a second streaming/batch equivalence surface.
+# ==========================================================================
+@q(
+    "stratified_sample_hash",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE md5('strat:' || CAST(event_id AS VARCHAR))
+          < (CASE event_type WHEN 'click' THEN '80' WHEN 'view' THEN '1a' ELSE '05' END)
+    """,
+)
+def stratified_sample_hash(spark, sf_dir):
+    """Per-stratum sampling with DETERMINISTIC membership (md5-threshold per
+    row, ~50%/10%/2% by event type), unlike sampleBy's seed-dependent
+    Bernoulli draw: the same row is in the same sample on every run, every
+    engine, every cluster size — the reproducibility property a
+    training-data pipeline needs."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("event_id").cast("string")))
+    thr = (
+        F.when(F.col("event_type") == "click", F.lit("80"))
+        .when(F.col("event_type") == "view", F.lit("1a"))
+        .otherwise(F.lit("05"))
+    )
+    return ev.filter(h < thr).select("event_id", "event_type")
+
+
+@q(
+    "shard_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+    FROM packed
+    """,
+)
+def shard_packing(spark, sf_dir):
+    """Token-budget shard packing: assign docs (in deterministic doc_id
+    order) to ~2000-token training shards via a cumulative token count.
+    The global running sum is ONE window over pre-aggregated (doc_id,
+    n_tokens) pairs — tiny rows, not documents — so the single-partition
+    frame holds corpus-metadata scale, not corpus scale; at 100 TB you'd
+    range-partition by doc_id and offset per-range prefix sums the same
+    way Spark's own row_number-over-ranges trick works."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(2000.0)).alias("shard_id"),
+    )
+
+
+@q(
+    "streaming_dedup_equiv",
+    """
+    SELECT DISTINCT o_custkey FROM orders
+    """,
+)
+def streaming_dedup_equiv(spark, sf_dir):
+    """stream_dedup (watermark + dropDuplicates) == batch DISTINCT on the
+    same data: the file stream of orders deduped per customer key must
+    yield exactly the distinct customer set."""
+    import tempfile
+
+    from domanda_etl_spark.streaming.incremental import stream_dedup
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(path).schema
+    tdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        .select("o_custkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+    )
+    deduped = stream_dedup(stream, ["o_custkey"], "o_orderdate", delay="0 seconds")
+    out_path = os.path.join(tdir, "out")
+    sq = (
+        deduped.select("o_custkey")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(tdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.read.parquet(out_path).distinct()
+
+
+# ==========================================================================
 # TPC-H widening (round 2): q7/q8/q9/q13/q15/q17/q19 adapted to the reduced
 # testdata schemas (no partsupp/l_shipmode/l_commitdate/c_phone; synthetic
 # NATION_N names) — the join/agg/subquery SHAPES are the point.
@@ -2927,6 +3033,8 @@ _FIRST50: list[str] = [
     "sample_split_hash",
     "deterministic_shuffle",
     # round-2 additions
+    "stratified_sample_hash",
+    "shard_packing",
     "media_frame_extract",
     "streaming_batch_equiv",
     "explode_unnest",
