@@ -2250,6 +2250,73 @@ def shard_packing(spark, sf_dir):
 
 
 @q(
+    "image_features_fake",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 1024 AS INT) AS height,
+           'FAKE' AS mode
+    FROM documents
+    """,
+)
+def image_features_fake(spark, sf_dir):
+    """Decode-and-extract plumbing with the DISCLOSED deterministic fake
+    codec (the container ships no image libraries): the mapInPandas batch
+    shape, schema, and fan-in are production-real and driver-verified; a
+    real decoder replaces one function (operators/multimodal.py:decode_image)."""
+    docs = _tw(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(docs, "text")
+    return multimodal.image_features(payload, "doc_id", fake=True)
+
+
+@q(
+    "merge_upsert",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0 AS c_acctbal,
+             'NEWSEG' AS c_mktsegment
+      FROM customer WHERE c_custkey % 1000 = 0)
+    SELECT * FROM updates
+    UNION ALL
+    SELECT * FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    """,
+)
+def merge_upsert_q(spark, sf_dir):
+    """MERGE INTO through the REAL versioned sink: customer is loaded as a
+    table version, an update batch (modified balances + brand-new rows) is
+    merged, and the published version is read back. The oracle is the pure
+    relational upsert."""
+    import tempfile
+
+    from domanda_etl_spark.sinks import VersionedTable
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 1000 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        )
+    )
+    table = VersionedTable(tempfile.mkdtemp(prefix="merge_upsert_"))
+    table.overwrite(cust)
+    table.merge_upsert(spark, updates, ["c_custkey"])
+    return table.read(spark)
+
+
+@q(
     "streaming_dedup_equiv",
     """
     SELECT DISTINCT o_custkey FROM orders

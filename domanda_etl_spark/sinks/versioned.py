@@ -101,6 +101,27 @@ class VersionedTable:
             prev_segments = list(self._version_entry(m, m["current"])["segments"])
         return self._commit_version(m, "append", prev_segments + [seg])
 
+    def merge_upsert(
+        self, spark: SparkSession, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE INTO semantics (Delta's upsert, the idiomatic form of the
+        reference's delete-then-insert refresh): rows matching `keys` are
+        replaced by the update, unmatched updates are inserted, everything
+        else is carried over. Publishes ONE new version atomically.
+
+        Scale note: parquet copy-on-write makes a full-table merge O(table)
+        — inherent without deletion vectors. At 100 TB you restrict the
+        rewrite to affected partitions (write_partitioned layout + a
+        partition-pruned read) or use a format with merge-on-read. The
+        operator surface here is the same either way."""
+        try:
+            current = self.read(spark)
+        except FileNotFoundError:
+            return self.overwrite(updates)
+        kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        return self.overwrite(merged)
+
     # ---------------- read / history / restore ---------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self._read_manifest()

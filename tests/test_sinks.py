@@ -132,3 +132,21 @@ def test_jdbc_round_trip_append_and_truncate_overwrite(spark, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
     write_jdbc(df_of(spark, 9), url, "t", mode="overwrite", properties=props)
     assert [r["id"] for r in read_jdbc(spark, url, "t", properties=props).collect()] == [9]
+
+
+def test_merge_upsert(spark, table):
+    table.overwrite(df_of(spark, 1, 2, 3))
+    updates = spark.createDataFrame(
+        [(2, "UPDATED"), (9, "name9")], "id int, name string"
+    )
+    v = table.merge_upsert(spark, updates, ["id"])
+    rows = {(r["id"], r["name"]) for r in table.read(spark).collect()}
+    assert rows == {(1, "name1"), (2, "UPDATED"), (3, "name3"), (9, "name9")}
+    assert v == 1
+    # merge into an empty table degrades to overwrite
+    from domanda_etl_spark.sinks import VersionedTable
+    import tempfile
+
+    t2 = VersionedTable(tempfile.mkdtemp())
+    t2.merge_upsert(spark, updates, ["id"])
+    assert t2.read(spark).count() == 2
