@@ -101,6 +101,22 @@ class VersionedTable:
             prev_segments = list(self._version_entry(m, m["current"])["segments"])
         return self._commit_version(m, "append", prev_segments + [seg])
 
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> int:
+        """OPTIMIZE / small-file compaction: after many O(delta) appends the
+        current version references many small segments; rewrite it into one
+        bin-packed segment and publish as a new version. Older versions keep
+        referencing the original segments (time travel intact) until
+        retention vacuums them. At 100 TB this runs per-partition on a
+        write_partitioned layout, not table-wide."""
+        df = self.read(spark)
+        if target_partitions is not None:
+            df = df.coalesce(target_partitions)
+        m = self._read_manifest()
+        seg = m.get("next_seg", 0)
+        df.write.mode("overwrite").parquet(self._sdir(seg))
+        m["next_seg"] = seg + 1
+        return self._commit_version(m, "compact", [seg])
+
     def merge_upsert(
         self, spark: SparkSession, updates: DataFrame, keys: list[str]
     ) -> int:

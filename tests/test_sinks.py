@@ -150,3 +150,21 @@ def test_merge_upsert(spark, table):
     t2 = VersionedTable(tempfile.mkdtemp())
     t2.merge_upsert(spark, updates, ["id"])
     assert t2.read(spark).count() == 2
+
+
+def test_compact_collapses_segments(spark, table):
+    import os
+
+    table.overwrite(df_of(spark, 1))
+    for i in range(3):
+        table.append(df_of(spark, 10 + i))
+    m = table._read_manifest()
+    assert len(table._version_entry(m, m["current"])["segments"]) == 4
+    v = table.compact(spark, target_partitions=1)
+    m = table._read_manifest()
+    entry = table._version_entry(m, v)
+    assert entry["op"] == "compact" and len(entry["segments"]) == 1
+    assert table.read(spark).count() == 4
+    seg_dir = table._sdir(entry["segments"][0])
+    n_files = len([f for f in os.listdir(seg_dir) if f.endswith(".parquet")])
+    assert n_files == 1
