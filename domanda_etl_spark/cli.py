@@ -11,6 +11,10 @@
 
   python -m domanda_etl_spark.cli restore TABLE_PATH [--version N]
   python -m domanda_etl_spark.cli history TABLE_PATH
+  python -m domanda_etl_spark.cli merge SRC_PARQUET TABLE_PATH --keys k1,k2
+      MERGE INTO (upsert by key) as a new atomic version
+  python -m domanda_etl_spark.cli compact TABLE_PATH [--partitions N]
+      bin-pack the current version's segments (post-append OPTIMIZE)
 """
 
 from __future__ import annotations
@@ -43,6 +47,15 @@ def main(argv: list[str] | None = None) -> int:
     p_hist = sub.add_parser("history")
     p_hist.add_argument("table")
 
+    p_merge = sub.add_parser("merge")
+    p_merge.add_argument("src")
+    p_merge.add_argument("table")
+    p_merge.add_argument("--keys", required=True, help="comma-separated key columns")
+
+    p_compact = sub.add_parser("compact")
+    p_compact.add_argument("table")
+    p_compact.add_argument("--partitions", type=int, default=None)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"domanda-cli-{args.cmd}")
 
@@ -58,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"op": "restore", "version": v}))
     elif args.cmd == "history":
         print(json.dumps(VersionedTable(args.table).history()))
+    elif args.cmd == "merge":
+        df = spark.read.parquet(args.src)
+        v = VersionedTable(args.table).merge_upsert(spark, df, args.keys.split(","))
+        print(json.dumps({"op": "merge", "version": v}))
+    elif args.cmd == "compact":
+        v = VersionedTable(args.table).compact(spark, target_partitions=args.partitions)
+        print(json.dumps({"op": "compact", "version": v}))
     spark.stop()
     return 0
 
