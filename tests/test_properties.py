@@ -95,3 +95,33 @@ def test_jaccard_bounds_and_symmetry(spark, a, b):
     if row["ab"] is not None:
         assert 0.0 <= row["ab"] <= 1.0
     assert row["aa"] in (None, 1.0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            *[st.one_of(st.none(), st.sampled_from(["a", "b", "<NULL>"])) for _ in range(5)],
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_latest_wins_hashed_matches_python_reference(spark, rows):
+    """The hashed-key path (>4 keys) must group EXACTLY like the key tuple —
+    including null placement (the r1 null-collision bug) and values equal to
+    the mask sentinel text."""
+    df = spark.createDataFrame(
+        rows, "k1 string, k2 string, k3 string, k4 string, k5 string, v int"
+    )
+    got = {
+        tuple(r)[:5]: r["v"]
+        for r in windows.latest_wins(df, "v", key_cols=["k1", "k2", "k3", "k4", "k5"]).collect()
+    }
+    expect: dict[tuple, int] = {}
+    for *keys, v in rows:
+        k = tuple(keys)
+        if k not in expect or v > expect[k]:
+            expect[k] = v
+    assert got == expect
