@@ -2250,6 +2250,47 @@ def shard_packing(spark, sf_dir):
 
 
 @q(
+    "dq_constraint_summary",
+    """
+    SELECT 'orders' AS table_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_prices,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                           OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_dates,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_keys,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_priority
+    FROM orders
+    """,
+)
+def dq_constraint_summary(spark, sf_dir):
+    """Data-quality gate as ONE aggregation pass (the scale form of the
+    reference's row-count validations, etl/loader.py:290-298): every
+    constraint is a conditional sum over a single scan — adding checks
+    never adds passes over the data."""
+    orders = _t(spark, sf_dir, "orders")
+    bad = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return orders.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        bad(F.col("o_orderkey").isNull()).alias("null_keys"),
+        bad(F.col("o_totalprice") <= 0).alias("nonpositive_prices"),
+        bad(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp"))
+        ).alias("out_of_range_dates"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
+        bad(
+            ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+        ).alias("invalid_priority"),
+    )
+
+
+@q(
     "window_rank_suite",
     """
     SELECT o_orderkey, o_orderpriority,
