@@ -2250,6 +2250,62 @@ def shard_packing(spark, sf_dir):
 
 
 @q(
+    "llm_corpus_clean",
+    """
+    WITH q AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 50
+        AND len(string_split_regex(trim(text), '\\s+')) >= 10),
+    e AS (
+      SELECT doc_id, text FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+    sh AS (
+      SELECT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM e)),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || s)) AS m
+      FROM sh, (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+    SELECT doc_id, length(text) AS n_chars
+    FROM e WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
+)
+def llm_corpus_clean(spark, sf_dir):
+    """The LLM-side flagship: corpus cleaning END-TO-END as one lazy DAG —
+    quality gate (length + token floor) -> exact dedup (md5 groupBy, min
+    doc_id wins) -> MinHash-LSH near-dup candidates over the SURVIVORS ->
+    greedy pair suppression (the larger doc_id of every candidate pair is
+    dropped; pairwise policy, so the whole chain stays SQL-expressible and
+    hash-matched, unlike the transitive-closure variant covered rows-only
+    by dedup_cluster_assignment). Every stage is bucketed/grouped — no
+    all-pairs product anywhere."""
+    docs = _tw(spark, sf_dir, "documents")
+    q_f = docs.filter(
+        (F.length("text") >= 50)
+        & (F.size(F.split(F.trim("text"), r"\s+")) >= 10)
+    )
+    canonical = q_f.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = q_f.join(canonical.select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_candidates(
+        exact, "doc_id", "text", k=3, num_hashes=8, bands=2
+    )
+    suppressed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact.join(suppressed, "doc_id", "left_anti").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+@q(
     "dq_constraint_summary",
     """
     SELECT 'orders' AS table_name,
@@ -3165,7 +3221,9 @@ _FIRST50: list[str] = [
     "dedup_minhash_word_ngrams",
     "dedup_cluster_assignment",
     "sample_split_hash",
-    "deterministic_shuffle",
+    # (deterministic_shuffle yields the 50th slot to the llm_corpus_clean
+    # flagship; it remains verified by the local parity gate)
+    "llm_corpus_clean",
     # round-2 additions
     "stratified_sample_hash",
     "shard_packing",
