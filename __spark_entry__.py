@@ -2763,6 +2763,425 @@ def tpch_q19_discounted_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 at full fidelity (sum_charge + the three averages on top of
+    the Q1-shaped group_agg_pricing_summary). Pure partial-aggregable
+    groupBy — one shuffle of 6 groups, map-side combined. Averages are
+    exact-decimal sum / count double-division rounded to 6 (the
+    cross-engine float convention). The scale-8 sums are ROUNDed to 2
+    decimals while still exact decimals, BEFORE the double cast: DuckDB's
+    decimal->double cast double-rounds once the unscaled value passes
+    2^53 (sf0.1 sums at scale 8 are ~2.8e17 unscaled -> 1-ulp drift),
+    while at scale 2 the cast is exact in both engines. Explicit ROUND,
+    not a DECIMAL(p,2) cast: DuckDB truncates on decimal rescale where
+    Spark rounds half-up; ROUND is half-up(+) in both."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
+        F.round(F.sum(disc_price.cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.sum(charge.cast("decimal(30,8)")), 2)
+        .cast("double")
+        .alias("sum_charge"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double") / cnt, 6
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double") / cnt,
+            6,
+        ).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(30,4)")).cast("double") / cnt, 6
+        ).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@q(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             ROUND(MIN(l_extendedprice / l_quantity), 6) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, ps_supplycost
+      FROM ps
+      JOIN part ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'LARGE'),
+    best AS (
+      SELECT p_partkey AS b_partkey, MIN(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY p_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, ps_supplycost
+    FROM eligible JOIN best ON p_partkey = b_partkey AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted to the reduced corpus (no partsupp table): the
+    part-supplier catalog is DERIVED from lineitem — unit cost :=
+    min(l_extendedprice / l_quantity) per (part, supplier) — then the
+    classic correlated min-cost subquery runs over it. The correlated
+    subquery is rewritten as a per-part min pre-aggregate joined back
+    (no window over the whole catalog, no recompute per row). part /
+    supplier / nation / region are all dimension-sized -> broadcast;
+    the only fact-scale shuffle is the (partkey, suppkey) groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "ps_supplycost"
+        )
+    )
+    eligible = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "ps_supplycost",
+        )
+    )
+    best = eligible.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            best,
+            (eligible.p_partkey == best.b_partkey)
+            & (eligible.ps_supplycost == best.min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q11_important_stock",
+    """
+    WITH natli AS (
+      SELECT l_partkey, l_extendedprice, l_quantity
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7')
+    SELECT l_partkey AS ps_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS part_value
+    FROM natli
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+           > (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                     * (4.0 / COUNT(DISTINCT l_partkey))
+              FROM natli)
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 adapted (no partsupp): per-part inventory value is derived
+    from the lineitems of one nation's suppliers; HAVING compares each
+    part's value against a fraction of the nation-wide total (the global
+    scalar subquery). The fraction adapts to catalog size (4/nd_parts,
+    mirroring the spec's 0.0001/SF scaling) so selectivity is stable
+    across scale factors. The scalar total is a 1-row aggregate cross-joined
+    (broadcast) onto the per-part aggregate — the fact table is scanned
+    once per aggregate with map-side partials, never per-row."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natli = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    value = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(30,4)")
+    per_part = natli.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum(value).cast("double").alias("part_value")
+    )
+    total = natli.agg(
+        (
+            F.sum(value).cast("double")
+            * (F.lit(4.0) / F.countDistinct("l_partkey"))
+        ).alias("__thr")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@q(
+    "tpch_q16_part_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 adapted: supplier-per-part-profile counts from the
+    lineitem-derived catalog; the 'customer complaints' NOT IN exclusion
+    becomes suppliers with negative balance (the corpus has no comment
+    text). The NOT IN is a broadcast anti-join on the 100-row supplier
+    dim; count(DISTINCT) shuffles on the 3-col group key only after the
+    broadcast part filter pruned the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20_potential_promotion",
+    """
+    WITH red97 AS (
+      SELECT l_suppkey, l_partkey, l_quantity
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'),
+    shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty_supp
+      FROM red97 GROUP BY l_suppkey, l_partkey),
+    tot AS (
+      SELECT l_partkey AS t_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty_part
+      FROM red97 GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN tot ON l_partkey = t_partkey
+        WHERE qty_supp > 0.5 * qty_part)
+    """,
+)
+def tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 adapted (no partsupp.availqty): a supplier qualifies when
+    its 1997 shipped quantity of some 'red' part exceeds half of that
+    part's total 1997 shipments — the same correlated-aggregate-threshold
+    + IN-chain shape, inverted to shipment data. The correlated subquery
+    is two partial-agg groupBys over ONE filtered scan, joined on the
+    part key; the IN becomes a left-semi join into the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    red97 = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    shipped = red97.groupBy("l_suppkey", "l_partkey").agg(
+        _dec_sum(F.col("l_quantity"), 2, "qty_supp")
+    )
+    tot = red97.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        _dec_sum(F.col("l_quantity"), 2, "qty_part")
+    )
+    qualifying = (
+        shipped.join(tot, shipped.l_partkey == tot.t_partkey)
+        .filter(F.col("qty_supp") > F.lit(0.5) * F.col("qty_part"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@q(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 adapted (corpus has no commit/receipt dates): 'kept an
+    order waiting' := shipped more than 60 days after the order date, on
+    finalized ('F') orders. The oracle states the canonical
+    EXISTS / NOT-EXISTS form; the Spark plan is the scalable rewrite —
+    pre-aggregate supplier-count and late-supplier-count per order
+    ((orderkey, suppkey) partial agg, then orderkey agg: two map-side
+    combined shuffles instead of two correlated re-scans), keep late rows
+    whose order has >1 suppliers but exactly 1 late one. supplier is a
+    broadcast dim; multi-waiter orders never re-join lineitem to itself
+    row-by-row. Reference shape: the multi-EXISTS subquery family
+    (SURVEY §2 S1/SQL surface)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int")
+        .alias("is_late"),
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("supp_late").alias("n_late_supp")
+    )
+    waiting = (
+        lo.filter(F.col("is_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q22_sales_opportunity",
+    """
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_10','NATION_11','NATION_12','NATION_13',
+                     'NATION_14','NATION_15','NATION_16')
+      AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    """,
+)
+def tpch_q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 adapted: country code -> nation name (corpus has no
+    c_phone), and 'never ordered' -> 'no orders since 2000' (every
+    corpus customer has historical orders). Shape preserved: scalar
+    subquery (avg positive balance, exact-decimal convention) gating a
+    broadcast-scalar cross-join filter + anti-join against recent
+    orders + grouped count/sum. The anti-join probes only the pruned
+    recent-orders projection, not the full orders table."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_10",
+            "NATION_11",
+            "NATION_12",
+            "NATION_13",
+            "NATION_14",
+            "NATION_15",
+            "NATION_16",
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), 2, "totacctbal"),
+        )
+    )
+
+
 # ==========================================================================
 def _passthrough(sql: str):
     def run(spark, sf_dir, _sql=sql):
