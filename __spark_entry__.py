@@ -2479,38 +2479,54 @@ def kmeans_assign(spark, sf_dir):
     step of an embedding pipeline (full Lloyd iterations are driver-loop
     territory; the per-iteration assign is the distributed 99% of the
     work). Centroids := the first 8 vectors (deterministic stand-in for
-    trained centroids). Plan: k x 64 floats broadcast to every executor,
-    one map-side pass computes all k distances per row (zip_with fold in
-    index order — bit-reproducible), min-struct picks (d2, cluster_id) —
-    NO shuffle at all; cluster sizes would be one partial-agg more.
-    Distances squared-L2 in double, rounded to 6 (cross-engine float
-    convention)."""
+    trained centroids), materialized driver-side — k x 64 floats is the
+    bounded state k-means always carries between iterations — and baked
+    into the plan as a LITERAL array, exactly how they'd ship on a real
+    cluster. The assignment is then a pure array expression (transform
+    over centroids -> zip_with fold in index order, bit-reproducible ->
+    array_min of (d2, cluster_id) structs): ZERO shuffle, zero join —
+    a crossJoin + groupBy(vec_id) formulation would re-shuffle the whole
+    corpus on a unique key for nothing. Distances squared-L2 in double,
+    rounded to 6 (cross-engine float convention)."""
     emb = _tw(spark, sf_dir, "embeddings")
-    cent = (
+    cent_rows = sorted(
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("cvec"))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                "embedding",
-                "cvec",
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
+    centroids = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cluster_id"),
+                F.array(*[F.lit(float(v)) for v in r.embedding]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+    def d2_to(c):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c["cvec"],
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        6,
+            6,
+        )
+    best = F.array_min(
+        F.transform(
+            centroids,
+            lambda c: F.struct(
+                d2_to(c).alias("d2"), c["cluster_id"].alias("cluster_id")
+            ),
+        )
     )
-    dist = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cluster_id", d2.alias("d2")
-    )
-    best = dist.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cluster_id")).alias("__best")
-    )
-    return best.select(
+    return emb.select("vec_id", best.alias("__best")).select(
         "vec_id",
         F.col("__best.cluster_id").alias("cluster_id"),
         F.col("__best.d2").alias("d2"),

@@ -156,6 +156,51 @@ def test_aqe_splits_skewed_join_without_salting(spark):
                 spark.conf.set(k, v)
 
 
+def test_gopher_repetition_is_map_only(spark):
+    """All repetition stats are higher-order array expressions: the plan
+    must contain no key-shuffle and no join (the only Exchange allowed is
+    the documented round-robin widening on single-split fixtures)."""
+    p = plan_of(spark, "gopher_repetition")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+
+
+def test_kmeans_assign_zero_shuffle_zero_join(spark):
+    """Centroids are baked in as a literal array; assignment is a pure map
+    expression — no Exchange-by-key, no join anywhere in the plan."""
+    p = plan_of(spark, "kmeans_assign")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+
+
+def test_contamination_screen_broadcasts_benchmark(spark):
+    """The benchmark shingle set is eval-set-sized -> must probe via
+    broadcast, never a shuffled join of the full corpus side."""
+    p = plan_of(spark, "contamination_screen")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q2_broadcasts_all_dims(spark):
+    """Q2's four dimension joins (part/supplier/nation/region) carry
+    explicit hints; the derived-catalog groupBy is the only fact shuffle.
+    The analyzed tree inlines the shared `eligible` subtree twice (it
+    also feeds the per-part min), so 4 hints print 8 times."""
+    analyzed = QS["tpch_q2_min_cost_supplier"](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 8
+    p = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q21_rewrite_aggregates_not_self_join(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must be the per-order aggregate
+    rewrite: no cartesian/nested-loop self-join of lineitem."""
+    p = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final for the two rollups
+
+
 def test_pipeline_loader_stage(spark, tmp_path):
     from domanda_etl_spark.plans import domanda
     from domanda_etl_spark.sinks import VersionedTable
