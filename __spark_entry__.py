@@ -3804,6 +3804,98 @@ def events_tumbling_window(spark, sf_dir):
 
 
 @q(
+    "events_sliding_window",
+    """
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               - o * INTERVAL '30 minutes' AS ws,
+             event_type, value
+      FROM events, (SELECT unnest([0, 1]) AS o) offsets)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding (hopping) windows — 1 h duration, 30 min slide: every event
+    lands in exactly two windows. Same F.window operator Structured
+    Streaming uses with a watermark; the oracle replicates each row into
+    its two aligned buckets via time_bucket. Cost model: the expand is
+    x(duration/slide) rows into a partial-agg groupBy — output cardinality
+    is windows x types, never event-count, so the shuffle stays tiny."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
+    "scd2_user_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             (lag(TRUE) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL) AS is_first
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE is_first OR event_type IS DISTINCT FROM prev_type),
+    versions AS (
+      SELECT user_id, event_type,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                      '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+      FROM changes)
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versions
+    """,
+)
+def scd2_user_history(spark, sf_dir):
+    """SCD type-2 dimension history derived from a CDC-style change log
+    (events as the stream of per-user state): run-length compress on the
+    tracked attribute, then close each version with the next version's
+    start — [valid_from, valid_to) intervals, open-ended current row.
+    The warehouse-native generalization of the reference's full-table
+    backup history (S6/S7, etl/loader.py:15-96): one shuffle on the key,
+    two look-around window functions, no self-join, no snapshot diff."""
+    from domanda_etl_spark.operators.scd import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        ev,
+        key_cols=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreakers=[F.col("event_id").asc()],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+@q(
     "regexp_extract_groups",
     """
     SELECT doc_id,

@@ -156,3 +156,36 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "order_year" in plan.split("PartitionFilters")[1].split("]")[0]
     assert back.count() == orders.filter(F.year("o_orderdate") == 1995).count()
+
+
+def test_scd2_from_changelog_nulls_and_intervals(spark):
+    from domanda_etl_spark.operators.scd import scd2_from_changelog
+
+    rows = [
+        # user 1: a -> a (dup, compressed) -> NULL -> NULL (dup) -> b
+        (1, "a", 1.0, 1),
+        (1, "a", 2.0, 2),
+        (1, None, 3.0, 3),
+        (1, None, 4.0, 4),
+        (1, "b", 5.0, 5),
+        # user 2: single observation
+        (2, "x", 1.0, 6),
+        # user 3: same-ts tie broken by id (b wins as later version)
+        (3, "a", 1.0, 7),
+        (3, "b", 1.0, 8),
+    ]
+    df = spark.createDataFrame(rows, "uid long, state string, ts double, eid long")
+    got = {
+        (r.uid, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_from_changelog(
+            df, ["uid"], "state", "ts", tiebreakers=[F.col("eid").asc()]
+        ).collect()
+    }
+    assert got == {
+        (1, "a", 1.0, 3.0, False),
+        (1, None, 3.0, 5.0, False),  # null runs compress, null != value
+        (1, "b", 5.0, None, True),
+        (2, "x", 1.0, None, True),
+        (3, "a", 1.0, 1.0, False),  # tie -> zero-length interval, id order
+        (3, "b", 1.0, None, True),
+    }
