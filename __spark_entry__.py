@@ -85,14 +85,14 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(30,8)"
     )
     return joined.groupBy("r_name", "n_name").agg(
-        F.sum(revenue).cast("double").alias("revenue"),
+        F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 FLAGSHIP_SQL = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -456,7 +456,7 @@ def sort_offset(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
            MIN(l_quantity) AS min_qty,
            MAX(l_extendedprice) AS max_price,
            COUNT(DISTINCT l_suppkey) AS nd_supp,
@@ -474,7 +474,7 @@ def group_agg_pricing_summary(spark, sf_dir):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
         _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
-        _dec_sum(disc_price, 8, "sum_disc_price"),
+        F.round(F.sum(disc_price.cast("decimal(30,8)")), 2).cast("double").alias("sum_disc_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_extendedprice").alias("max_price"),
         F.countDistinct("l_suppkey").alias("nd_supp"),
@@ -1938,7 +1938,7 @@ def deterministic_shuffle(spark, sf_dir):
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -1962,7 +1962,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderpriority")
@@ -1973,7 +1973,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     "tpch_q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -2002,14 +2002,14 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    return joined.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
+    return joined.groupBy("n_name").agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
 
 
 @q(
     "tpch_q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -2031,7 +2031,7 @@ def tpch_q10_returned_items(spark, sf_dir):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -2098,7 +2098,7 @@ def tpch_q4_order_priority(spark, sf_dir):
 @q(
     "tpch_q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2113,7 +2113,7 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,8)")
-    return li.agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    return li.agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
 
 
 @q(
@@ -2713,7 +2713,7 @@ def streaming_dedup_equiv(spark, sf_dir):
     "tpch_q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(volume AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS INT) AS l_year,
                  l_extendedprice * (1.0 - l_discount) AS volume
@@ -2755,7 +2755,7 @@ def tpch_q7_volume_shipping(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
 
 
@@ -2817,7 +2817,7 @@ def tpch_q8_market_share(spark, sf_dir):
 @q(
     "tpch_q9_product_profit",
     """
-    SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(30,8))) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(ROUND(SUM(CAST(amount AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_profit
     FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
                  l_extendedprice * (1.0 - l_discount) AS amount
           FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
@@ -2846,7 +2846,7 @@ def tpch_q9_product_profit(spark, sf_dir):
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -2876,7 +2876,7 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     """
     WITH rev AS (
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total_revenue
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
@@ -2892,10 +2892,13 @@ def tpch_q15_top_supplier(spark, sf_dir):
     )
     supp = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-                "decimal(30,8)"
-            )
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(30,8)"
+                )
+            ),
+            2,
         )
         .cast("double")
         .alias("total_revenue")
@@ -2954,7 +2957,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
 @q(
     "tpch_q19_discounted_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -2985,7 +2988,7 @@ def tpch_q19_discounted_revenue(spark, sf_dir):
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
