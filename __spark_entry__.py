@@ -3899,6 +3899,110 @@ def scd2_user_history(spark, sf_dir):
 
 
 @q(
+    "winsorize_stats",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (value < lo) AS n_low,
+           COUNT(*) FILTER (value > hi) AS n_high,
+           CAST(SUM(CAST(ROUND(CASE WHEN value < lo THEN lo
+                                    WHEN value > hi THEN hi
+                                    ELSE value END, 6) AS DECIMAL(30,6))) AS DOUBLE)
+             AS winsorized_sum
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_stats(spark, sf_dir):
+    """Winsorization (percentile clipping) — the outlier-trimming staple of
+    feature pipelines: exact p05/p95 per group, values clipped into the
+    band, clipped-tail counts + clipped sum reported. Two passes over the
+    fact table with the per-group bounds BROADCAST back (groups are
+    enum-sized). Exact percentiles (sort-based) keep the oracle
+    bit-matched; at 100 TB swap in approx_percentile — same plan shape,
+    the second pass is identical. Clipped values round to 6 before the
+    decimal sum (cross-engine float convention)."""
+    ev = _t(spark, sf_dir, "events")
+    q_ = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clipped = F.round(
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value")),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(q_), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_low"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_high"),
+            F.sum(clipped.cast("decimal(30,6)")).cast("double").alias("winsorized_sum"),
+        )
+    )
+
+
+@q(
+    "zscore_normalize",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type),
+    p AS (
+      SELECT event_type, s1 / n AS mu,
+             sqrt((n * s2 - s1 * s1) / (n * (n - 1))) AS sd
+      FROM s)
+    SELECT event_id, e.event_type,
+           ROUND((value - mu) / sd, 6) AS z
+    FROM events e JOIN p USING (event_type)
+    """,
+)
+def zscore_normalize(spark, sf_dir):
+    """Per-group z-score normalization — the standard feature-scaling op:
+    group mean/stddev from ONE partial-agg pass (exact decimal sum and
+    sum-of-squares -> sample variance; sqrt is IEEE-exact in every
+    engine, so the scores hash-match without fuzz), then the tiny
+    per-group (mu, sd) table broadcasts back over the fact scan. Two
+    scans, one enum-sized shuffle, no window function — at 100 TB the
+    normalize pass is embarrassingly parallel."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    p = s.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("n") * (F.col("n") - F.lit(1)))
+        ).alias("sd"),
+    )
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+    )
+
+
+@q(
     "regexp_extract_groups",
     """
     SELECT doc_id,
