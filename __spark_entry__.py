@@ -4082,7 +4082,6 @@ _FIRST50: list[str] = [
     "streaming_batch_equiv",
     "explode_unnest",
     "datetime_functions",
-    "string_functions",
     "conditional_agg",
     "array_agg_sorted",
     "null_handling",
@@ -4090,7 +4089,12 @@ _FIRST50: list[str] = [
     "exact_median_groups",
     "variance_stats",
     "events_tumbling_window",
-    "regexp_extract_groups",
+    # (regexp_extract_groups and string_functions ceded the last two slots
+    # to the round-2 TPC-H completions with the heaviest subquery
+    # machinery; both remain under the local parity gate, and regex
+    # coverage also rides regex_validity_filter / scalar_* greens)
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
 ]
 
 
