@@ -125,3 +125,54 @@ def test_latest_wins_hashed_matches_python_reference(spark, rows):
         if k not in expect or v > expect[k]:
             expect[k] = v
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # key
+            st.sampled_from(["a", "b", "c", None]),  # attribute (incl. NULL)
+            st.integers(0, 20),                      # ts (ties allowed)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_intervals_tile_and_match_bruteforce(spark, rows):
+    """SCD2 invariants on random changelogs: per key the versions tile the
+    timeline ([from, to) chains with no gap/overlap, one open current
+    row), and the compressed history equals a brute-force run-length
+    pass over the sorted log."""
+    from domanda_etl_spark.operators.scd import scd2_from_changelog
+
+    data = [(k, a, float(t), i) for i, (k, a, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "uid long, state string, ts double, eid long")
+    got = scd2_from_changelog(
+        df, ["uid"], "state", "ts", tiebreakers=[F.col("eid").asc()]
+    ).collect()
+
+    # brute force: sort by (ts, eid), run-length compress, close with next start
+    expect = {}
+    by_key = {}
+    for k, a, t, i in sorted(data, key=lambda r: (r[0], r[2], r[3])):
+        by_key.setdefault(k, []).append((a, t))
+    for k, seq in by_key.items():
+        versions = []
+        prev = object()
+        for a, t in seq:
+            if not versions or a != prev:
+                versions.append([a, t, None])
+                prev = a
+        for v, nxt in zip(versions, versions[1:]):
+            v[2] = nxt[1]
+        expect[k] = {(a, vf, vt, vt is None) for a, vf, vt in versions}
+
+    got_by_key = {}
+    for r in got:
+        got_by_key.setdefault(r.uid, set()).add(
+            (r.state, r.valid_from, r.valid_to, r.is_current)
+        )
+    assert got_by_key == expect
+    for k, vs in got_by_key.items():
+        assert sum(1 for v in vs if v[3]) == 1, f"key {k}: != 1 current row"
