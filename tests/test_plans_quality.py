@@ -201,6 +201,45 @@ def test_tpch_q21_rewrite_aggregates_not_self_join(spark):
     assert p.count("HashAggregate") >= 4  # partial+final for the two rollups
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """The 100 TB shuffle-join safety net beyond AQE: when a selective dim
+    filter feeds a shuffle join, Spark injects a runtime Bloom filter that
+    prunes the fact side BEFORE the exchange. Thresholds are lowered to
+    fixture scale (the defaults gate on a 10 GB application side — i.e.
+    exactly the regime the engine targets); the assert is that the rewrite
+    actually fires, so the claim can't silently rot on a Spark upgrade."""
+    import pyspark.sql.functions as F
+
+    from domanda_etl_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in final.lower(), "runtime Bloom filter did not inject"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_pipeline_loader_stage(spark, tmp_path):
     from domanda_etl_spark.plans import domanda
     from domanda_etl_spark.sinks import VersionedTable
