@@ -2230,18 +2230,49 @@ def stratified_sample_hash(spark, sf_dir):
 def shard_packing(spark, sf_dir):
     """Token-budget shard packing: assign docs (in deterministic doc_id
     order) to ~2000-token training shards via a cumulative token count.
-    The global running sum is ONE window over pre-aggregated (doc_id,
-    n_tokens) pairs — tiny rows, not documents — so the single-partition
-    frame holds corpus-metadata scale, not corpus scale; at 100 TB you'd
-    range-partition by doc_id and offset per-range prefix sums the same
-    way Spark's own row_number-over-ranges trick works."""
+    The prefix sum is RANGE-PARTITIONED, never a global single-partition
+    window: (1) approx-percentile boundaries split the doc_id domain into
+    contiguous ranges; (2) per-range token totals (one small groupBy,
+    bounded by the range count) are collected and turned into literal
+    cumulative offsets — bounded driver-side state, the same legitimacy
+    argument as kmeans_assign's centroids; (3) the running sum is a
+    per-range window (partitionBy bucket), each range an independent
+    task, plus its range's offset. At 100 TB every stage stays parallel;
+    plan-gated: no Exchange SinglePartition
+    (tests/test_plans_quality.py)."""
     docs = _tw(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    n_ranges = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4)
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    # deterministic for a given input: percentile_approx is a fixed sketch
+    bounds = toks.agg(
+        F.percentile_approx("doc_id", qs, 10_000).alias("b")
+    ).collect()[0]["b"] or []
+    bounds_lit = F.array(*[F.lit(int(b)) for b in bounds]) if bounds else F.array().cast("array<bigint>")
+    bucket = F.size(F.filter(bounds_lit, lambda b: b < F.col("doc_id")))
+    bucketed = toks.withColumn("bkt", bucket)
+    totals = {
+        r["bkt"]: r["tot"]
+        for r in bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(len(bounds) + 1):
+        offsets[b] = acc
+        acc += totals.get(b, 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = bucketed.withColumn(
+        "cum", F.sum("n_tokens").over(w) + F.element_at(offset_map, F.col("bkt"))
+    )
     return packed.select(
         "doc_id",
         "n_tokens",
@@ -2317,9 +2348,10 @@ def llm_corpus_clean(spark, sf_dir):
            ROUND(list_max(list_transform(list_distinct(ws),
                           x -> len(list_filter(ws, y -> y = x)))) * 1.0 / len(ws), 6)
              AS top_word_frac,
-           ROUND(1.0 - len(list_distinct(list_transform(range(1, len(ws)),
-                          i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1), 6)
-             AS dup_bigram_frac
+           CASE WHEN len(ws) >= 2 THEN
+             ROUND(1.0 - len(list_distinct(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1]))) * 1.0 / (len(ws) - 1), 6)
+           END AS dup_bigram_frac
     FROM w
     """,
 )
@@ -2328,20 +2360,33 @@ def gopher_repetition(spark, sf_dir):
     fraction, most-frequent-word fraction, duplicate-bigram fraction) —
     the repetition family of LLM corpus quality filters. Every stat is a
     pure higher-order array expression on the split words (transform /
-    filter / array_distinct / slice), so the whole operator is a single
-    ZERO-SHUFFLE map stage in codegen: per-row cost is bounded by
-    document length (distinct x total for the top-word scan), never by
-    corpus size — the 100 TB plan is scan -> project, nothing else."""
+    aggregate / array_distinct / slice), so the whole operator is a single
+    ZERO-SHUFFLE map stage in codegen: the 100 TB plan is scan -> project,
+    nothing else. The most-frequent-word count is a sort + run-length fold
+    (O(n log n) per doc — NOT the naive distinct x total scan, which goes
+    quadratic on pathological repeat-heavy documents); the bigram stat is
+    NULL-guarded for 1-word docs, where sequence(1, n-1=0) would step
+    DESCENDING and fabricate bogus index pairs."""
     docs = _tw(spark, sf_dir, "documents")
     ws = F.split(F.trim("text"), r"\s+")
     d = docs.select("doc_id", ws.alias("ws"))
     n = F.size("ws")
     nd = F.size(F.array_distinct("ws"))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct("ws"),
-            lambda x: F.size(F.filter(F.col("ws"), lambda y: y == x)),
-        )
+    # longest equal-run in the sorted word array == max word frequency
+    run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+    top = F.aggregate(
+        F.array_sort("ws"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc.best, run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -2353,8 +2398,12 @@ def gopher_repetition(spark, sf_dir):
         nd.alias("n_distinct"),
         F.round(F.lit(1.0) - nd * F.lit(1.0) / n, 6).alias("dup_word_frac"),
         F.round(top * F.lit(1.0) / n, 6).alias("top_word_frac"),
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(bigrams)) * F.lit(1.0) / (n - 1), 6
+        F.when(
+            n >= 2,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(bigrams)) * F.lit(1.0) / (n - 1),
+                6,
+            ),
         ).alias("dup_bigram_frac"),
     )
 
@@ -2730,6 +2779,12 @@ def streaming_dedup_equiv(spark, sf_dir):
     """,
 )
 def tpch_q7_volume_shipping(spark, sf_dir):
+    # Scale note: Catalyst cannot factor the (n1∧n2)∨(n2∧n1) OR, so we derive
+    # the single-side implications by hand — supplier nation ∈ {N1,N2} and
+    # customer nation ∈ {N1,N2} — and apply them BEFORE the fact-scale
+    # orders/customer shuffle joins. The residual OR (which only removes the
+    # (N1,N1)/(N2,N2) combinations) runs after, on 2/625 of the original
+    # pair space. Plan-gated in tests/test_plans_quality.py.
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -2737,22 +2792,33 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    pair_nations = ("NATION_1", "NATION_2")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair_nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair_nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    # inner joins against the 2-nation dims prune supplier/customer to ~2/25
+    # of their rows before they ever touch a fact table
+    supp2 = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust2 = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
     )
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
         "decimal(30,8)"
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
         .filter(pair | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
@@ -2781,27 +2847,35 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     """,
 )
 def tpch_q8_market_share(spark, sf_dir):
+    # Scale note: customer is pruned to ASIA (inner join with the
+    # nation⋈region(ASIA) key set — a semi-join in effect, done as an inner
+    # join so n1_key is available) BEFORE the fact-scale orders⋈customer
+    # shuffle, instead of filtering the region after all the joins. The
+    # ECONOMY part filter likewise prunes lineitem in its first join.
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n1_key"))
     )
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = cust.join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key")).select(
+        "c_custkey"
+    )
     vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     national = F.when(F.col("nation") == "NATION_2", vol).otherwise(F.lit(0.0))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -3082,9 +3156,12 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     min(l_extendedprice / l_quantity) per (part, supplier) — then the
     classic correlated min-cost subquery runs over it. The correlated
     subquery is rewritten as a per-part min pre-aggregate joined back
-    (no window over the whole catalog, no recompute per row). part /
-    supplier / nation / region are all dimension-sized -> broadcast;
-    the only fact-scale shuffle is the (partkey, suppkey) groupBy."""
+    (no window over the whole catalog, no recompute per row). supplier /
+    nation / region are dimension-sized -> broadcast; part is FACT-SCALE
+    (grows with SF) so it carries no hint — AQE broadcasts it at small SF
+    and falls back to a shuffle join when the filtered subset outgrows the
+    threshold. The only guaranteed fact shuffle is the (partkey, suppkey)
+    groupBy."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
@@ -3101,7 +3178,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         )
     )
     eligible = (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        ps.join(part, ps.ps_partkey == part.p_partkey)
         .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -3224,7 +3301,7 @@ def tpch_q16_part_supplier_counts(spark, sf_dir):
     )
     return (
         li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3266,7 +3343,7 @@ def tpch_q20_potential_promotion(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    red97 = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    red97 = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_suppkey", "l_partkey", "l_quantity"
     )
     shipped = red97.groupBy("l_suppkey", "l_partkey").agg(
@@ -3696,7 +3773,7 @@ def null_handling(spark, sf_dir):
                 OVER (PARTITION BY o_custkey ORDER BY epoch_s
                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
     FROM (SELECT o_orderkey, o_custkey, o_totalprice,
-                 epoch(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s
+                 CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s
           FROM orders WHERE o_custkey % 50 = 0)
     """,
 )

@@ -181,15 +181,60 @@ def test_contamination_screen_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_tpch_q2_broadcasts_all_dims(spark):
-    """Q2's four dimension joins (part/supplier/nation/region) carry
-    explicit hints; the derived-catalog groupBy is the only fact shuffle.
-    The analyzed tree inlines the shared `eligible` subtree twice (it
-    also feeds the per-part min), so 4 hints print 8 times."""
+def test_tpch_q2_broadcasts_bounded_dims_only(spark):
+    """Q2's bounded dims (supplier/nation/region) carry explicit hints;
+    part is fact-scale (grows with SF) so it must NOT be hinted — AQE
+    decides at runtime. The analyzed tree inlines the shared `eligible`
+    subtree twice (it also feeds the per-part min), so 3 hints print 6
+    times."""
     analyzed = QS["tpch_q2_min_cost_supplier"](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") == 8
+    assert analyzed.count("ResolvedHint") == 6
     p = plan_of(spark, "tpch_q2_min_cost_supplier")
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q16_q20_no_forced_part_broadcast(spark):
+    """part scales with SF: q16/q20 must leave the lineitem⋈part join to
+    AQE (only the bounded supplier-key sets keep hints)."""
+    for name, n_hints in {
+        "tpch_q16_part_supplier_counts": 1,  # bad_supp key set
+        "tpch_q20_potential_promotion": 1,   # supplier semi-join side
+    }.items():
+        analyzed = QS[name](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == n_hints, name
+
+
+def test_tpch_q7_prunes_nations_below_fact_joins(spark):
+    """The (n1∧n2)∨(n2∧n1) OR can't be factored by Catalyst, so the
+    single-side implications are applied by hand: both nation scans carry
+    a pushed In(n_name, [..2 values..]) filter, and the supplier/customer
+    pruning joins sit BELOW the fact-scale shuffle joins (deepest
+    BroadcastHashJoin prints after the deepest SortMergeJoin)."""
+    p = plan_of(spark, "tpch_q7_volume_shipping")
+    assert p.count("In(n_name") >= 2, "2-nation filter not pushed to nation scans"
+    if "SortMergeJoin" in p:
+        assert p.rfind("BroadcastHashJoin") > p.rfind("SortMergeJoin")
+
+
+def test_tpch_q8_prunes_customer_to_region_below_fact_joins(spark):
+    """Customer must be cut to ASIA (via the nation⋈region key set) before
+    the orders⋈customer shuffle: the region filter is pushed to the region
+    scan and the customer-pruning broadcast join sits below the deepest
+    shuffle join."""
+    p = plan_of(spark, "tpch_q8_market_share")
+    assert "EqualTo(r_name,ASIA)" in p or "r_name" in p.split("PushedFilters")[1]
+    if "SortMergeJoin" in p:
+        assert p.rfind("BroadcastHashJoin") > p.rfind("SortMergeJoin")
+
+
+def test_shard_packing_no_single_partition_exchange(spark):
+    """The shard prefix sum must be the range-partitioned form: a window
+    partitioned by the doc_id range bucket, NEVER a global orderBy window
+    (which plans as Exchange SinglePartition — one task doing the whole
+    corpus's cumulative sum)."""
+    p = plan_of(spark, "shard_packing")
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
 
 
 def test_tpch_q21_rewrite_aggregates_not_self_join(spark):
