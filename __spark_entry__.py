@@ -1878,9 +1878,43 @@ def dedup_minhash_word_ngrams(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-@q("dedup_cluster_assignment", None)  # iterative algorithm -> rows-only gate
-def dedup_cluster_assignment(spark, sf_dir):  # (exactness tested vs union-find
-    # in tests/test_operators.py)
+@q(
+    "dedup_cluster_assignment",
+    """
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || s)) AS m
+      FROM sh, (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)
+    SELECT id, min(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_assignment(spark, sf_dir):
+    """Transitive near-dup clustering: LSH candidate pairs -> connected
+    components (min doc_id labels the cluster). The Spark side is
+    O(log diameter) pointer-doubling label propagation
+    (operators/dedup.py:105-179, exactness also tested vs union-find in
+    tests/test_operators.py); the oracle computes the same fixpoint as a
+    DuckDB WITH RECURSIVE min-label closure over the identical md5-based
+    LSH pairs — feasible at fixture scale, where components are small."""
     docs = _tw(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=8, bands=2)
     return dedup.connected_components(pairs, "id_a", "id_b", max_iterations=10)
@@ -2713,6 +2747,44 @@ def merge_upsert_q(spark, sf_dir):
     table = VersionedTable(tempfile.mkdtemp(prefix="merge_upsert_"))
     table.overwrite(cust)
     table.merge_upsert(spark, updates, ["c_custkey"])
+    return table.read(spark)
+
+
+@q(
+    "versioned_sink_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def versioned_sink_roundtrip(spark, sf_dir):
+    """S4-S9 sink semantics through the REAL VersionedTable, driver-
+    verified end-to-end: overwrite (S5 truncate-and-load) -> two O(delta)
+    appends (S4; each new version references prior segments + the delta,
+    reference etl/loader.py:159-348) -> post-write verification read (S9)
+    -> restore to the pre-third-append version (S7 'latest backup', a
+    pointer flip) -> read-back. The published result is therefore the
+    FIRST TWO thirds of orders — the oracle is that pure selection, so a
+    restore that failed to rewind (or an append that rewrote history)
+    hash-mismatches."""
+    import tempfile
+
+    from domanda_etl_spark.sinks import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table = VersionedTable(tempfile.mkdtemp(prefix="sink_roundtrip_"))
+    table.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    v1 = table.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    table.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    probe_key = orders.filter(F.col("o_orderkey") % 3 == 0).agg(
+        F.min("o_orderkey")
+    ).collect()[0][0]  # bounded 1-row action: pick a key known to be loaded
+    if not table.verify_write(spark, {"o_orderkey": probe_key}):
+        raise RuntimeError("post-write verification failed")  # S9, loud
+    restored = table.restore(spark)  # back to v1 = thirds 0 and 1
+    assert restored == v1
     return table.read(spark)
 
 

@@ -63,6 +63,14 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach Spark as the literal "None" and die at
+            # load time with an opaque NumberFormatException
+            raise ValueError(
+                "read_jdbc: partition_column requires explicit lower_bound "
+                "and upper_bound (got "
+                f"lower_bound={lower_bound!r}, upper_bound={upper_bound!r})"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -44,7 +44,18 @@ class VersionedTable:
         if not os.path.exists(self._manifest_path):
             return {"current": None, "next_id": 0, "next_seg": 0, "versions": []}
         with open(self._manifest_path) as f:
-            return json.load(f)
+            m = json.load(f)
+        legacy = [e["id"] for e in m.get("versions", []) if "segments" not in e]
+        if legacy:
+            # pre-segment-manifest layout (per-version _v{N} dirs): refuse
+            # loudly instead of failing with a bare KeyError deep in read()
+            raise ValueError(
+                f"{self.path}: manifest versions {legacy} use the legacy "
+                "per-version layout (no 'segments' list). Re-materialize the "
+                "table by reading the _v{N} parquet directly and overwrite() "
+                "into a fresh VersionedTable."
+            )
+        return m
 
     def _write_manifest(self, manifest: dict) -> None:
         # atomic pointer flip: the table's "current" version changes only

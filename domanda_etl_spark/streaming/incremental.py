@@ -37,8 +37,18 @@ def incremental_lookback_partitioned(
     partition PRUNE, not a row filter over the full history. The date-column
     predicate (derived from the same cutoff) skips directories entirely
     (PartitionFilters in the scan — asserted in tests); the ts predicate
-    handles the sub-day residual inside the surviving partitions."""
-    cutoff_date = F.to_date(F.timestamp_seconds(F.lit(float(cutoff_epoch))))
+    handles the sub-day residual inside the surviving partitions.
+
+    Timezone contract: `date_col` must have been derived from `ts_col` in
+    the SESSION timezone (to_date(timestamp_seconds(ts)) under the same
+    spark.sql.session.timeZone) — the cutoff date is computed the same way
+    here, so a lake partitioned under a DIFFERENT timezone could place rows
+    with ts > cutoff in a pruned-away date directory near midnight. The
+    one-day slack keeps the prune safe against any fixed-offset skew (the
+    ts predicate still removes the residual rows)."""
+    cutoff_date = F.date_sub(
+        F.to_date(F.timestamp_seconds(F.lit(float(cutoff_epoch)))), 1
+    )
     return df.filter(
         (F.col(date_col) >= cutoff_date)
         & (F.col(ts_col).cast("double") > F.lit(float(cutoff_epoch)))

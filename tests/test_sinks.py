@@ -168,3 +168,32 @@ def test_compact_collapses_segments(spark, table):
     seg_dir = table._sdir(entry["segments"][0])
     n_files = len([f for f in os.listdir(seg_dir) if f.endswith(".parquet")])
     assert n_files == 1
+
+
+def test_legacy_manifest_rejected_loudly(spark, tmp_path):
+    """A pre-segment-layout manifest (version entries without 'segments')
+    must raise a clear ValueError, not a bare KeyError deep in read()."""
+    import json
+    import os
+
+    path = str(tmp_path / "legacy_table")
+    os.makedirs(path)
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(
+            {"current": 0, "next_id": 1, "versions": [{"id": 0, "ts": 0.0, "op": "overwrite"}]},
+            f,
+        )
+    table = VersionedTable(path)
+    with pytest.raises(ValueError, match="legacy"):
+        table.read(spark)
+    with pytest.raises(ValueError, match="legacy"):
+        table.append(spark.range(1))
+
+
+def test_read_jdbc_requires_bounds_with_partition_column(spark):
+    """partition_column without explicit bounds must fail fast with a
+    ValueError instead of stringifying None into Spark options."""
+    from domanda_etl_spark.sinks import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(spark, "jdbc:sqlite:none", "t", partition_column="id")
