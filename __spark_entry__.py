@@ -4181,69 +4181,560 @@ def regexp_extract_groups(spark, sf_dir):
 # (latest_wins null-mask fix, connected-components pointer doubling,
 # broadcast-hint removal). Queries beyond slot 50 remain fully verified by
 # the local mirror of the same gate (tests/test_oracle_parity.py).
+# ==========================================================================
+# Round 3: training-data-pipeline widening (PII redaction, RAG chunking,
+# funnel/retention/event-mix analytics, exact-sum correlation, gap-fill,
+# string similarity, set algebra, ordered aggregation).
+# ==========================================================================
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@q(
+    "pii_redaction",
+    f"""
+    WITH raw AS (
+      SELECT c_custkey,
+             'contact ' || c_name || ' at '
+               || lower(replace(c_name, '#', '.')) || '@example.com or '
+               || '555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' today' AS txt
+      FROM customer WHERE c_custkey % 5 = 0)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS INT) AS n_phones
+    FROM raw
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing for training corpora: regex redaction of emails/phone
+    numbers plus per-document match counts (the audit trail a removal
+    pipeline must emit). The fixture corpus carries no PII, so the text is
+    SYNTHESIZED deterministically from customer rows and then scrubbed —
+    the operator under test is the redaction expression itself. Pure
+    regexp_replace/regexp_extract_all Column exprs: zero-shuffle map
+    stage, patterns portable between Java regex and RE2."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    txt = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" today"),
+    )
+    raw = cust.select("c_custkey", txt.alias("txt"))
+    return raw.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("txt", F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
+
+
+@q(
+    "doc_chunking",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 25)) AS st FROM w)
+    SELECT doc_id,
+           CAST((st - 1) // 25 AS INT) AS chunk_id,
+           array_to_string(ws[st:st+49], ' ') AS chunk,
+           CAST(least(50, len(ws) - st + 1) AS INT) AS n_tok
+    FROM s
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """RAG-style document chunking: overlapping token windows (size 50,
+    stride 25) per document — the retrieval-index preprocessing step.
+    Chunk starts come from sequence(1, n, 25) and each chunk is a slice +
+    concat: one explode per ~25 input tokens, all higher-order array
+    exprs, ZERO shuffle — at 100 TB this is scan -> flatMap-shaped
+    projection, embarrassingly parallel."""
+    docs = _tw(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    d = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(25)),
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice("ws", s, 50)).alias("chunk"),
+            F.least(F.lit(50), n - s + 1).alias("n_tok"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk", "c.n_tok"
+    )
+
+
+@q(
+    "ntile_buckets",
+    """
+    SELECT o_orderkey,
+           ntile(8) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+)
+def ntile_buckets(spark, sf_dir):
+    """Equi-depth quantile bucketing via ntile — per order-priority group,
+    with a unique-key tiebreaker so the assignment is total-ordered and
+    deterministic. Scale note: each PARTITION BY group sorts in one task;
+    for a GLOBAL ntile at corpus scale use range-partitioned prefix
+    offsets (see shard_packing) or approx-quantile boundaries
+    (percentile_approx), which plan map-only."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select("o_orderkey", F.ntile(8).over(w).alias("bucket"))
+
+
+@q(
+    "corr_exact_sums",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity * l_discount, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(l_discount * l_discount, 4) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qd
+    FROM s
+    """,
+)
+def corr_exact_sums(spark, sf_dir):
+    """Pearson correlation from EXACT decimal co-moments — never the
+    engine's streaming corr(), whose float accumulation is partition-order
+    dependent and can't hash-match across engines (or even across runs).
+    All five sums are exact decimals (inputs have <=2 decimals, products
+    <=4, unscaled values stay far under 2^53), so the final double formula
+    is bit-identical on both sides; sqrt is IEEE-exact. One partial-agg
+    groupBy — the co-moment matrix approach scales to any width."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(30,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(30,2)")).cast("double").alias("sy"),
+        F.sum(F.round(x * y, 4).cast("decimal(30,4)")).cast("double").alias("sxy"),
+        F.sum(F.round(x * x, 4).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum(F.round(y * y, 4).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qd"))
+
+
+@q(
+    "histogram_bins",
+    """
+    SELECT CAST(trunc(o_totalprice / 25000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY bin
+    """,
+)
+def histogram_bins(spark, sf_dir):
+    """Fixed-width histogram (bin = price div 25k) with per-bin mass — the
+    profiling primitive behind data-quality dashboards. Single partial-agg
+    groupBy on a derived int key; bin count is bounded by the value range,
+    not the row count."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "mode_per_group",
+    """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY user_id, event_type),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1
+    """,
+)
+def mode_per_group(spark, sf_dir):
+    """Exact per-group mode (most frequent event type per user) with a
+    deterministic lexicographic tiebreak. count-then-rank: the groupBy
+    and the window share the user_id partitioning, so the second stage
+    reuses the first's shuffle output (no extra exchange of fact rows)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+@q(
+    "string_agg_topk",
+    """
+    WITH r AS (SELECT c_nationkey, c_name, c_acctbal,
+                      row_number() OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_acctbal DESC, c_name) AS rn
+               FROM customer)
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY rn) AS top3_names,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,2))), 2) AS DOUBLE) AS top3_bal
+    FROM r WHERE rn <= 3 GROUP BY c_nationkey
+    """,
+)
+def string_agg_topk(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY) of
+    the top-3 customers per nation: rank-prune first (window + filter), so
+    the collect_list only ever sees 3 rows per group — the aggregation is
+    bounded regardless of group size."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_name")
+    top = cust.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    names = F.concat_ws(
+        "|",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+            lambda x: x["c_name"],
+        ),
+    )
+    return top.groupBy("c_nationkey").agg(
+        names.alias("top3_names"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(30,2)")), 2)
+        .cast("double")
+        .alias("top3_bal"),
+    )
+
+
+@q(
+    "array_set_functions",
+    """
+    WITH f AS (SELECT l_orderkey,
+                      list_sort(list_distinct(list(l_returnflag))) AS flags
+               FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           array_to_string(flags, ',') AS flags_s,
+           COALESCE(array_to_string(list_sort(list_intersect(flags, ['A','R'])), ','), '') AS inter_s,
+           array_to_string(list_sort(list_distinct(flags || ['A','R'])), ',') AS union_s,
+           COALESCE(array_to_string(list_sort(list_filter(flags, x -> x != 'A')), ','), '') AS except_s
+    FROM f
+    """,
+)
+def array_set_functions(spark, sf_dir):
+    """Array set algebra (intersect/union/except against a constant set)
+    over per-order flag sets. Results are canonically sorted then
+    stringified — array VALUES have engine-specific orderings, strings
+    hash-match. One groupBy; the set ops are map-side exprs."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    ab = F.array(F.lit("A"), F.lit("R"))
+    f = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags")
+    )
+    return f.select(
+        "l_orderkey",
+        F.concat_ws(",", "flags").alias("flags_s"),
+        F.concat_ws(",", F.sort_array(F.array_intersect("flags", ab))).alias("inter_s"),
+        F.concat_ws(",", F.sort_array(F.array_union("flags", ab))).alias("union_s"),
+        F.concat_ws(
+            ",", F.sort_array(F.array_except("flags", F.array(F.lit("A"))))
+        ).alias("except_s"),
+    )
+
+
+@q(
+    "funnel_analysis",
+    """
+    WITH t1 AS (SELECT user_id, min(ts) AS v FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(ts) AS c FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE event_type = 'click' AND ts > t1.v GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(ts) AS p FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE event_type = 'purchase' AND ts > t2.c GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3.p IS NOT NULL THEN 3
+                WHEN t2.c IS NOT NULL THEN 2
+                WHEN t1.v IS NOT NULL THEN 1
+                ELSE 0 END AS reached
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    LEFT JOIN t3 ON u.user_id = t3.user_id
+    """,
+)
+def funnel_analysis(spark, sf_dir):
+    """Ordered-sequence funnel (view -> click -> purchase, strictly
+    increasing timestamps): per user, the furthest stage reached. The
+    Spark plan is ONE shuffle — events collect per user, sort once, and a
+    single aggregate() fold walks the timeline carrying (t_view, t_click,
+    t_purchase) state; the oracle is the equivalent three-level chained
+    min-filter join. Per-user event counts bound the fold (heavy-hitter
+    users are a data-skew concern, not a plan concern — AQE handles the
+    shuffle side)."""
+    ev = _t(spark, sf_dir, "events")
+    evs = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, e):
+        t1 = F.when(
+            acc["t1"].isNull() & (e["event_type"] == "view"), e["ts"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull()
+            & acc["t1"].isNotNull()
+            & (e["event_type"] == "click")
+            & (e["ts"] > acc["t1"]),
+            e["ts"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & acc["t2"].isNotNull()
+            & (e["event_type"] == "purchase")
+            & (e["ts"] > acc["t2"]),
+            e["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    reached = F.aggregate(
+        evs,
+        init,
+        step,
+        lambda acc: F.when(acc["t3"].isNotNull(), 3)
+        .when(acc["t2"].isNotNull(), 2)
+        .when(acc["t1"].isNotNull(), 1)
+        .otherwise(0),
+    )
+    return ev.groupBy("user_id").agg(reached.alias("reached"))
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) AS cw,
+             CAST(date_trunc('week', ts) AS DATE) AS aw
+      FROM events)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, aw) // 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM a GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted in
+    each subsequent activity week. The cohort week rides a min-over-user
+    window on the SAME shuffle as the distinct — one exchange of the fact
+    table, then a distinct and a tiny groupBy. Weeks are ISO-Monday in
+    both engines; emitted as strings for canonical comparison."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    a = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.min("ts").over(w))).alias("cw"),
+        F.to_date(F.date_trunc("week", "ts")).alias("aw"),
+    ).distinct()
+    return a.groupBy(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@q(
+    "gini_event_mix",
+    """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(n) AS tot, SUM(n * n) AS ss FROM c GROUP BY user_id)
+    SELECT user_id, tot AS n_events,
+           ROUND(1.0 - ss * 1.0 / (tot * tot), 6) AS gini
+    FROM t
+    """,
+)
+def gini_event_mix(spark, sf_dir):
+    """Per-user event-mix diversity as Gini impurity 1 - sum(p_i^2) —
+    computed as 1 - sum(n_i^2)/n^2 so every aggregate is an exact INTEGER
+    sum and the single double division is bit-identical cross-engine
+    (Shannon entropy would need transcendental log — not hash-matchable
+    on differing libm). Two chained groupBys on the same key prefix."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").alias("tot"), F.sum(F.col("n") * F.col("n")).alias("ss")
+    )
+    return t.select(
+        "user_id",
+        F.col("tot").alias("n_events"),
+        F.round(F.lit(1.0) - F.col("ss") * F.lit(1.0) / (F.col("tot") * F.col("tot")), 6).alias(
+            "gini"
+        ),
+    )
+
+
+@q(
+    "date_spine_gapfill",
+    """
+    WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                      CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+    days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                CAST(hi AS TIMESTAMP),
+                                                INTERVAL 1 DAY)) AS DATE) AS d
+             FROM b),
+    rev AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                   ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS r,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(rev.r, 0) AS DOUBLE) AS revenue,
+           COALESCE(rev.n, 0) AS n_orders
+    FROM days LEFT JOIN rev ON days.d = rev.d
+    """,
+)
+def date_spine_gapfill(spark, sf_dir):
+    """Zero-filled daily time series: a generated date spine left-joined
+    to the daily rollup, so days with no orders appear with 0 revenue —
+    the gap-fill every reporting pipeline needs. The spine derives from
+    min/max WITHOUT a driver collect (1-row agg cross-joined into an
+    exploded sequence); the spine side is calendar-sized, so the join
+    broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    rev = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return spine.join(rev, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("r").cast("double"), F.lit(0.0)).alias("revenue"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+    )
+
+
+@q(
+    "levenshtein_neighbors",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.s, b.s) AS dist
+    FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def levenshtein_neighbors(spark, sf_dir):
+    """Edit-distance string similarity over BOUNDED candidate pairs
+    (successor join on doc_id — stand-in for any pre-bucketed candidate
+    set, e.g. LSH pairs): levenshtein is O(len^2) per pair, so the scale
+    rule is 'never all-pairs, always candidates-first', same as the
+    dedup family. Equi-join on a derived key, one shuffle."""
+    docs = _tw(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.substring("text", 1, 40).alias("s"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = d.select((F.col("doc_id") - 1).alias("join_key"), F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        a.join(b, a.id_a == b.join_key)
+        .select("id_a", "id_b", F.levenshtein("s_a", "s_b").alias("dist"))
+    )
+
+
+# Round-3 window policy: every r1/r2 GREEN row stays on the record — the
+# 50 driver slots go to (a) the three flagships, (b) every registered
+# query that has NEVER been driver-verified (12 TPC-H + the late round-2
+# registrations), (c) the four queries whose implementation or oracle
+# changed this round (window_range_frame, dedup_cluster_assignment,
+# shard_packing, gopher_repetition), and (d) the new round-3 operators.
+# Rotated-out greens (q3-q6/q10/q12/q14/q18/q21/q22, the SQL-passthrough
+# suite, the LLM-ops micros, ...) remain under the identical local gate in
+# tests/test_oracle_parity.py.
 _FIRST50: list[str] = [
     "flagship_regional_revenue",
     "domanda_pipeline_full",
     "domanda_unify_mini",
-    "latest_wins_dedup",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    "sql_in_subquery",
-    "sql_exists_correlated",
-    "sql_scalar_subquery",
-    "sql_cte_window",
-    "incremental_lookback",
-    "asof_join_events",
-    "range_join_value_bands",
-    "salted_join_skew",
-    "semi_join_big_spenders",
-    "scalar_despace_cabin",
-    "similarity_topk_lsh",
-    "dedup_embedding_neardup",
-    # (text_bpe_tokens / word_freq_topk / fillna_defaults /
-    # sample_split_hash ceded their slots to the four round-2 LLM-ops
-    # below; their coverage overlaps text_stats, tfidf_top_terms,
-    # blank_to_null and stratified_sample_hash, and all remain verified
-    # by the local parity gate)
-    "pivot_status_counts",
-    "json_extract_props",
-    "monthly_revenue_rollup",
-    "approx_sketches",
-    "dedup_minhash_word_ngrams",
-    "dedup_cluster_assignment",
-    # (deterministic_shuffle yields the 50th slot to the llm_corpus_clean
-    # flagship; it remains verified by the local parity gate)
-    "llm_corpus_clean",
-    "gopher_repetition",
-    "contamination_screen",
-    "tfidf_top_terms",
-    "kmeans_assign",
-    # round-2 additions
-    "stratified_sample_hash",
-    "shard_packing",
-    "media_frame_extract",
-    "streaming_batch_equiv",
-    "explode_unnest",
-    "datetime_functions",
-    "conditional_agg",
-    "array_agg_sorted",
-    "null_handling",
+    # changed this round -> must re-verify
     "window_range_frame",
-    "exact_median_groups",
-    "variance_stats",
-    "events_tumbling_window",
-    # (regexp_extract_groups and string_functions ceded the last two slots
-    # to the round-2 TPC-H completions with the heaviest subquery
-    # machinery; both remain under the local parity gate, and regex
-    # coverage also rides regex_validity_filter / scalar_* greens)
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
+    "dedup_cluster_assignment",
+    "shard_packing",
+    "gopher_repetition",
+    # TPC-H completions never seen by the driver (q2/q7/q8/q16/q20 also
+    # carry this round's scale rewrites)
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    # late round-2 registrations, local-evidence only until now
+    "merge_upsert",
+    "streaming_dedup_equiv",
+    "dq_constraint_summary",
+    "window_rank_suite",
+    "image_features_fake",
+    "events_sliding_window",
+    "scd2_user_history",
+    "winsorize_stats",
+    "zscore_normalize",
+    "string_functions",
+    "regexp_extract_groups",
+    "text_bpe_tokens",
+    "word_freq_topk",
+    "fillna_defaults",
+    "sample_split_hash",
+    "deterministic_shuffle",
+    # round-3 additions
+    "versioned_sink_roundtrip",
+    "pii_redaction",
+    "doc_chunking",
+    "ntile_buckets",
+    "corr_exact_sums",
+    "histogram_bins",
+    "mode_per_group",
+    "string_agg_topk",
+    "array_set_functions",
+    "funnel_analysis",
+    "retention_cohorts",
+    "gini_event_mix",
+    "date_spine_gapfill",
+    "levenshtein_neighbors",
 ]
 
 
