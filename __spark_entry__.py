@@ -4671,6 +4671,162 @@ def levenshtein_neighbors(spark, sf_dir):
     )
 
 
+@q(
+    "partitioned_merge_roundtrip",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                  FROM orders WHERE o_orderkey % 6 = 0),
+    upd AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 1.0 AS o_totalprice
+            FROM base
+            WHERE o_orderpriority = (SELECT min(o_orderpriority) FROM orders)
+              AND o_orderkey % 12 = 0)
+    SELECT * FROM upd
+    UNION ALL
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def partitioned_merge_roundtrip(spark, sf_dir):
+    """Partition-scoped MERGE through the REAL PartitionedVersionedTable:
+    base loads into a priority-partitioned table, an update batch touching
+    ONE partition merges (only that partition rewrites — the O(affected-
+    partitions) posture asserted in tests/test_sinks.py), and the
+    published version reads back. Oracle = the pure relational upsert."""
+    import tempfile
+
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    target = base.agg(F.min("o_orderpriority")).collect()[0][0]  # bounded scalar
+    updates = (
+        base.filter((F.col("o_orderpriority") == target) & (F.col("o_orderkey") % 12 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    table = PartitionedVersionedTable(
+        tempfile.mkdtemp(prefix="part_merge_"), "o_orderpriority"
+    )
+    table.overwrite(base)
+    table.merge_upsert(spark, updates, ["o_orderkey"])
+    return table.read(spark)
+
+
+@q(
+    "unpivot_melt",
+    """
+    SELECT o_orderkey, kv.metric, kv.val
+    FROM (SELECT o_orderkey,
+                 unnest([struct_pack(metric := 'totalprice', val := o_totalprice),
+                         struct_pack(metric := 'custkey',    val := CAST(o_custkey AS DOUBLE)),
+                         struct_pack(metric := 'year',       val := CAST(year(o_orderdate) AS DOUBLE))]) AS kv
+          FROM orders WHERE o_orderkey % 13 = 0)
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """UNPIVOT / melt: wide columns -> (metric, value) long form — the
+    inverse of pivot_status_counts, used everywhere feature tables feed
+    metric stores. Spark's native unpivot (ids/values/variable/value) is a
+    zero-shuffle Expand: each input row emits one row per melted column,
+    no exchange anywhere."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+        F.year("o_orderdate").cast("double").alias("year"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey", "year"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@q(
+    "interval_overlap_join",
+    """
+    WITH iv AS (SELECT user_id,
+                       CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+                       CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+                FROM events GROUP BY user_id),
+    b AS (SELECT CAST(min(lo) AS DATE) AS glo, CAST(max(hi) AS DATE) AS ghi FROM iv),
+    weeks AS (SELECT CAST(unnest(generate_series(CAST(glo AS TIMESTAMP),
+                                                 CAST(ghi AS TIMESTAMP),
+                                                 INTERVAL 7 DAY)) AS DATE) AS ws
+              FROM b)
+    SELECT user_id, strftime(ws, '%Y-%m-%d') AS week_start
+    FROM iv JOIN weeks
+      ON ws <= hi AND CAST(ws + INTERVAL 6 DAY AS DATE) >= lo
+    """,
+)
+def interval_overlap_join(spark, sf_dir):
+    """True interval-OVERLAP join (a.start <= b.end AND a.end >= b.start):
+    per-user activity spans joined to the 7-day calendar grid they touch.
+    The calendar side is bounded (weeks in the data's range) -> broadcast
+    nested-loop on the two range predicates, fact side scanned once —
+    same posture as range_join_value_bands; for interval×interval at fact
+    scale both sides get bucketed by coarse time bands first."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("lo"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("hi"),
+    )
+    b = iv.agg(F.min("lo").alias("glo"), F.max("hi").alias("ghi"))
+    weeks = b.select(
+        F.explode(F.expr("sequence(glo, ghi, interval 7 day)")).alias("ws")
+    )
+    return (
+        iv.join(
+            F.broadcast(weeks),
+            (F.col("ws") <= F.col("hi")) & (F.date_add("ws", 6) >= F.col("lo")),
+        )
+        .select("user_id", F.date_format("ws", "yyyy-MM-dd").alias("week_start"))
+    )
+
+
+@q(
+    "map_functions",
+    """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY user_id, event_type),
+    m AS (SELECT user_id,
+                 map_from_entries(list_transform(
+                   list_sort(list(struct_pack(k := event_type, v := n))),
+                   e -> struct_pack(k := e.k, v := e.v))) AS counts
+          FROM c GROUP BY user_id)
+    SELECT user_id,
+           array_to_string(map_keys(counts), ',') AS types,
+           COALESCE(counts['click'][1], 0) AS n_click,
+           COALESCE(counts['purchase'][1], 0) AS n_purchase,
+           CAST(len(map_keys(counts)) AS INT) AS n_types
+    FROM m
+    """,
+)
+def map_functions(spark, sf_dir):
+    """MAP-typed column surface: per-user event-type histogram as
+    map<string,bigint> built from sorted entries (map construction,
+    map_keys, and key lookup with a null-default). Keys are sorted before
+    construction so the stringified key list is canonical cross-engine.
+    Same two-stage shared-partitioning agg as mode_per_group."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("event_type").alias("k"), F.col("n").alias("v"))))
+        ).alias("counts")
+    )
+    return m.select(
+        "user_id",
+        F.concat_ws(",", F.map_keys("counts")).alias("types"),
+        F.coalesce(F.element_at("counts", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("counts", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.size(F.map_keys("counts")).alias("n_types"),
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2

@@ -38,7 +38,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # keep the bench line parseable even on failure
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
@@ -52,7 +52,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            # compact separators: the per-query map is the valuable part of
+            # the artifact — keep the whole line short enough to survive any
+            # fixed-width capture downstream
+            separators=(",", ":"),
         )
     )
     spark.stop()

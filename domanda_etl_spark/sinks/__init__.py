@@ -1,4 +1,4 @@
 from .jdbc import read_jdbc, write_jdbc
-from .versioned import VersionedTable, write_csv
+from .versioned import PartitionedVersionedTable, VersionedTable, write_csv
 
-__all__ = ["VersionedTable", "read_jdbc", "write_csv", "write_jdbc"]
+__all__ = ["PartitionedVersionedTable", "VersionedTable", "read_jdbc", "write_csv", "write_jdbc"]

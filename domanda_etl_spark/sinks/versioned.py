@@ -216,6 +216,188 @@ class VersionedTable:
         return df.filter(cond).limit(1).count() > 0
 
 
+class PartitionedVersionedTable:
+    """VersionedTable with PARTITION-LEVEL copy-on-write — the shape that
+    makes MERGE O(affected partitions) instead of O(table) at 100 TB.
+
+    Each version's manifest maps partition value -> list of segment ids;
+    a segment is one hive-layout write (`_s{n}/<col>=<value>/...`). An
+    append adds per-partition references for only the partitions present
+    in the delta; a merge rewrites ONLY the partitions the update batch
+    touches and carries every other partition's references over untouched
+    (zero IO — machine-checked in tests/test_sinks.py). This is the
+    deletion-vector-free equivalent of Delta/Hudi partition-scoped
+    merge-on-write, same discipline as the reference's per-table refresh
+    (etl/loader.py:197-238) applied per partition.
+
+    Partition values round-trip as STRINGS (hive directory semantics
+    without type inference) — cast on read if a typed column is needed.
+    """
+
+    def __init__(self, path: str, partition_col: str, max_versions: int | None = None):
+        self.path = path
+        self.partition_col = partition_col
+        self.max_versions = max_versions or VersionedTable.MAX_VERSIONS
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"current": None, "next_id": 0, "next_seg": 0, "versions": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    _write_manifest = VersionedTable._write_manifest
+
+    def _sdir(self, segment: int) -> str:
+        return os.path.join(self.path, f"_s{segment}")
+
+    def _entry(self, m: dict, version: int) -> dict:
+        for e in m["versions"]:
+            if e["id"] == version:
+                return e
+        raise FileNotFoundError(f"{self.path}: version {version} vacuumed or unknown")
+
+    # -- write paths -------------------------------------------------------
+    def _write_segment(self, df: DataFrame, m: dict) -> tuple[int, list[str]]:
+        seg = m.get("next_seg", 0)
+        df.write.mode("overwrite").partitionBy(self.partition_col).parquet(
+            self._sdir(seg)
+        )
+        m["next_seg"] = seg + 1
+        prefix = f"{self.partition_col}="
+        parts = [
+            d[len(prefix):]
+            for d in os.listdir(self._sdir(seg))
+            if d.startswith(prefix)
+        ]
+        return seg, parts
+
+    def _commit(self, m: dict, op: str, parts: dict[str, list[int]]) -> int:
+        v = m["next_id"]
+        m["versions"].append({"id": v, "ts": time.time(), "op": op, "parts": parts})
+        m["current"] = v
+        m["next_id"] = v + 1
+        self._write_manifest(m)
+        self._vacuum()
+        return v
+
+    def overwrite(self, df: DataFrame) -> int:
+        m = self._read_manifest()
+        seg, parts = self._write_segment(df, m)
+        return self._commit(m, "overwrite", {p: [seg] for p in parts})
+
+    def append(self, df: DataFrame) -> int:
+        """O(delta): writes only the new rows; partitions absent from the
+        delta keep their previous segment references verbatim."""
+        m = self._read_manifest()
+        seg, parts = self._write_segment(df, m)
+        merged: dict[str, list[int]] = {}
+        if m["current"] is not None:
+            merged = {k: list(v) for k, v in self._entry(m, m["current"])["parts"].items()}
+        for p in parts:
+            merged.setdefault(p, []).append(seg)
+        return self._commit(m, "append", merged)
+
+    def merge_upsert(self, spark: SparkSession, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE that rewrites ONLY the partitions present in `updates`.
+        The affected-partition list is a bounded collect (distinct
+        partition values of the delta — partition-count scale, never row
+        scale). Untouched partitions: zero IO, references carried over."""
+        m = self._read_manifest()
+        if m["current"] is None:
+            return self.overwrite(updates)
+        pc = self.partition_col
+        affected = [
+            str(r[pc])
+            for r in updates.select(F.col(pc).cast("string")).distinct().collect()
+        ]
+        prev = self._entry(m, m["current"])["parts"]
+        touched = [p for p in affected if p in prev]
+        if touched:
+            current_slice = self._read_parts(spark, {p: prev[p] for p in touched})
+            kept = current_slice.join(updates.select(*keys).distinct(), keys, "left_anti")
+            merged_rows = kept.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged_rows = updates
+        seg, written_parts = self._write_segment(merged_rows, m)
+        new_parts = {k: list(v) for k, v in prev.items() if k not in set(affected)}
+        for p in written_parts:
+            new_parts[p] = [seg]
+        return self._commit(m, "merge", new_parts)
+
+    # -- read / restore ----------------------------------------------------
+    def _read_parts(self, spark: SparkSession, parts: dict[str, list[int]]) -> DataFrame:
+        pc = self.partition_col
+        out: DataFrame | None = None
+        for val, segs in sorted(parts.items()):
+            paths = [os.path.join(self._sdir(s), f"{pc}={val}") for s in segs]
+            piece = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .withColumn(pc, F.lit(val))
+            )
+            out = piece if out is None else out.unionByName(piece, allowMissingColumns=True)
+        if out is None:
+            raise FileNotFoundError(f"{self.path}: no partitions to read")
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        partitions: list[str] | None = None,
+    ) -> DataFrame:
+        """`partitions` prunes at the MANIFEST level: only the requested
+        partitions' files are ever listed or opened."""
+        m = self._read_manifest()
+        v = m["current"] if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"{self.path}: empty table")
+        parts = self._entry(m, v)["parts"]
+        if partitions is not None:
+            parts = {p: parts[p] for p in partitions if p in parts}
+        return self._read_parts(spark, parts)
+
+    def history(self) -> list[dict]:
+        return sorted(self._read_manifest()["versions"], key=lambda e: -e["id"])
+
+    def restore(self, spark: SparkSession, version: int | None = None) -> int:
+        m = self._read_manifest()
+        if version is None:
+            older = [e["id"] for e in m["versions"] if e["id"] < (m["current"] or 0)]
+            if not older:
+                raise FileNotFoundError(f"{self.path}: no prior version to restore")
+            version = max(older)
+        self._entry(m, version)
+        assert self.read(spark, version).count() >= 0
+        m["current"] = version
+        self._write_manifest(m)
+        return version
+
+    def _vacuum(self) -> None:
+        m = self._read_manifest()
+        keep = {e["id"] for e in sorted(m["versions"], key=lambda e: -e["id"])[: self.max_versions]}
+        if m["current"] is not None:
+            keep.add(m["current"])
+        dropped = [e for e in m["versions"] if e["id"] not in keep]
+        if not dropped:
+            return
+        kept_entries = [e for e in m["versions"] if e["id"] in keep]
+        referenced = {s for e in kept_entries for segs in e["parts"].values() for s in segs}
+        for e in dropped:
+            for segs in e["parts"].values():
+                for s in segs:
+                    if s not in referenced:
+                        shutil.rmtree(self._sdir(s), ignore_errors=True)
+        m["versions"] = kept_entries
+        self._write_manifest(m)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Date/key-partitioned lake layout (hive-style directories). This is
     what turns the reference's 12h-lookback predicate (S3) into a partition

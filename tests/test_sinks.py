@@ -197,3 +197,47 @@ def test_read_jdbc_requires_bounds_with_partition_column(spark):
 
     with pytest.raises(ValueError, match="lower_bound"):
         read_jdbc(spark, "jdbc:sqlite:none", "t", partition_column="id")
+
+
+def test_partitioned_merge_rewrites_only_affected_partitions(spark, tmp_path):
+    """The 100 TB MERGE posture: updates touching one partition must carry
+    every other partition's segment references over VERBATIM (zero IO)."""
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    t = PartitionedVersionedTable(str(tmp_path / "pt"), "day")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(30)], "id INT, day STRING, v DOUBLE"
+    )
+    t.overwrite(base)
+    m0 = t._read_manifest()
+    parts0 = t._entry(m0, m0["current"])["parts"]
+    assert set(parts0) == {"d0", "d1", "d2"}
+
+    updates = spark.createDataFrame(
+        [(0, "d0", 100.0), (99, "d0", 99.0)], "id INT, day STRING, v DOUBLE"
+    )
+    t.merge_upsert(spark, updates, ["id"])
+    m1 = t._read_manifest()
+    parts1 = t._entry(m1, m1["current"])["parts"]
+    # untouched partitions: identical references; touched: new segment
+    assert parts1["d1"] == parts0["d1"] and parts1["d2"] == parts0["d2"]
+    assert parts1["d0"] != parts0["d0"]
+    got = {(r["id"], r["v"]) for r in t.read(spark, partitions=["d0"]).collect()}
+    assert (0, 100.0) in got and (99, 99.0) in got and (3, 3.0) in got
+    assert t.read(spark).count() == 31
+
+
+def test_partitioned_append_restore_and_partition_pruned_read(spark, tmp_path):
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    t = PartitionedVersionedTable(str(tmp_path / "pt2"), "day", max_versions=5)
+    a = spark.createDataFrame([(1, "d0", 1.0)], "id INT, day STRING, v DOUBLE")
+    b = spark.createDataFrame([(2, "d1", 2.0)], "id INT, day STRING, v DOUBLE")
+    v0 = t.overwrite(a)
+    t.append(b)
+    assert t.read(spark).count() == 2
+    # manifest-level prune: only d1 is listed/read
+    assert [r["id"] for r in t.read(spark, partitions=["d1"]).collect()] == [2]
+    t.restore(spark, v0)
+    assert t.read(spark).count() == 1
+    assert t.history()[0]["op"] == "append"
