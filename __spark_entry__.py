@@ -4672,6 +4672,59 @@ def levenshtein_neighbors(spark, sf_dir):
 
 
 @q(
+    "streaming_stateful_totals",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark, sf_dir):
+    """§2.9 custom STATEFUL operator end-to-end: events as a file stream
+    through applyInPandasWithState (per-key running count/sum state,
+    Arrow-batched, streaming/incremental.py:69-97), final state compared
+    to the pure batch aggregate — the stream/batch equivalence claim for
+    state that survives micro-batches. Values are summed as integer cents
+    so the cross-batch pandas accumulation is exact (float accumulation
+    order would not hash-match). Memory sink in update mode; the final
+    per-key row (max n) is the published state."""
+    import tempfile
+
+    from domanda_etl_spark.sources.parquet import table_read_schema
+    from domanda_etl_spark.streaming.incremental import stateful_running_totals
+
+    schema, _ns = table_read_schema(sf_dir, "events")  # ns ts declared long
+    name = "stateful_totals_" + os.path.basename(tempfile.mkdtemp(prefix="q")).strip("q")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("user_id").cast("string").alias("k"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    sq = (
+        stateful_running_totals(stream, "k", "cents")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "n", "total")
+    )
+
+
+@q(
     "partitioned_merge_roundtrip",
     """
     WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice

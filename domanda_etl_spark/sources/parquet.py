@@ -30,6 +30,26 @@ TPCH_TABLES = (
 )
 
 
+def table_read_schema(sf_dir: str, name: str):
+    """(spark_schema, ns_cols) for a table — ns-timestamp columns declared
+    LONG so the schema is legal for spark.read AND spark.readStream (the
+    file-stream source hits the same TIMESTAMP(NANOS) rejection as batch).
+    Callers convert ns_cols with timestamp_micros(col div 1000)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    file_schema = pq.read_schema(path)
+    ns_cols = [f.name for f in file_schema if str(f.type) == "timestamp[ns]"]
+    as_long = pa.schema(
+        [
+            pa.field(f.name, pa.int64()) if str(f.type) == "timestamp[ns]" else f
+            for f in file_schema
+        ]
+    )
+    return from_arrow_schema(as_long), ns_cols
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters/projections applied by the caller reach the
     scan via Catalyst pushdown — check `.explain` for PushedFilters.
@@ -39,23 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same ns -> us truncation DuckDB applies, keeping oracle parity.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    file_schema = pq.read_schema(path)
-    ns_cols = [f.name for f in file_schema if str(f.type) == "timestamp[ns]"]
+    # Explicit read schema (ns columns declared as long) instead of the
+    # session-wide `spark.sql.legacy.parquet.nanosAsLong` flag — a global
+    # flag would silently change how OTHER parquet reads in the same
+    # session surface ns timestamps.
+    schema, ns_cols = table_read_schema(sf_dir, name)
     if ns_cols:
-        # Explicit read schema (ns columns declared as long) instead of the
-        # session-wide `spark.sql.legacy.parquet.nanosAsLong` flag — a
-        # global flag would silently change how OTHER parquet reads in the
-        # same session surface ns timestamps.
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import from_arrow_schema
-
-        as_long = pa.schema(
-            [
-                pa.field(f.name, pa.int64()) if str(f.type) == "timestamp[ns]" else f
-                for f in file_schema
-            ]
-        )
-        df = spark.read.schema(from_arrow_schema(as_long)).parquet(path)
+        df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.read.parquet(path)
     for c in ns_cols:

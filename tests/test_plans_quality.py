@@ -285,6 +285,36 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_round3_map_only_operators(spark):
+    """pii_redaction and doc_chunking are pure projection/flatMap shapes:
+    no key shuffle, no join anywhere (the only allowed Exchange is the
+    documented round-robin widening on single-split fixtures)."""
+    for name in ["pii_redaction", "doc_chunking"]:
+        p = plan_of(spark, name)
+        assert "Exchange hashpartitioning" not in p, name
+        assert "Join" not in p, name
+
+
+def test_unpivot_is_expand_no_exchange(spark):
+    p = plan_of(spark, "unpivot_melt")
+    assert "Expand" in p
+    assert "Exchange" not in p
+
+
+def test_funnel_is_single_shuffle(spark):
+    """The timeline fold rides ONE hash exchange (collect per user); the
+    sort+walk happens inside the aggregate, not as extra stages."""
+    p = plan_of(spark, "funnel_analysis")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_interval_overlap_is_broadcast_nested_loop(spark):
+    p = plan_of(spark, "interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_pipeline_loader_stage(spark, tmp_path):
     from domanda_etl_spark.plans import domanda
     from domanda_etl_spark.sinks import VersionedTable
