@@ -4672,6 +4672,74 @@ def levenshtein_neighbors(spark, sf_dir):
 
 
 @q(
+    "similarity_topk_ivf",
+    """
+    WITH cent AS (SELECT vec_id AS cluster_id, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    cd AS (SELECT e.vec_id, c.cluster_id,
+                  ROUND(list_sum(list_transform(range(1, 65),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), 6) AS d2
+           FROM embeddings e CROSS JOIN cent c),
+    cells AS (SELECT vec_id, cluster_id
+              FROM (SELECT vec_id, cluster_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+                    FROM cd)
+              WHERE rk = 1),
+    qd AS (SELECT q.q_id, c.cluster_id,
+                  ROUND(list_sum(list_transform(range(1, 65),
+                        i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                             * (CAST(q.qe[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), 6) AS d2
+           FROM q CROSS JOIN cent c),
+    probes AS (SELECT q_id, cluster_id
+               FROM (SELECT q_id, cluster_id,
+                            row_number() OVER (PARTITION BY q_id ORDER BY d2, cluster_id) AS rk
+                     FROM qd)
+               WHERE rk <= 2),
+    scored AS (
+      SELECT p.q_id, cells.vec_id AS n_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS sim
+      FROM probes p
+      JOIN cells ON p.cluster_id = cells.cluster_id
+      JOIN embeddings e ON cells.vec_id = e.vec_id
+      JOIN q ON p.q_id = q.q_id
+      WHERE cells.vec_id <> p.q_id)
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF ANN search — the third leg of the similarity family (brute
+    force = exact baseline, SRP-LSH = hash buckets, IVF = learned coarse
+    quantization): corpus assigned to 8 centroid cells map-only, queries
+    probe their 2 nearest cells, exact cosine re-rank inside probed cells
+    (operators/similarity.py:cosine_topk_ivf). Centroids := first 8
+    vectors, the deterministic stand-in for trained centroids."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    cent = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk_ivf(qs, emb, "vec_id", "vec_id", cent, k=5, nprobe=2)
+    return out.select("q_id", "n_id", "sim", F.col("rank").cast("bigint").alias("rank"))
+
+
+@q(
     "streaming_stateful_totals",
     """
     SELECT CAST(user_id AS VARCHAR) AS key,

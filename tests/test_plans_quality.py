@@ -315,6 +315,16 @@ def test_interval_overlap_is_broadcast_nested_loop(spark):
     assert "CartesianProduct" not in p
 
 
+def test_ivf_probe_is_broadcast_no_all_pairs(spark):
+    """IVF: cell assignment is a literal-centroid map expression and the
+    probe join broadcasts the tiny query side — the corpus is never
+    shuffled pairwise."""
+    p = plan_of(spark, "similarity_topk_ivf")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_pipeline_loader_stage(spark, tmp_path):
     from domanda_etl_spark.plans import domanda
     from domanda_etl_spark.sinks import VersionedTable
