@@ -4672,6 +4672,43 @@ def levenshtein_neighbors(spark, sf_dir):
 
 
 @q(
+    "quantile_bucket_global",
+    """
+    WITH b AS (SELECT [quantile_cont(o_totalprice, 0.25),
+                       quantile_cont(o_totalprice, 0.5),
+                       quantile_cont(o_totalprice, 0.75)] AS bounds
+               FROM orders)
+    SELECT o_orderkey,
+           CAST(len(list_filter(b.bounds, x -> x <= o_totalprice)) AS INT) AS bucket
+    FROM orders, b
+    """,
+)
+def quantile_bucket_global(spark, sf_dir):
+    """GLOBAL equi-depth bucketing without a global sort: quartile
+    boundaries come from one exact-percentile aggregate (interpolated —
+    identical to quantile_cont), are cross-joined as a 1-row broadcast,
+    and bucket assignment is a pure map expression counting boundaries <=
+    value. This is the scale path ntile can't take: no single-partition
+    window anywhere — at 100 TB swap the exact percentile for
+    percentile_approx and the plan shape is unchanged."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            "bounds"
+        )
+    )
+    return (
+        orders.join(F.broadcast(b))
+        .select(
+            "o_orderkey",
+            F.size(F.filter("bounds", lambda x: x <= F.col("o_totalprice"))).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+@q(
     "similarity_topk_ivf",
     """
     WITH cent AS (SELECT vec_id AS cluster_id, embedding AS cvec
