@@ -176,3 +176,135 @@ def test_scd2_intervals_tile_and_match_bruteforce(spark, rows):
     assert got_by_key == expect
     for k, vs in got_by_key.items():
         assert sum(1 for v in vs if v[3]) == 1, f"key {k}: != 1 current row"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                                   # user
+            st.sampled_from(["view", "click", "purchase", "x"]),  # type
+            st.integers(0, 30),                                   # ts (ties allowed)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_fold_matches_chained_min_model(spark, rows):
+    """The single-shuffle aggregate() timeline fold must equal the
+    relational model (first view; first click strictly after it; first
+    purchase strictly after that) on random event logs, including
+    same-timestamp ties (sorted (ts, type) order is the contract)."""
+    import __spark_entry__ as entrymod
+
+    data = [(u, t, float(ts)) for u, t, ts in rows]
+    df = spark.createDataFrame(data, "user_id long, event_type string, ts double")
+    # drive the registered builder itself over this frame (loader shim)
+    ev = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    orig = entrymod._t
+    entrymod._t = lambda s, d, n: ev  # noqa: E731
+    try:
+        out_df = entrymod.funnel_analysis(spark, "ignored")
+    finally:
+        entrymod._t = orig
+    got = {r["user_id"]: r["reached"] for r in out_df.collect()}
+
+    def model(user_rows):
+        seq = sorted(user_rows, key=lambda r: (r[2], r[1]))
+        t1 = min((ts for _, t, ts in seq if t == "view"), default=None)
+        t2 = (
+            min((ts for _, t, ts in seq if t == "click" and t1 is not None and ts > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((ts for _, t, ts in seq if t == "purchase" and t2 is not None and ts > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        return 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+
+    users = {u for u, _, _ in data}
+    expect = {u: model([r for r in data if r[0] == u]) for u in users}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=130))
+def test_doc_chunking_covers_every_token_with_stride_overlap(spark, toks):
+    """Chunk tiling invariants for size 50 / stride 25: chunk 0 starts at
+    token 1; consecutive chunks start exactly 25 tokens apart; the
+    concatenation of each chunk's first 25 tokens (plus the final chunk's
+    tail) reconstructs the document exactly."""
+    import __spark_entry__ as entrymod
+
+    text = " ".join(toks)
+    doc = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    orig = entrymod._tw
+    entrymod._tw = lambda s, d, n: doc  # noqa: E731
+    try:
+        rows = sorted(
+            entrymod.doc_chunking(spark, "ignored").collect(), key=lambda r: r["chunk_id"]
+        )
+    finally:
+        entrymod._tw = orig
+    assert rows[0]["chunk_id"] == 0
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    rebuilt: list[str] = []
+    for r in rows[:-1]:
+        rebuilt.extend(r["chunk"].split(" ")[:25])
+    rebuilt.extend(rows[-1]["chunk"].split(" "))
+    assert rebuilt == toks
+    for r in rows:
+        assert r["n_tok"] == len(r["chunk"].split(" "))
+        assert r["n_tok"] <= 50
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["overwrite", "append", "merge"]),
+            st.lists(
+                st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 99)),
+                min_size=1,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_partitioned_table_matches_dict_model(spark, tmp_path_factory, ops):
+    """PartitionedVersionedTable vs an in-memory model over random
+    overwrite/append/merge sequences (merge keyed on id; append is
+    last-write-wins only at read time for duplicate ids — the model
+    mirrors raw row semantics, so appends accumulate rows)."""
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    t = PartitionedVersionedTable(
+        str(tmp_path_factory.mktemp("ptprop")), "g", max_versions=99
+    )
+    model_rows: list[tuple[int, str, int]] = []
+    wrote = False
+    for op, batch in ops:
+        rows = [(i, f"g{g}", v) for i, g, v in batch]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        if op == "overwrite" or not wrote:
+            t.overwrite(df)
+            model_rows = list(rows)
+        elif op == "append":
+            t.append(df)
+            model_rows.extend(rows)
+        else:
+            t.merge_upsert(spark, df.dropDuplicates(["id"]), ["id"])
+            seen = set()
+            upserts = []
+            for r in rows:
+                if r[0] not in seen:
+                    seen.add(r[0])
+                    upserts.append(r)
+            model_rows = [r for r in model_rows if r[0] not in seen] + upserts
+        wrote = True
+    got = sorted(map(tuple, t.read(spark).select("id", "g", "v").collect()))
+    assert got == sorted(model_rows)
