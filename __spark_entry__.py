@@ -4672,6 +4672,209 @@ def levenshtein_neighbors(spark, sf_dir):
 
 
 @q(
+    "ratio_to_report",
+    """
+    WITH r AS (SELECT o_orderpriority,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS rev
+               FROM orders GROUP BY o_orderpriority),
+    t AS (SELECT ROUND(SUM(rev), 2) AS total FROM r)
+    SELECT o_orderpriority, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM r, t
+    """,
+)
+def ratio_to_report(spark, sf_dir):
+    """Percent-of-total (ratio-to-report): per-group revenue share of the
+    grand total. The grand total is re-aggregated from the (tiny) group
+    rollup and cross-joined as a 1-row broadcast — no partitionless
+    window, and the fact table is scanned ONCE (the group rollup feeds
+    both sides). Decimal sums keep both divisions bit-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2).alias("rev")
+    )
+    t = r.agg(F.round(F.sum("rev"), 2).alias("total"))
+    return r.join(F.broadcast(t)).select(
+        "o_orderpriority",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+@q(
+    "argmax_functions",
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 4294967296
+                           + c_custkey) AS richest,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 4294967296
+                           + c_custkey) AS poorest,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def argmax_functions(spark, sf_dir):
+    """max_by / min_by (argmax aggregation) — top-1-per-group WITHOUT a
+    window or second shuffle: one partial-aggregating groupBy carries the
+    (ordering, value) pair. The ordering is an injective INTEGER composite
+    (cents << 32 | custkey — exact in int64, identical both engines), so
+    acctbal ties break on the unique custkey deterministically."""
+    cust = _t(spark, sf_dir, "customer")
+    ordering = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(4294967296).cast("long")
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ordering).alias("richest"),
+        F.min_by("c_name", ordering).alias("poorest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "time_weighted_avg",
+    """
+    WITH s AS (SELECT user_id, value,
+                      CAST(trunc(epoch(ts)) AS BIGINT) AS sec,
+                      event_id
+               FROM events),
+    w AS (SELECT user_id, value,
+                 lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS dt
+          FROM s)
+    SELECT user_id,
+           CAST(SUM(dt) AS BIGINT) AS total_sec,
+           round(CAST(SUM(CAST(ROUND(value * dt, 2) AS DECIMAL(30,2))) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE), 6) AS twa
+    FROM w WHERE dt IS NOT NULL
+    GROUP BY user_id HAVING SUM(dt) > 0
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (each reading weighted by how long it was
+    current): lead() pairs every event with its successor; the weight is
+    whole SECONDS so ns-vs-us timestamp precision cancels (both engines
+    floor to the same integer), and (value × seconds) sums exactly through
+    decimals. One shuffle — the window and the groupBy share the user_id
+    partitioning. Tie-paired events (same second) order by event_id on
+    both sides, so the weight assignment is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    dt = (F.lead("sec").over(w) - F.col("sec")).alias("dt")
+    staged = s.select("user_id", "value", dt).filter(F.col("dt").isNotNull())
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.sum("dt").alias("total_sec"),
+            F.round(
+                F.sum(F.round(F.col("value") * F.col("dt"), 2).cast("decimal(30,2)"))
+                .cast("double")
+                / F.sum("dt").cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .filter(F.col("total_sec") > 0)
+    )
+
+
+@q(
+    "snapshot_diff",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+    v2 AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 20 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 31 <> 0
+           UNION ALL
+           SELECT o_orderkey + 5000000, o_totalprice FROM orders WHERE o_orderkey % 50 = 0)
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           v1.o_totalprice AS old_price, v2.o_totalprice AS new_price
+    FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: two table versions full-outer-joined on
+    the key, classified added/removed/changed (unchanged rows dropped) —
+    what a lake emits as a change feed when the source can't. One
+    co-partitioned shuffle join on the key; at 100 TB both snapshots
+    would be bucketed on the key so the diff is exchange-free."""
+    v1 = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bumped = F.when(
+        F.col("o_orderkey") % 20 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+    ).otherwise(F.col("o_totalprice"))
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 31 != 0)
+        .select("o_orderkey", bumped.alias("o_totalprice"))
+        .unionByName(
+            v1.filter(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + 5000000).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    a = v1.select(F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("old_price"))
+    b = v2.select(F.col("o_orderkey").alias("k2"), F.col("o_totalprice").alias("new_price"))
+    j = a.join(b, a.k1 == b.k2, "full_outer")
+    return (
+        j.filter(
+            F.col("k1").isNull()
+            | F.col("k2").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce("k1", "k2").alias("o_orderkey"),
+            F.when(F.col("k1").isNull(), "added")
+            .when(F.col("k2").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            "old_price",
+            "new_price",
+        )
+    )
+
+
+@q(
+    "null_safe_join",
+    """
+    WITH a AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer WHERE c_custkey % 7 = 0),
+    b AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+          FROM customer WHERE c_custkey % 11 = 0)
+    SELECT a.seg, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    GROUP BY a.seg
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other — the semantics MERGE/dedup pipelines need when the join
+    key is itself nullable. Spark plans eqNullSafe as a HASHED join key
+    (still an equi-join, never a nested loop); the NULL bucket is the
+    classic skew key, handled the same way as any hot key (AQE split /
+    salting)."""
+    cust = _t(spark, sf_dir, "customer")
+    seg = F.nullif("c_mktsegment", F.lit("BUILDING"))
+    a = cust.filter(F.col("c_custkey") % 7 == 0).select(seg.alias("seg_a"))
+    b = cust.filter(F.col("c_custkey") % 11 == 0).select(seg.alias("seg_b"))
+    return (
+        a.join(b, a.seg_a.eqNullSafe(b.seg_b))
+        .groupBy(F.col("seg_a").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@q(
     "quantile_bucket_global",
     """
     WITH b AS (SELECT [quantile_cont(o_totalprice, 0.25),
