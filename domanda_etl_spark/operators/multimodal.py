@@ -101,7 +101,16 @@ IMAGE_FEATURES_SCHEMA = "id bigint, width int, height int, mode string"
 
 def image_features(df: DataFrame, id_col: str, payload_col: str = "payload", fake: bool = True) -> DataFrame:
     """Decode-and-extract plumbing over mapInPandas with the stubbed codec.
-    Batch shape, schema, and partitioning are production-real."""
+    Batch shape, schema, and partitioning are production-real.
+
+    The closure references module-level `decode_image`, which cloudpickle
+    ships BY REFERENCE — so the package must be importable inside the
+    Python workers (ensure_package_on_executors = programmatic
+    --py-files; a vanilla driver session has no repo on its worker
+    path)."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
