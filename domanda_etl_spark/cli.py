@@ -15,6 +15,10 @@
       MERGE INTO (upsert by key) as a new atomic version
   python -m domanda_etl_spark.cli compact TABLE_PATH [--partitions N]
       bin-pack the current version's segments (post-append OPTIMIZE)
+
+  python -m domanda_etl_spark.cli pmerge SRC_PARQUET TABLE_PATH \\
+      --keys k1,k2 --partition-col COL
+      partition-scoped MERGE: only partitions present in SRC rewrite
 """
 
 from __future__ import annotations
@@ -27,7 +31,10 @@ from .sinks import VersionedTable
 from .sources import register_views
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
+    """`stop_session=False` lets in-process callers (tests) reuse their
+    SparkSession — getOrCreate returns the shared one, and stopping it
+    here would tear down the caller's session."""
     p = argparse.ArgumentParser(prog="domanda-etl-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -56,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("table")
     p_compact.add_argument("--partitions", type=int, default=None)
 
+    p_pmerge = sub.add_parser("pmerge")
+    p_pmerge.add_argument("src")
+    p_pmerge.add_argument("table")
+    p_pmerge.add_argument("--keys", required=True, help="comma-separated key columns")
+    p_pmerge.add_argument("--partition-col", required=True)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"domanda-cli-{args.cmd}")
 
@@ -78,7 +91,15 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         v = VersionedTable(args.table).compact(spark, target_partitions=args.partitions)
         print(json.dumps({"op": "compact", "version": v}))
-    spark.stop()
+    elif args.cmd == "pmerge":
+        from .sinks import PartitionedVersionedTable
+
+        df = spark.read.parquet(args.src)
+        table = PartitionedVersionedTable(args.table, args.partition_col)
+        v = table.merge_upsert(spark, df, args.keys.split(","))
+        print(json.dumps({"op": "pmerge", "version": v}))
+    if stop_session:
+        spark.stop()
     return 0
 
 
