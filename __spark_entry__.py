@@ -4672,6 +4672,51 @@ def levenshtein_neighbors(spark, sf_dir):
 
 
 @q(
+    "embedding_centroids",
+    """
+    WITH u AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+    m AS (SELECT label, i,
+                 round(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                       / COUNT(*), 6) AS mu
+          FROM u GROUP BY label, i)
+    SELECT label,
+           array_to_string(list_transform(list_sort(list([i, mu])),
+                                          p -> printf('%.6f', p[2])), ',') AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (class centroids — the training step of
+    IVF/k-means and the building block of prototype classifiers),
+    computed DISTRIBUTED-exactly: posexplode to (label, dim, value),
+    decimal-sum per (label, dim) — order-insensitive, unlike a float
+    fold over collect_list — then reassembled in dimension order and
+    stringified. Two shuffles, both on bounded keys (labels × 64 dims)."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x")
+    )
+    m = u.groupBy("label", F.col("i0").alias("i")).agg(
+        F.round(
+            F.sum(F.round("x", 6).cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mu")
+    )
+    # %.6f on both engines: a bare string cast disagrees on scientific
+    # notation for small magnitudes (-5.29E-4 vs -0.000529)
+    centroid = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu"))),
+            lambda p: F.format_string("%.6f", p["mu"]),
+        ),
+    )
+    return m.groupBy("label").agg(centroid.alias("centroid"))
+
+
+@q(
     "ratio_to_report",
     """
     WITH r AS (SELECT o_orderpriority,
