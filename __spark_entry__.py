@@ -4672,6 +4672,85 @@ def levenshtein_neighbors(spark, sf_dir):
 
 
 @q(
+    "forward_fill",
+    """
+    WITH g AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+               FROM events)
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM g
+    """,
+)
+def forward_fill(spark, sf_dir):
+    """Forward fill (last-observation-carried-forward) — the timeseries
+    imputation primitive: gaps (synthesized on every 5th reading) take the
+    most recent non-null value per user. last(ignorenulls) over an
+    unbounded-preceding ROWS frame; one shuffle on the user key, total
+    ordering via the unique event id."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@q(
+    "pivot_multi_agg",
+    """
+    SELECT c_nationkey,
+           COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile_n,
+           COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS building_n,
+           COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS furniture_n,
+           CAST(ROUND(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(30,2)))
+                               FILTER (c_mktsegment = 'AUTOMOBILE'), 0), 2) AS DOUBLE) AS automobile_bal,
+           CAST(ROUND(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(30,2)))
+                               FILTER (c_mktsegment = 'BUILDING'), 0), 2) AS DOUBLE) AS building_bal,
+           CAST(ROUND(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(30,2)))
+                               FILTER (c_mktsegment = 'FURNITURE'), 0), 2) AS DOUBLE) AS furniture_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pivot_multi_agg(spark, sf_dir):
+    """Pivot with MULTIPLE aggregates per pivot value (count + balance per
+    market segment): Spark's groupBy().pivot(values).agg(a, b) plans ONE
+    partial-aggregating pass — explicit pivot values keep the schema
+    static (and skip the extra distinct-scan Spark needs to infer them);
+    the oracle is the equivalent FILTERed conditional aggregation."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE"]
+    cust = _t(spark, sf_dir, "customer")
+    out = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(30,2)")), 2)
+            .cast("double")
+            .alias("bal"),
+        )
+    )
+    cols = [F.col("c_nationkey")]
+    for s in segs:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s.lower()}_n"))
+    for s in segs:
+        cols.append(F.coalesce(F.col(f"{s}_bal"), F.lit(0.0)).alias(f"{s.lower()}_bal"))
+    return out.select(*cols)
+
+
+@q(
     "embedding_centroids",
     """
     WITH u AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
