@@ -4753,46 +4753,58 @@ def pivot_multi_agg(spark, sf_dir):
 @q(
     "embedding_centroids",
     """
-    WITH u AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+    WITH u AS (SELECT label, i,
+                      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
                FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
-    m AS (SELECT label, i,
-                 round(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(20,6))) AS DOUBLE)
-                       / COUNT(*), 6) AS mu
-          FROM u GROUP BY label, i)
+    m AS (SELECT label, i, SUM(q) AS s, COUNT(*) AS n FROM u GROUP BY label, i),
+    r AS (SELECT label, i,
+                 CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                      ELSE -((2 * (-s) + n) // (2 * n)) END AS mu6
+          FROM m)
     SELECT label,
-           array_to_string(list_transform(list_sort(list([i, mu])),
-                                          p -> printf('%.6f', p[2])), ',') AS centroid
-    FROM m GROUP BY label
+           array_to_string(list_transform(list_sort(list([i, mu6])),
+                                          p -> CAST(p[2] AS VARCHAR)), ',') AS centroid
+    FROM r GROUP BY label
     """,
 )
 def embedding_centroids(spark, sf_dir):
     """Per-label mean embedding (class centroids — the training step of
     IVF/k-means and the building block of prototype classifiers),
-    computed DISTRIBUTED-exactly: posexplode to (label, dim, value),
-    decimal-sum per (label, dim) — order-insensitive, unlike a float
-    fold over collect_list — then reassembled in dimension order and
-    stringified. Two shuffles, both on bounded keys (labels × 64 dims)."""
+    computed DISTRIBUTED-exactly in INTEGER micro-units: each float is
+    quantized with floor(x*1e6) (floor on a double is exact-binary in
+    every engine — unlike round(double, n), whose tie handling is
+    shortest-repr-based in Spark but exact-binary in DuckDB, a divergence
+    the sf0.1 sweep caught on this very query), summed as BIGINT, and the
+    mean is integer round-half-away (2|s|+n) div (2n). No double is ever
+    rounded, so the result is bit-identical at any scale. Two shuffles,
+    both on bounded keys (labels × 64 dims)."""
     emb = _tw(spark, sf_dir, "embeddings")
     u = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x")
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).select(
+        "label",
+        F.col("i0").alias("i"),
+        F.floor(F.col("x") * 1000000).cast("long").alias("q"),
     )
-    m = u.groupBy("label", F.col("i0").alias("i")).agg(
-        F.round(
-            F.sum(F.round("x", 6).cast("decimal(20,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mu")
+    m = u.groupBy("label", "i").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    # %.6f on both engines: a bare string cast disagrees on scientific
-    # notation for small magnitudes (-5.29E-4 vs -0.000529)
+    # `div` = exact INTEGRAL division (a double ratio + floor could lose an
+    # ulp on exact multiples)
+    mu6 = F.expr(
+        "CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) "
+        "ELSE -((2 * (-s) + n) div (2 * n)) END"
+    ).cast("long")
+    r = m.select("label", "i", mu6.alias("mu6"))
     centroid = F.concat_ws(
         ",",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "mu"))),
-            lambda p: F.format_string("%.6f", p["mu"]),
+            F.array_sort(F.collect_list(F.struct("i", "mu6"))),
+            lambda p: p["mu6"].cast("string"),
         ),
     )
-    return m.groupBy("label").agg(centroid.alias("centroid"))
+    return r.groupBy("label").agg(centroid.alias("centroid"))
 
 
 @q(
@@ -4913,7 +4925,9 @@ def time_weighted_avg(spark, sf_dir):
     """
     WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
     v2 AS (SELECT o_orderkey,
-                  CASE WHEN o_orderkey % 20 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+                  CASE WHEN o_orderkey % 20 = 0
+                       THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(30,2))
+                                       * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
                        ELSE o_totalprice END AS o_totalprice
            FROM orders WHERE o_orderkey % 31 <> 0
            UNION ALL
@@ -4935,8 +4949,16 @@ def snapshot_diff(spark, sf_dir):
     co-partitioned shuffle join on the key; at 100 TB both snapshots
     would be bucketed on the key so the diff is exchange-free."""
     v1 = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # price bump in DECIMAL: round(double_product) is engine-divergent when
+    # the product's shortest repr ends in '5' (Spark rounds the repr, DuckDB
+    # the exact binary — found by the sf0.1 sweep, 66/7258 prices differed);
+    # decimal x decimal is exact on both, so ROUND sees the same value
     bumped = F.when(
-        F.col("o_orderkey") % 20 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        F.col("o_orderkey") % 20 == 0,
+        F.round(
+            F.col("o_totalprice").cast("decimal(30,2)") * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        ).cast("double"),
     ).otherwise(F.col("o_totalprice"))
     v2 = (
         v1.filter(F.col("o_orderkey") % 31 != 0)
