@@ -325,6 +325,36 @@ def test_ivf_probe_is_broadcast_no_all_pairs(spark):
     assert "CartesianProduct" not in p
 
 
+def test_window_wide_no_cartesian_no_python(spark):
+    """Global gate over the driver window: no CartesianProduct and no
+    row-level Python eval anywhere (the only Python allowed is the
+    Arrow-batched mapInPandas in the multimodal family). Queries that
+    execute jobs at build time (sinks, streaming, iterative, bounded
+    driver-state collects) are exercised by their own tests and skipped
+    here to keep this a pure plan inspection."""
+    runs_jobs_at_build = {
+        "merge_upsert",
+        "versioned_sink_roundtrip",
+        "partitioned_merge_roundtrip",
+        "streaming_batch_equiv",
+        "streaming_dedup_equiv",
+        "streaming_stateful_totals",
+        "dedup_cluster_assignment",
+        "shard_packing",
+        "kmeans_assign",
+        "similarity_topk_ivf",
+        "domanda_pipeline_full",  # builds synthesized inputs with actions
+        "domanda_unify_mini",
+    }
+    arrow_python_ok = {"image_features_fake", "media_frame_extract"}
+    names = [n for n in list(QS)[:50] if n not in runs_jobs_at_build]
+    for n in names:
+        p = plan_of(spark, n)
+        assert "CartesianProduct" not in p, n
+        if n not in arrow_python_ok:
+            assert "EvalPython" not in p, n
+
+
 def test_pipeline_loader_stage(spark, tmp_path):
     from domanda_etl_spark.plans import domanda
     from domanda_etl_spark.sinks import VersionedTable
