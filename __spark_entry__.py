@@ -2315,6 +2315,108 @@ def shard_packing(spark, sf_dir):
 
 
 @q(
+    "token_block_packing",
+    """
+    WITH toks AS (SELECT doc_id,
+                         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+                  FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM toks),
+    spans AS (SELECT doc_id, cum - n_tokens AS s, cum AS e FROM c),
+    blocks AS (SELECT doc_id, s, e,
+                      unnest(range(s // 512, (e - 1) // 512 + 1)) AS block_id
+               FROM spans)
+    SELECT block_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(least(e, (block_id + 1) * 512) - greatest(s, block_id * 512)) AS BIGINT)
+             AS n_tokens,
+           string_agg(doc_id || ':' || (greatest(s, block_id * 512) - s)
+                             || '-' || (least(e, (block_id + 1) * 512) - s),
+                      ',' ORDER BY doc_id) AS segments
+    FROM blocks GROUP BY block_id
+    """,
+)
+def token_block_packing(spark, sf_dir):
+    """GPT-style pretraining sequence packing: the corpus is one virtual
+    token stream (docs in doc_id order), cut into fixed 512-token blocks
+    that CROSS document boundaries; each block lists its contributing
+    (doc, token-offset) slices. Built on the same range-bucketed prefix
+    sum as shard_packing (no single-partition window in the Spark plan —
+    the oracle uses the simple global window); a doc spanning k blocks
+    explodes into k rows, so output size is corpus_tokens/512 exactly.
+    Everything after the prefix sum is a map + one groupBy on block_id."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    B = 512
+    n_ranges = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 4)
+    qs_ = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = toks.agg(F.percentile_approx("doc_id", qs_, 10_000).alias("b")).collect()[0]["b"] or []
+    bounds_lit = (
+        F.array(*[F.lit(int(b)) for b in bounds]) if bounds else F.array().cast("array<bigint>")
+    )
+    bucketed = toks.withColumn(
+        "bkt", F.size(F.filter(bounds_lit, lambda b: b < F.col("doc_id")))
+    )
+    totals = {
+        r["bkt"]: r["tot"]
+        for r in bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(len(bounds) + 1):
+        offsets[b] = acc
+        acc += totals.get(b, 0)
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = bucketed.withColumn(
+        "cum", F.sum("n_tokens").over(w) + F.element_at(offset_map, F.col("bkt"))
+    ).select(
+        "doc_id",
+        (F.col("cum") - F.col("n_tokens")).alias("s"),
+        F.col("cum").alias("e"),
+    )
+    blocks = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.floor(F.col("s") / B), F.floor((F.col("e") - 1) / B))
+        ).alias("block_id"),
+    )
+    seg_start = F.greatest(F.col("s"), F.col("block_id") * B) - F.col("s")
+    seg_end = F.least(F.col("e"), (F.col("block_id") + 1) * B) - F.col("s")
+    seg = F.concat_ws(
+        "",
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        seg_start.cast("string"),
+        F.lit("-"),
+        seg_end.cast("string"),
+    )
+    staged = blocks.select(
+        "block_id",
+        "doc_id",
+        (seg_end - seg_start).alias("tok"),
+        F.struct(F.col("doc_id").alias("d"), seg.alias("seg")).alias("ds"),
+    )
+    return staged.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("n_tokens"),
+        F.concat_ws(
+            ",", F.transform(F.array_sort(F.collect_list("ds")), lambda x: x["seg"])
+        ).alias("segments"),
+    )
+
+
+@q(
     "llm_corpus_clean",
     """
     WITH q AS (

@@ -237,6 +237,15 @@ def test_shard_packing_no_single_partition_exchange(spark):
     assert "Window" in p
 
 
+def test_token_block_packing_no_single_partition_exchange(spark):
+    """Same rule for the GPT-style block packer: the virtual-token-stream
+    offsets come from the range-bucketed prefix sum, never a global
+    window."""
+    p = plan_of(spark, "token_block_packing")
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+
+
 def test_tpch_q21_rewrite_aggregates_not_self_join(spark):
     """Q21's EXISTS/NOT-EXISTS pair must be the per-order aggregate
     rewrite: no cartesian/nested-loop self-join of lineitem."""
