@@ -2315,6 +2315,60 @@ def shard_packing(spark, sf_dir):
 
 
 @q(
+    "session_window_native",
+    """
+    WITH o AS (SELECT user_id, ts, value,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    marked AS (SELECT user_id, ts, value,
+                      CASE WHEN prev IS NULL
+                             OR CAST(trunc(epoch(ts)) AS BIGINT)
+                                - CAST(trunc(epoch(prev)) AS BIGINT) > 1800
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM o),
+    sess AS (SELECT user_id, ts, value,
+                    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS sess_id
+             FROM marked)
+    SELECT user_id,
+           CAST(trunc(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,2))), 2) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """Structured Streaming's SESSION WINDOW used in batch — Spark's
+    native merging-interval implementation (the scale path: sessions
+    merge inside the aggregation, no lag-chain materialization) verified
+    against the first-principles oracle (lag gap-marking + running
+    session id). 30-minute gap with INCLUSIVE boundary: an event exactly
+    1800 s after its predecessor EXTENDS the session (verified
+    empirically at sf0.1, where exactly such a gap exists — Spark merges
+    it; a half-open model splits it and goes one row over). Timestamps
+    compare in whole seconds so ns-vs-us precision cancels."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.timestamp_seconds(F.unix_timestamp("ts"))  # whole-second floor
+    return (
+        ev.select("user_id", sec.alias("tss"), "value")
+        .groupBy(F.session_window("tss", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("sess_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
     "token_block_packing",
     """
     WITH toks AS (SELECT doc_id,
