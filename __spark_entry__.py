@@ -5490,6 +5490,346 @@ def map_functions(spark, sf_dir):
     )
 
 
+# ==========================================================================
+# Round-3 batch 2: corpus-curation widening — segment-level dedup,
+# URL canonicalization/domain rollups, collocation mining, robust-stats
+# outlier flagging, CSV sink roundtrip.
+# ==========================================================================
+@q(
+    "paragraph_dedup",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 12)) AS st FROM w),
+    seg AS (SELECT doc_id, CAST((st - 1) // 12 AS INT) AS seg_id,
+                   array_to_string(ws[st:st+11], ' ') AS seg
+            FROM s),
+    r AS (SELECT doc_id, seg_id, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_id) AS rn
+          FROM seg)
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_id) AS cleaned_text,
+           CAST(count(*) AS INT) AS n_kept
+    FROM r WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark, sf_dir):
+    """MassiveText/RefinedWeb-style SEGMENT-level dedup: documents are cut
+    into consecutive 12-word segments (the fixture corpus has no newlines,
+    so fixed windows stand in for paragraphs), every corpus-wide repeat of
+    a segment after its first (doc_id, position) occurrence is dropped,
+    and surviving segments are re-assembled into cleaned documents.
+    Documents whose every segment is a repeat disappear entirely — the
+    intended removal semantic. Two shuffles: one window partitioned BY
+    SEGMENT CONTENT for first-occurrence ranking, one groupBy(doc_id) for
+    reassembly. At 100 TB, partition the window by a 128-bit segment hash
+    instead of raw text (same cardinality, bounded key width) and the
+    reassembly reuses the doc_id scan partitioning; no all-pairs anywhere."""
+    docs = _tw(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    d = docs.select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    segs = F.transform(
+        F.sequence(F.lit(1), n, F.lit(12)),
+        lambda s, i: F.struct(
+            i.cast("int").alias("seg_id"),
+            F.concat_ws(" ", F.slice("ws", s, 12)).alias("seg"),
+        ),
+    )
+    seg = d.select("doc_id", F.explode(segs).alias("c")).select(
+        "doc_id", "c.seg_id", "c.seg"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_id")
+    )
+    kept = seg.withColumn("rn", rn).filter(F.col("rn") == 1)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("seg_id"), F.col("seg")))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.transform(ordered, lambda x: x["seg"])).alias(
+            "cleaned_text"
+        ),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+
+
+# Deterministic URL synthesis shared by the two URL queries: the fixture
+# corpus has no URL column, so one is derived from (doc_id, source, lang)
+# with realistic variance — scheme split, WWW-cased hosts, shared paths
+# (doc_id // 7 collides across docs), optional query string and trailing
+# slash — exercising every normalization rule.
+_URL_SQL = """
+      SELECT doc_id, lang, n_chars,
+             (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.example-' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+             || '/' || lang || '/doc-' || CAST(doc_id // 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?ref=feed' ELSE '' END)
+             AS url
+      FROM documents
+"""
+
+
+def _url_df(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example-"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.floor(F.col("doc_id") / 7).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?ref=feed")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "lang", "n_chars", url.alias("url"))
+
+
+@q(
+    "url_canonicalize_dedup",
+    f"""
+    WITH u AS ({_URL_SQL}),
+    c AS (SELECT doc_id,
+                 regexp_replace(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+                                '^www\\.', '')
+                 || regexp_replace(regexp_extract(url, '^https?://[^/]+([^?#]*)', 1),
+                                   '/$', '') AS canon
+          FROM u)
+    SELECT canon AS canon_url,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS INT) AS n_variants
+    FROM c GROUP BY canon
+    """,
+)
+def url_canonicalize_dedup(spark, sf_dir):
+    """Web-corpus URL dedup: canonicalize (drop scheme, lowercase host,
+    strip leading www., drop query/fragment, strip trailing slash) then
+    keep the lowest doc_id per canonical URL. Scheme/case/query variants
+    of the same page collapse to one keeper — the step that removes
+    re-crawls before any content-level dedup runs. Pure regexp column
+    exprs into ONE groupBy shuffle on the canonical key; at 100 TB the
+    canonical string is the natural shuffle key (bounded length, near-
+    uniform after hostname reversal) — reference: the extractor's
+    normalize-then-dedup convention (etl/extractor.py:42-121)."""
+    u = _url_df(spark, sf_dir)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^https?://[^/]+([^?#]*)", 1), r"/$", ""
+    )
+    return (
+        u.select("doc_id", F.concat(host, path).alias("canon"))
+        .groupBy(F.col("canon").alias("canon_url"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("int").alias("n_variants"),
+        )
+    )
+
+
+@q(
+    "url_domain_stats",
+    f"""
+    WITH u AS ({_URL_SQL}),
+    h AS (SELECT doc_id, lang, n_chars,
+                 regexp_replace(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+                                '^www\\.', '') AS host
+          FROM u)
+    SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(count(DISTINCT lang) AS INT) AS n_langs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc
+    FROM h GROUP BY 1
+    """,
+)
+def url_domain_stats(spark, sf_dir):
+    """Per-registrable-domain corpus rollup (the C4/RefinedWeb curation
+    unit): host extracted from the URL, registrable domain = last two
+    labels, then docs / distinct languages / total chars per domain —
+    the table a curation pipeline thresholds on (drop domains with too
+    few docs, cap domains that dominate). One groupBy on a bounded-
+    cardinality key; count(DISTINCT lang) expands to the standard
+    two-phase partial agg under Catalyst."""
+    u = _url_df(spark, sf_dir)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1)), r"^www\.", ""
+    )
+    return (
+        u.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.countDistinct("lang").cast("int").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@q(
+    "bigram_collocations",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+           FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+                 WHERE len(ws) >= 2)),
+    bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY w1, w2),
+    uc AS (SELECT w1 AS w, count(*) AS n_w FROM bi GROUP BY w1),
+    tot AS (SELECT sum(n_ab) AS n_total FROM bc)
+    SELECT w1, w2, n_ab,
+           (n_ab * 1000000 * n_total) // (u1.n_w * u2.n_w) AS lift_micro
+    FROM bc, tot
+    JOIN uc u1 ON w1 = u1.w
+    JOIN uc u2 ON w2 = u2.w
+    WHERE n_ab >= 5
+    """,
+)
+def bigram_collocations(spark, sf_dir):
+    """Collocation mining (PMI-style lift) over corpus bigrams: lift =
+    P(w1,w2) / (P(w1)·P(w2)) — published as the INTEGER-QUANTIZED
+    micro-lift floor(n_ab·1e6·N / (n_w1·n_w2)) so both engines compute it
+    in exact bigint arithmetic (a float log/ratio would be bench-stable
+    but hash-fragile; see tfidf's rational idf for the same move — at
+    corpus scale switch the product to double and accept approximate
+    ranking). Unigram counts use the bigram LEFT slot on both sides so
+    probabilities share one sample space. Plan: explode once, two
+    partial-agg groupBys, the scalar N crossed in via a broadcast 1-row
+    join (no driver collect), then two joins against the bounded
+    vocabulary table — Zipf-head skew on common words is AQE's skew-join
+    case, same posture as tfidf_top_terms."""
+    docs = _tw(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    d = docs.select(ws.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bi = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uc = bi.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("n_w"))
+    tot = bc.agg(F.sum("n_ab").alias("n_total"))
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .join(uc.select(F.col("w").alias("w1"), F.col("n_w").alias("nw1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("n_w").alias("nw2")), "w2")
+        .filter(F.col("n_ab") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.expr("(n_ab * 1000000 * n_total) div (nw1 * nw2)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+
+
+@q(
+    "mad_outliers",
+    """
+    WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                 FROM documents GROUP BY lang),
+    dev AS (SELECT d.doc_id, d.lang, d.n_chars, m.med,
+                   abs(d.n_chars - m.med) AS dev
+            FROM documents d JOIN med m ON d.lang = m.lang),
+    mad AS (SELECT lang, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY lang)
+    SELECT dev.doc_id, dev.lang, dev.n_chars, dev.med, mad.mad,
+           CAST(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END AS INT)
+             AS is_outlier
+    FROM dev JOIN mad ON dev.lang = mad.lang
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    """Robust outlier flagging via Median Absolute Deviation: per-language
+    median of doc length, then the median absolute deviation from it, and
+    a |x − med| > 3·MAD flag per document — the heavy-tail-safe filter a
+    quality pipeline prefers over z-scores (winsorize/zscore cover the
+    moment-based variants). Exact interpolated medians (F.percentile ↔
+    quantile_cont, proven parity in winsorize_stats); deviations of
+    integers from half-integer medians are IEEE-exact so the 3·MAD
+    comparison is deterministic. The two per-lang stats tables are
+    BOUNDED (one row per language) -> broadcast joins back to the fact
+    scan; two grouped-percentile shuffles, both partial-agg."""
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return dev.join(F.broadcast(mad), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "med",
+        "mad",
+        (F.col("dev") > 3 * F.col("mad")).cast("int").alias("is_outlier"),
+    )
+
+
+@q(
+    "csv_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS INT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip(spark, sf_dir):
+    """S11 CSV sink driver-verified end-to-end: orders projected to three
+    columns, written with the CSV sink (header, same writer surface the
+    reference's dead-but-declared CSV path exposes, etl/loader.py:15-60),
+    read BACK with an explicit schema, then aggregated — the oracle is
+    the same aggregate over the original parquet, so any serialization
+    loss (quoting, double formatting, header handling) hash-mismatches.
+    Doubles survive because Spark writes shortest-repr decimal strings
+    which parse back to the identical float64. The sink write is
+    partition-parallel (one file per task); aggregation is one
+    partial-agg groupBy on a 3-value key."""
+    import tempfile
+
+    sel = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    sel.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).option("header", True).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("int").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2
@@ -5554,6 +5894,7 @@ _FIRST50: list[str] = [
     "gini_event_mix",
     "date_spine_gapfill",
     "levenshtein_neighbors",
+    "paragraph_dedup",
 ]
 
 
