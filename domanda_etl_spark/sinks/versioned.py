@@ -307,7 +307,20 @@ class PartitionedVersionedTable:
         """MERGE that rewrites ONLY the partitions present in `updates`.
         The affected-partition list is a bounded collect (distinct
         partition values of the delta — partition-count scale, never row
-        scale). Untouched partitions: zero IO, references carried over."""
+        scale). Untouched partitions: zero IO, references carried over.
+
+        CONTRACT — merge identity is `keys` WITHIN a partition: the
+        anti-join that retires old rows runs only over the partitions the
+        delta touches. A key whose partition value CHANGES between the
+        stored row and the update is an insert into the new partition; the
+        stored row in the old partition is untouched (it is not read).
+        Callers whose partition column is not functionally determined by
+        the merge keys must either include the partition column in `keys`
+        and treat moves as insert+explicit-delete, or use `overwrite`.
+        This is the standard partition-scoped copy-on-write trade: exact
+        cross-partition retirement would require scanning every partition
+        of the table on every merge, which is precisely what this sink
+        exists to avoid at 100 TB."""
         m = self._read_manifest()
         if m["current"] is None:
             return self.overwrite(updates)
