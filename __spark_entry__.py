@@ -5830,6 +5830,181 @@ def csv_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "json_roundtrip",
+    """
+    SELECT p_type,
+           CAST(count(*) AS INT) AS n_parts,
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(30,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM part GROUP BY p_type
+    """,
+)
+def json_roundtrip(spark, sf_dir):
+    """JSON-lines source+sink end-to-end: part written as JSONL, read back
+    with an explicit schema, aggregated — oracle runs on the original
+    parquet, so any serialization loss (double formatting, escaping,
+    schema drift) hash-mismatches. Doubles survive because Spark emits
+    shortest-repr JSON numbers that parse back to the identical float64.
+    Explicit read schema keeps the scan single-pass (no inference job);
+    both write and read are partition-parallel."""
+    import tempfile
+
+    sel = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_retailprice")
+    path = tempfile.mkdtemp(prefix="json_roundtrip_")
+    sel.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "p_partkey long, p_type string, p_retailprice double"
+    ).json(path)
+    return back.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts"),
+        F.round(F.sum(F.col("p_retailprice").cast("decimal(30,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@q(
+    "orc_roundtrip",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS INT) AS n_cust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def orc_roundtrip(spark, sf_dir):
+    """ORC source+sink end-to-end (the second columnar format a lake
+    commonly carries next to parquet): customer written as ORC, read
+    back, aggregated against the parquet oracle. ORC is a lossless
+    binary columnar format — the check verifies the reader/writer pair
+    and predicate-capable scan path, not text serialization."""
+    import tempfile
+
+    sel = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    sel.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(30,2)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+@q(
+    "partitioned_write_prune",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS INT) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custs,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    GROUP BY o_orderpriority
+    """,
+)
+def partitioned_write_prune(spark, sf_dir):
+    """Hive-style partitioned lake layout + partition PRUNING: orders
+    written partitionBy(o_orderpriority), read back with an IN filter on
+    the partition column, aggregated. The filter resolves at the
+    directory level — the scan's PartitionFilters prune 3 of 5
+    partitions without opening a file (plan-gated in
+    tests/test_plans_quality.py). This is S3/lake layout 101 at 100 TB:
+    date/tenant partition columns turn full scans into touched-partition
+    scans. Partition values containing spaces round-trip through the
+    directory-name escaping."""
+    import tempfile
+
+    sel = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="part_prune_")
+    sel.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("int").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def _bucketed_orders_customer(spark, sf_dir):
+    """Create (or replace) the bucketed external tables for the
+    co-located join demo; returns their catalog names."""
+    import tempfile
+    import uuid
+
+    from domanda_etl_spark.sinks import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    ot, ct = f"bjc_orders_{tag}", f"bjc_customer_{tag}"
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        ot,
+        "o_custkey",
+        8,
+        f"{base}/orders",
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ct,
+        "c_custkey",
+        8,
+        f"{base}/customer",
+    )
+    return ot, ct
+
+
+@q(
+    "bucketed_join_colocated",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(count(*) AS INT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def bucketed_join_colocated(spark, sf_dir):
+    """SHUFFLE-FREE fact join via bucketed layout: orders and customer
+    are materialized as external tables bucketed (and sorted) by the
+    join key with matching bucket counts, then joined with a merge hint
+    and aggregated BY THE BUCKET KEY — the entire join+groupBy pipeline
+    runs with ZERO Exchange operators (plan-gated in
+    tests/test_plans_quality.py): each task reads bucket i of both
+    sides, merge-joins, and partially+fully aggregates in place. This is
+    the recurring-join answer at 100 TB — pay one layout write, then
+    every nightly join of the two tables skips both fact shuffles. The
+    merge hint pins SMJ so the demo proves the co-location property
+    rather than AQE's broadcast shortcut."""
+    ot, ct = _bucketed_orders_customer(spark, sf_dir)
+    o, c = spark.table(ot), spark.table(ct)
+    return (
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2

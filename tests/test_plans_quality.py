@@ -334,6 +334,25 @@ def test_ivf_probe_is_broadcast_no_all_pairs(spark):
     assert "CartesianProduct" not in p
 
 
+def test_bucketed_join_zero_exchange(spark):
+    """Bucketed layout must eliminate EVERY shuffle in the join+groupBy
+    pipeline: matching bucket specs feed SortMergeJoin directly and the
+    bucket-key aggregation reuses the same distribution."""
+    p = plan_of(spark, "bucketed_join_colocated")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, p
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """The partition-column IN filter must resolve at the directory level
+    (PartitionFilters), and column pruning must drop the unused key from
+    the read schema."""
+    p = plan_of(spark, "partitioned_write_prune")
+    assert "PartitionFilters: [o_orderpriority#" in p
+    assert "IN (1-URGENT,5-LOW)" in p
+    assert "o_orderkey" not in p.split("ReadSchema:")[1].splitlines()[0]
+
+
 def test_window_wide_no_cartesian_no_python(spark):
     """Global gate over the driver window: no CartesianProduct and no
     row-level Python eval anywhere (the only Python allowed is the
