@@ -6005,6 +6005,144 @@ def bucketed_join_colocated(spark, sf_dir):
     )
 
 
+@q(
+    "stream_static_join_equiv",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS INT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join_equiv(spark, sf_dir):
+    """§2.9 stream-STATIC join: orders as a file stream joined per
+    micro-batch to the static customer dimension, appended to a parquet
+    sink, then the published files are aggregated in batch. The oracle is
+    the pure batch join+aggregate — equality pins the streaming join's
+    semantics to the batch ones. The static side is broadcast into every
+    micro-batch (dimension-scale); the stream side never shuffles before
+    the sink. availableNow trigger + temp checkpoint, same harness as
+    streaming_batch_equiv."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(path).schema
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tdir = tempfile.mkdtemp(prefix="stream_sj_")
+    out = os.path.join(tdir, "out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        .select("o_custkey", "o_totalprice")
+    )
+    joined = stream.join(
+        F.broadcast(cust), stream.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_totalprice")
+    sq = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@q(
+    "corrupt_record_handling",
+    """
+    SELECT CASE WHEN p_partkey % 7 = 0 THEN 'corrupt' ELSE 'good' END AS status,
+           CAST(count(*) AS INT) AS n_rows,
+           sum(CASE WHEN p_partkey % 7 = 0 THEN 0 ELSE p_partkey END) AS key_sum
+    FROM part GROUP BY 1
+    """,
+)
+def corrupt_record_handling(spark, sf_dir):
+    """Malformed-input robustness (the dead-letter path every ingest needs):
+    a JSONL dataset is synthesized with a deterministic 1-in-7 corruption
+    (truncated JSON), read back in PERMISSIVE mode, and rows are
+    classified good/corrupt — a corrupt line parses to an all-null row,
+    so classification is `p_partkey IS NULL` (no reference to the
+    internal _corrupt_record column, which Spark disallows in
+    filters/aggregates without caching). The oracle reconstructs the
+    same 1-in-7 split arithmetically. key_sum proves the surviving rows
+    parsed with exact values, not just the right counts."""
+    import tempfile
+
+    sel = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    line = F.when(
+        F.col("p_partkey") % 7 == 0,
+        F.concat(F.lit('{"p_partkey": '), F.col("p_partkey").cast("string")),
+    ).otherwise(F.to_json(F.struct("p_partkey", "p_type")))
+    path = tempfile.mkdtemp(prefix="corrupt_json_")
+    sel.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.schema("p_partkey long, p_type string").json(
+        path, mode="PERMISSIVE"
+    )
+    status = F.when(F.col("p_partkey").isNull(), F.lit("corrupt")).otherwise(
+        F.lit("good")
+    )
+    return back.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.sum(F.coalesce("p_partkey", F.lit(0))).alias("key_sum"),
+    )
+
+
+@q(
+    "schema_evolution_read",
+    """
+    SELECT p_type,
+           CAST(count(*) AS INT) AS n_parts,
+           CAST(ROUND(SUM(CAST(
+             CASE WHEN p_partkey % 2 = 1 THEN p_retailprice ELSE 0 END
+             AS DECIMAL(30,2))), 2) AS DOUBLE) AS priced_total
+    FROM part GROUP BY p_type
+    """,
+)
+def schema_evolution_read(spark, sf_dir):
+    """Schema evolution across lake batches: an early batch written
+    WITHOUT p_retailprice (even keys) and a later batch WITH it (odd
+    keys) are read together under mergeSchema — the union schema applies
+    and the missing column back-fills NULL for old files. The same
+    mechanism backs VersionedTable's O(delta) appends
+    (sinks/versioned.py read path); this query pins the semantics
+    directly. Oracle simulates the evolution arithmetically."""
+    import tempfile
+
+    part = _t(spark, sf_dir, "part")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    part.filter(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_type").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "b1"))
+    part.filter(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_type", "p_retailprice"
+    ).write.mode("overwrite").parquet(os.path.join(base, "b2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b1"), os.path.join(base, "b2")
+    )
+    return back.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts"),
+        F.round(
+            F.sum(F.coalesce("p_retailprice", F.lit(0.0)).cast("decimal(30,2)")), 2
+        )
+        .cast("double")
+        .alias("priced_total"),
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2
