@@ -3205,11 +3205,14 @@ def tpch_q15_top_supplier(spark, sf_dir):
         .cast("double")
         .alias("total_revenue")
     )
-    # global-max filter via an empty-frame window: rev is supplier-sized
-    # (dimension cardinality), so the single-partition window is bounded
-    top = rev.withColumn(
-        "__mx", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__mx"))
+    # global-max filter via partial-agg + 1-row broadcast (same pattern as
+    # ratio_to_report): the max is computed distributed and only one row
+    # crosses to the driver side of the plan — no partitionless window,
+    # which would sort the whole supplier-cardinality table in one task
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
     return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )

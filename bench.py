@@ -44,6 +44,13 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:8]
+    )
     print(
         json.dumps(
             {
@@ -51,6 +58,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # summary keys LAST: downstream captures that keep only the
+                # tail of this line still see the headline numbers
+                "n_queries": len(timings),
+                "n_failed": len(failed),
+                "failed": failed,
+                "slowest": slowest,
+                "total_sec": total,
                 "sf": sf,
             },
             # compact separators: the per-query map is the valuable part of
