@@ -189,3 +189,36 @@ def test_scd2_from_changelog_nulls_and_intervals(spark):
         (3, "a", 1.0, 1.0, False),  # tie -> zero-length interval, id order
         (3, "b", 1.0, None, True),
     }
+
+
+def test_pagerank_cycle_is_stationary(spark):
+    """On a directed cycle every node's rank is a fixpoint of the integer
+    recurrence from the first iteration: 150000 + 850*1000000//1000 =
+    1000000 — any drift means the damping/division math is off."""
+    from domanda_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, iterations=3).collect()
+    }
+    assert got == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+
+def test_pagerank_dangling_hand_computed(spark):
+    """Single edge a->b: a never receives (rank falls to the teleport
+    floor), b's second-iteration value is hand-computable — dangling
+    nodes receive but their outbound mass is dropped, matching the
+    oracle's recurrence."""
+    from domanda_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    two = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(edges, iterations=2).collect()
+    }
+    # iter1: a=150000, b=150000+850*1000000//1000=1000000
+    # iter2: a=150000, b=150000+850*150000//1000=277500
+    assert two == {1: 150_000, 2: 277_500}
