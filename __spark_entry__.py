@@ -6208,6 +6208,150 @@ def pagerank_purchases(spark, sf_dir):
     return pagerank_integer(edges, "src", "dst", iterations=8)
 
 
+@q(
+    "incremental_agg_merge",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS INT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE)
+             AS total_price,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: the rollup is computed as
+    PARTIAL aggregates over three disjoint batches (the nightly-delta
+    situation) and then MERGED — count by sum, sum by sum, min/max by
+    min/max — instead of re-scanning history. Equality with the oracle's
+    single-pass aggregate is exactly the mergeability claim that makes
+    incremental view maintenance sound. At 100 TB this is the difference
+    between aggregating one day's delta + merging a tiny state table and
+    re-aggregating the whole lake; the merge shuffle is keyed on the
+    (bounded) group key, never the fact rows. Sums stay DECIMAL until
+    after the merge so batch boundaries can't introduce float
+    order-sensitivity."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def partial(batch):
+        return batch.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("ps"),
+            F.min("o_orderkey").alias("pmin"),
+            F.max("o_orderkey").alias("pmax"),
+        )
+
+    parts = [
+        partial(orders.filter(F.col("o_orderkey") % 3 == i)) for i in range(3)
+    ]
+    merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("pc").cast("int").alias("n_orders"),
+        F.round(F.sum("ps"), 2).cast("double").alias("total_price"),
+        F.min("pmin").alias("min_key"),
+        F.max("pmax").alias("max_key"),
+    )
+
+
+@q(
+    "interpolate_linear",
+    """
+    WITH g AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 6) AS DOUBLE) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+    b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM g GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                 CAST(hi AS TIMESTAMP),
+                                                 INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+    j AS (SELECT s.user_id, s.day, g.v FROM spine s
+          LEFT JOIN g ON s.user_id = g.user_id AND s.day = g.day),
+    f AS (SELECT user_id, day, v,
+                 max(CASE WHEN v IS NOT NULL THEN day END)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_day,
+                 min(CASE WHEN v IS NOT NULL THEN day END)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_day
+          FROM j),
+    w AS (SELECT f.user_id, f.day, f.v, f.prev_day, f.next_day,
+                 gp.v AS pv, gn.v AS nv
+          FROM f
+          LEFT JOIN g gp ON f.user_id = gp.user_id AND f.prev_day = gp.day
+          LEFT JOIN g gn ON f.user_id = gn.user_id AND f.next_day = gn.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv)
+                  * (day - prev_day) / (next_day - prev_day)
+           END, 6) AS DOUBLE) AS v_interp,
+           CAST(v IS NULL AS INT) AS was_gap
+    FROM w
+    """,
+)
+def interpolate_linear(spark, sf_dir):
+    """Time-series LINEAR interpolation over daily gaps (the resample +
+    interpolate step of sensor/metric pipelines; forward_fill covers the
+    LOCF variant): per-user daily purchase totals, a generated day spine,
+    then each missing day gets pv + (nv-pv)·(d-prev)/(next-prev) from
+    the bracketing observations. The bracketing day is found with
+    running max/min window functions over the SAME per-user
+    partitioning the spine join uses (no extra shuffle); bracket values
+    join back on (user, day). Interior gaps only — the spine spans
+    min..max per user, so every gap is bracketed. Division result
+    rounded to 6 on both engines (ratio rule); inputs to the division
+    are whole-day integer deltas and decimal-exact sums, so the quotient
+    is the only float step."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 6)
+        .cast("double")
+        .alias("v")
+    )
+    b = g.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = b.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    j = spine.join(g, ["user_id", "day"], "left")
+    wu = Window.partitionBy("user_id").orderBy("day")
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.max(known_day).over(wu.rowsBetween(Window.unboundedPreceding, 0)).alias("prev_day"),
+        F.min(known_day).over(wu.rowsBetween(0, Window.unboundedFollowing)).alias("next_day"),
+    )
+    gp = g.select(
+        F.col("user_id").alias("pu"), F.col("day").alias("pd"), F.col("v").alias("pv")
+    )
+    gn = g.select(
+        F.col("user_id").alias("nu"), F.col("day").alias("nd"), F.col("v").alias("nv")
+    )
+    w = (
+        f.join(gp, (f.user_id == gp.pu) & (f.prev_day == gp.pd), "left")
+        .join(gn, (f.user_id == gn.nu) & (f.next_day == gn.nd), "left")
+    )
+    frac = F.datediff("day", "prev_day") / F.datediff("next_day", "prev_day")
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return w.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(interp, 6).cast("double").alias("v_interp"),
+        F.col("v").isNull().cast("int").alias("was_gap"),
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2

@@ -353,8 +353,8 @@ def test_partitioned_write_prunes_partitions(spark):
     assert "o_orderkey" not in p.split("ReadSchema:")[1].splitlines()[0]
 
 
-def test_window_wide_no_cartesian_no_python(spark):
-    """Global gate over the driver window: no CartesianProduct and no
+def test_registry_wide_no_cartesian_no_python(spark):
+    """Global gate over the ENTIRE query registry: no CartesianProduct and no
     row-level Python eval anywhere (the only Python allowed is the
     Arrow-batched mapInPandas in the multimodal family). Queries that
     execute jobs at build time (sinks, streaming, iterative, bounded
@@ -367,15 +367,27 @@ def test_window_wide_no_cartesian_no_python(spark):
         "streaming_batch_equiv",
         "streaming_dedup_equiv",
         "streaming_stateful_totals",
+        "stream_static_join_equiv",
         "dedup_cluster_assignment",
         "shard_packing",
         "kmeans_assign",
         "similarity_topk_ivf",
         "domanda_pipeline_full",  # builds synthesized inputs with actions
         "domanda_unify_mini",
+        "pagerank_purchases",  # iterative, checkpoints per round
+        # sink/layout roundtrips: write real files at build time
+        "csv_roundtrip",
+        "json_roundtrip",
+        "orc_roundtrip",
+        "partitioned_write_prune",
+        "bucketed_join_colocated",
+        "corrupt_record_handling",
+        "schema_evolution_read",
     }
     arrow_python_ok = {"image_features_fake", "media_frame_extract"}
-    names = [n for n in list(QS)[:50] if n not in runs_jobs_at_build]
+    # registry-WIDE, not just the driver window: every pure-plan query in
+    # queries() must be free of CartesianProduct and row-level Python
+    names = [n for n in QS if n not in runs_jobs_at_build]
     for n in names:
         p = plan_of(spark, n)
         assert "CartesianProduct" not in p, n
