@@ -6352,6 +6352,165 @@ def interpolate_linear(spark, sf_dir):
     )
 
 
+@q(
+    "embedding_gram_matrix",
+    """
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+      FROM embeddings),
+    cells AS (
+      SELECT i, j, q[i] * q[j] AS p
+      FROM (SELECT q, i, unnest(range(i, 65)) AS j
+            FROM (SELECT q, unnest(range(1, 65)) AS i FROM qv)))
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, sum(p) AS gram_q
+    FROM cells GROUP BY i, j
+    """,
+)
+def embedding_gram_matrix(spark, sf_dir):
+    """Distributed exact Gram matrix XᵀX of the embedding corpus — the
+    input to PCA/whitening in an embedding-pipeline. Upper triangle only
+    (2080 cells for d=64). Determinism: coordinates are quantized by the
+    POWER-OF-TWO scale 2^20 (float→double is exact, multiplying by 2^20
+    shifts the exponent without rounding, floor is exact in both
+    engines), so every product and sum is bigint — no float summation
+    order anywhere. Plan: one zero-join flatMap (nested transform →
+    explode, d(d+1)/2 rows per vector) into one partial-agg groupBy(i,j)
+    — the classic map-side-combine outer-product; at 100 TB the combine
+    reduces each partition to ≤2080 rows before the shuffle, so shuffle
+    volume is partitions×2080, independent of corpus size."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1048576).cast("long"),
+    )
+    d = emb.select(qv.alias("q"))
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(64)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.element_at("q", i) * F.element_at("q", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        d.select(F.explode(cells).alias("c"))
+        .groupBy("c.i", "c.j")
+        .agg(F.sum("c.p").alias("gram_q"))
+    )
+
+
+@q(
+    "skew_profile",
+    """
+    WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+    r AS (SELECT l_suppkey, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rn
+          FROM c)
+    SELECT CAST(count(*) AS INT) AS n_keys,
+           max(cnt) AS max_cnt,
+           min(cnt) AS min_cnt,
+           sum(cnt) AS total_rows,
+           max(cnt) * 1000000 * count(*) // sum(cnt) AS skew_ratio_micro,
+           string_agg(CASE WHEN rn <= 3 THEN CAST(l_suppkey AS VARCHAR) END,
+                      ',' ORDER BY rn) AS top3_keys
+    FROM r
+    """,
+)
+def skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostics — the profile you run BEFORE picking a
+    join/agg strategy at 100 TB: per-key cardinality rollup (key count,
+    max/min frequency, exact max/mean ratio in integer micro-units) plus
+    the top-3 heaviest keys. skew_ratio_micro ≈ 1e6 means uniform; large
+    values say 'salt this key or rely on AQE skew-join'. One partial-agg
+    groupBy on the key; the stats are a full partial-agg reduce and the
+    top-3 is a distributed TakeOrdered (never a partitionless window or
+    global sort); both sides are 1-to-3-row broadcasts at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = c.agg(
+        F.count(F.lit(1)).cast("int").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.sum("cnt").alias("total_rows"),
+        F.expr("max(cnt) * 1000000 * count(*) div sum(cnt)").alias(
+            "skew_ratio_micro"
+        ),
+    )
+    top3 = (
+        c.orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+        .limit(3)
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("cnt")).alias("neg"),
+                                F.col("l_suppkey").alias("k"),  # numeric tiebreak
+                            )
+                        )
+                    ),
+                    lambda s: s["k"].cast("string"),
+                ),
+            ).alias("top3_keys")
+        )
+    )
+    return stats.crossJoin(F.broadcast(top3))
+
+
+@q(
+    "chi2_contingency",
+    """
+    WITH c AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+                      count(*) AS observed
+               FROM events GROUP BY event_type, CAST(isodow(ts) AS INT)),
+    rt AS (SELECT event_type, sum(observed) AS row_tot FROM c GROUP BY event_type),
+    ct AS (SELECT dow, sum(observed) AS col_tot FROM c GROUP BY dow),
+    n AS (SELECT sum(observed) AS grand FROM c)
+    SELECT c.event_type, c.dow, c.observed,
+           rt.row_tot * ct.col_tot * 1000000 // n.grand AS expected_micro
+    FROM c JOIN rt USING (event_type) JOIN ct USING (dow), n
+    """,
+)
+def chi2_contingency(spark, sf_dir):
+    """Chi-square contingency table (event_type × ISO weekday): observed
+    cell counts and the independence-model expectation row_tot·col_tot/N
+    in exact integer micro-units — the input to an association test
+    without the float division that would be hash-fragile. The marginals
+    are group-cardinality-sized -> broadcast back onto the cells; the
+    only fact-scale shuffle is the first groupBy. weekday parity:
+    Spark's weekday() is Mon=0, DuckDB's isodow is Mon=1 — offset by
+    one."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    rt = c.groupBy("event_type").agg(F.sum("observed").alias("row_tot"))
+    ct = c.groupBy("dow").agg(F.sum("observed").alias("col_tot"))
+    n = c.agg(F.sum("observed").alias("grand"))
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            F.expr("row_tot * col_tot * 1000000 div grand").alias(
+                "expected_micro"
+            ),
+        )
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2
