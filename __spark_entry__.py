@@ -6511,6 +6511,161 @@ def chi2_contingency(spark, sf_dir):
     )
 
 
+@q(
+    "spike_detection",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+    w AS (
+      SELECT user_id, day, cents,
+             sum(cents) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS prev_sum,
+             count(*) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS prev_n
+      FROM d)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cents,
+           COALESCE(prev_sum, 0) AS prev_sum,
+           CAST(prev_n AS INT) AS prev_n,
+           CAST(CASE WHEN prev_n > 0 AND cents * prev_n > 3 * prev_sum
+                THEN 1 ELSE 0 END AS INT) AS is_spike
+    FROM w
+    """,
+)
+def spike_detection(spark, sf_dir):
+    """Metric anomaly flagging: a user-day is a spike when its spend
+    exceeds 3× the trailing average of their previous ≤7 OBSERVED days
+    (rows frame — gaps don't dilute the baseline). The comparison is
+    cross-multiplied into integers (cents·n > 3·sum) so no division or
+    float threshold exists; cents come from floor(value·100), exact
+    binary in both engines. One shuffle (user/day groupBy); the window
+    rides the same hash partitioning — Catalyst elides a second
+    exchange."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"))
+    wu = Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "user_id",
+        "day",
+        "cents",
+        F.sum("cents").over(wu).alias("prev_sum"),
+        F.count(F.lit(1)).over(wu).alias("prev_n"),
+    )
+    return w.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        F.coalesce("prev_sum", F.lit(0)).alias("prev_sum"),
+        F.col("prev_n").cast("int").alias("prev_n"),
+        (
+            (F.col("prev_n") > 0)
+            & (F.col("cents") * F.col("prev_n") > 3 * F.col("prev_sum"))
+        )
+        .cast("int")
+        .alias("is_spike"),
+    )
+
+
+@q(
+    "lsh_pair_containment",
+    """
+    WITH RECURSIVE
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || s)) AS m
+      FROM sh, (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+      GROUP BY p.id_a, p.id_b)
+    SELECT i.id_a, i.id_b, i.inter, za.n AS size_a, zb.n AS size_b,
+           i.inter * 1000000 // za.n AS cont_a_micro,
+           i.inter * 1000000 // zb.n AS cont_b_micro,
+           i.inter * 1000000 // (za.n + zb.n - i.inter) AS jaccard_micro
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    """,
+)
+def lsh_pair_containment(spark, sf_dir):
+    """The VERIFY stage of scalable near-dup detection: LSH proposes
+    candidate pairs (probabilistic), then EXACT shingle containment and
+    Jaccard are computed per pair in integer micro-units — the standard
+    two-phase 'cheap candidates, exact re-check' that removes LSH false
+    positives before removal decisions. The intersection join touches
+    only candidate-pair shingle sets (pair-bounded, never corpus
+    all-pairs); sizes are doc-bounded. Shares the md5 MinHash/banding
+    scheme with dedup_cluster_assignment, so the candidate set is
+    identical across engines."""
+    docs = _tw(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=8, bands=2
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 0)), "
+                    "i -> substr(text, i, 3))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("idb2"), F.col("s").alias("s_b"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("idb2")) & (F.col("s_a") == F.col("s_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("size_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.expr("inter * 1000000 div size_a").alias("cont_a_micro"),
+            F.expr("inter * 1000000 div size_b").alias("cont_b_micro"),
+            F.expr("inter * 1000000 div (size_a + size_b - inter)").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2
