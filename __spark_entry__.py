@@ -6666,6 +6666,100 @@ def lsh_pair_containment(spark, sf_dir):
     )
 
 
+@q(
+    "web_corpus_pipeline",
+    f"""
+    WITH u AS ({_URL_SQL}),
+    c AS (SELECT doc_id, n_chars,
+                 regexp_replace(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+                                '^www\\.', '') AS host,
+                 regexp_replace(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+                                '^www\\.', '')
+                 || regexp_replace(regexp_extract(url, '^https?://[^/]+([^?#]*)', 1),
+                                   '/$', '') AS canon
+          FROM u),
+    keep AS (SELECT canon, min(doc_id) AS doc_id FROM c GROUP BY canon),
+    kept AS (SELECT c.doc_id, c.host, c.n_chars,
+                    d.text
+             FROM c JOIN keep k ON c.doc_id = k.doc_id
+             JOIN documents d ON d.doc_id = c.doc_id),
+    w AS (SELECT doc_id, host, n_chars,
+                 string_split_regex(trim(text), '\\s+') AS ws FROM kept),
+    s AS (SELECT doc_id, host, n_chars, ws,
+                 unnest(range(1, len(ws) + 1, 12)) AS st FROM w),
+    seg AS (SELECT doc_id, host, n_chars, CAST((st - 1) // 12 AS INT) AS seg_id,
+                   array_to_string(ws[st:st+11], ' ') AS seg FROM s),
+    r AS (SELECT doc_id, host, n_chars, seg_id, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_id) AS rn
+          FROM seg),
+    docs2 AS (SELECT doc_id, host, n_chars, count(*) AS n_kept
+              FROM r WHERE rn = 1 GROUP BY doc_id, host, n_chars),
+    final AS (SELECT * FROM docs2 WHERE n_kept >= 2)
+    SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+           CAST(count(*) AS INT) AS n_docs,
+           sum(n_kept) AS total_segments,
+           sum(n_chars) AS total_chars
+    FROM final GROUP BY 1
+    """,
+)
+def web_corpus_pipeline(spark, sf_dir):
+    """Composite web-corpus curation flagship — the four stages a crawl
+    pipeline runs, composed as ONE lazy DAG (like llm_corpus_clean for
+    text quality): (1) URL canonicalization keep-first dedup, (2)
+    corpus-wide segment-level dedup with per-doc survivor counts, (3) a
+    quality gate dropping documents left with <2 unique segments, (4)
+    per-registrable-domain rollup. Stage boundaries are just DataFrame
+    handoffs — Catalyst fuses the whole thing; shuffles: canon groupBy,
+    segment window, doc reassembly, domain rollup — each keyed on a
+    different necessary dimension, nothing redundant."""
+    u = _url_df(spark, sf_dir)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1)), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^https?://[^/]+([^?#]*)", 1), r"/$", ""
+    )
+    c = u.select(
+        "doc_id", "n_chars", host.alias("host"), F.concat(host, path).alias("canon")
+    )
+    keep = c.groupBy("canon").agg(F.min("doc_id").alias("doc_id"))
+    docs = _tw(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = (
+        c.join(keep.select("doc_id"), "doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "host", "n_chars", "text")
+    )
+    ws = F.split(F.trim("text"), r"\s+")
+    d = kept.select("doc_id", "host", "n_chars", ws.alias("ws"))
+    n = F.size("ws")
+    segs = F.transform(
+        F.sequence(F.lit(1), n, F.lit(12)),
+        lambda s, i: F.struct(
+            i.cast("int").alias("seg_id"),
+            F.concat_ws(" ", F.slice("ws", s, 12)).alias("seg"),
+        ),
+    )
+    seg = d.select(
+        "doc_id", "host", "n_chars", F.explode(segs).alias("cseg")
+    ).select("doc_id", "host", "n_chars", "cseg.seg_id", "cseg.seg")
+    rn = F.row_number().over(Window.partitionBy("seg").orderBy("doc_id", "seg_id"))
+    docs2 = (
+        seg.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id", "host", "n_chars")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .filter(F.col("n_kept") >= 2)
+    )
+    return docs2.groupBy(
+        F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_kept").alias("total_segments"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2
