@@ -6760,6 +6760,83 @@ def web_corpus_pipeline(spark, sf_dir):
     )
 
 
+_SPATIAL_PTS_SQL = """
+      SELECT c_custkey AS pid,
+             (c_custkey * 48271) % 180000000 - 90000000 AS lat_u,
+             (c_custkey * 69621) % 360000000 - 180000000 AS lon_u
+      FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+@q(
+    "spatial_bucket_join",
+    f"""
+    WITH p AS ({_SPATIAL_PTS_SQL})
+    SELECT a.pid AS pid_a, b.pid AS pid_b,
+           (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist2
+    FROM p a JOIN p b ON a.pid < b.pid
+    WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+          + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+          < CAST(5000000 AS BIGINT) * 5000000
+    """,
+)
+def spatial_bucket_join(spark, sf_dir):
+    """Spatial proximity self-join WITHOUT all-pairs: points (micro-degree
+    integers synthesized deterministically from customer keys) are
+    bucketed into a 10° grid; each point probes its own + 8 neighbor
+    cells, and candidates get the exact integer distance check
+    dx²+dy² < r². Because the cell edge (10°) ≥ the radius (5°), the
+    9-cell probe provably covers every qualifying pair — and the ORACLE
+    is the brute-force all-pairs ground truth, so the hash-match IS the
+    no-missed-pairs proof. Spark-side shuffle is the cell-key join
+    (9 rows per point), never |P|² — the standard grid-bucketed spatial
+    join at fleet scale. Planar approximation: no longitude wraparound
+    (synthesized points, documented). All arithmetic bigint-exact."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 48271) % 180000000 - 90000000).alias("lat_u"),
+        ((F.col("c_custkey") * 69621) % 360000000 - 180000000).alias("lon_u"),
+    )
+    cell = 10_000_000
+    cx = F.expr(f"lat_u div {cell}")
+    cy = F.expr(f"lon_u div {cell}")
+    neighbors = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(1)),
+            lambda dx: F.transform(
+                F.sequence(F.lit(-1), F.lit(1)),
+                lambda dy: F.struct(
+                    (cx + dx).alias("gx"), (cy + dy).alias("gy")
+                ),
+            ),
+        )
+    )
+    probe = pts.select(
+        F.col("pid").alias("pid_a"),
+        F.col("lat_u").alias("la"),
+        F.col("lon_u").alias("lo"),
+        F.explode(neighbors).alias("g"),
+    ).select("pid_a", "la", "lo", "g.gx", "g.gy")
+    build = pts.select(
+        F.col("pid").alias("pid_b"),
+        F.col("lat_u").alias("lb"),
+        F.col("lon_u").alias("lob"),
+        cx.alias("gx"),
+        cy.alias("gy"),
+    )
+    d2 = (F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb")) + (
+        F.col("lo") - F.col("lob")
+    ) * (F.col("lo") - F.col("lob"))
+    return (
+        probe.join(build, ["gx", "gy"])
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .filter(d2 < F.lit(5_000_000).cast("long") * F.lit(5_000_000))
+        .select("pid_a", "pid_b", d2.alias("dist2"))
+    )
+
+
 # Round-3 window policy: every r1/r2 GREEN row stays on the record — the
 # 50 driver slots go to (a) the three flagships, (b) every registered
 # query that has NEVER been driver-verified (12 TPC-H + the late round-2
