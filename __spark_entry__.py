@@ -4735,17 +4735,20 @@ def retention_cohorts(spark, sf_dir):
     WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
                FROM events GROUP BY user_id, event_type),
     t AS (SELECT user_id, SUM(n) AS tot, SUM(n * n) AS ss FROM c GROUP BY user_id)
-    SELECT user_id, tot AS n_events,
-           ROUND(1.0 - ss * 1.0 / (tot * tot), 6) AS gini
+    SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+           CAST((tot * tot - ss) * 1000000 // (tot * tot) AS BIGINT) AS gini_micro
     FROM t
     """,
 )
 def gini_event_mix(spark, sf_dir):
     """Per-user event-mix diversity as Gini impurity 1 - sum(p_i^2) —
-    computed as 1 - sum(n_i^2)/n^2 so every aggregate is an exact INTEGER
-    sum and the single double division is bit-identical cross-engine
-    (Shannon entropy would need transcendental log — not hash-matchable
-    on differing libm). Two chained groupBys on the same key prefix."""
+    computed as (n^2 - sum(n_i^2)) * 10^6 div n^2 so EVERY step is exact
+    integer arithmetic: the sums are BIGINT and the final value is a
+    floor-divided micro-unit BIGINT, bit-identical cross-engine.  (The
+    previous ROUND(double, 6) form diverged whenever tot^2 = 2^a*5^b made
+    the double's shortest repr terminate in '5' at digit 7 — Spark rounds
+    the repr, DuckDB the exact binary.  Never round a double at a
+    boundary-prone scale.)  Two chained groupBys on the same key prefix."""
     ev = _t(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     t = c.groupBy("user_id").agg(
@@ -4754,8 +4757,8 @@ def gini_event_mix(spark, sf_dir):
     return t.select(
         "user_id",
         F.col("tot").alias("n_events"),
-        F.round(F.lit(1.0) - F.col("ss") * F.lit(1.0) / (F.col("tot") * F.col("tot")), 6).alias(
-            "gini"
+        F.expr("CAST((tot * tot - ss) * 1000000L div (tot * tot) AS BIGINT)").alias(
+            "gini_micro"
         ),
     )
 
