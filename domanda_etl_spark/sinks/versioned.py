@@ -324,6 +324,14 @@ class PartitionedVersionedTable:
         m = self._read_manifest()
         if m["current"] is None:
             return self.overwrite(updates)
+        # Pin the delta to ONE evaluation: `updates` may be nondeterministic
+        # (dropDuplicates, sample, shuffle-order-dependent picks), and this
+        # method reads it three times — the affected-partition collect, the
+        # anti-join, and the written union. Without materialization those
+        # three reads can see DIFFERENT rows, committing an inconsistent
+        # version (e.g. retiring a key in one partition while writing it
+        # into another). localCheckpoint is O(delta), which merge already is.
+        updates = updates.localCheckpoint(eager=True)
         pc = self.partition_col
         affected = [
             str(r[pc])

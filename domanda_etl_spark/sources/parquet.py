@@ -72,6 +72,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` = integer division on longs (a double division would lose
         # precision on 63-bit nano values)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    Parquet written by pandas/pyarrow defaults carries naive timestamps
+    (`timestamp[us]`, isAdjustedToUTC=false), which Spark >= 3.4 infers as
+    TIMESTAMP_NTZ — and every event-time expression built for TIMESTAMP
+    (`unix_micros`, watermarks, window()) then fails to analyze. With the
+    session timezone pinned to UTC (session.py:46) the NTZ->LTZ cast
+    preserves the wall-clock value exactly, matching DuckDB's naive
+    semantics, so downstream operators see ONE timestamp type regardless of
+    which writer produced the file. Done here, at the single shared scan
+    entry point, so no operator needs its own defense."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

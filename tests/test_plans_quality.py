@@ -363,6 +363,7 @@ def test_registry_wide_no_cartesian_no_python(spark):
     runs_jobs_at_build = {
         "merge_upsert",
         "versioned_sink_roundtrip",
+        "versioned_retention_roundtrip",
         "partitioned_merge_roundtrip",
         "streaming_batch_equiv",
         "streaming_dedup_equiv",
@@ -393,6 +394,53 @@ def test_registry_wide_no_cartesian_no_python(spark):
         assert "CartesianProduct" not in p, n
         if n not in arrow_python_ok:
             assert "EvalPython" not in p, n
+
+
+def test_registry_wide_single_partition_only_after_partial_agg(spark):
+    """Global gate: an `Exchange SinglePartition` is allowed ONLY when its
+    input is a partial/merge aggregate — i.e. the exchange moves one
+    pre-combined row per map task (global sums, scalar subqueries, min/max
+    spines), never row-scale data. This is the structural property that
+    makes a global aggregate safe at 100 TB, and it permanently catches
+    the deterministic_shuffle class (a global row_number window that
+    funneled the whole corpus through one partition before r6's
+    TakeOrdered rewrite). Same job-running skips as the gate above."""
+    runs_jobs_at_build = {
+        "merge_upsert",
+        "versioned_sink_roundtrip",
+        "versioned_retention_roundtrip",
+        "partitioned_merge_roundtrip",
+        "streaming_batch_equiv",
+        "streaming_dedup_equiv",
+        "streaming_stateful_totals",
+        "stream_static_join_equiv",
+        "dedup_cluster_assignment",
+        "shard_packing",
+        "kmeans_assign",
+        "similarity_topk_ivf",
+        "domanda_pipeline_full",
+        "domanda_unify_mini",
+        "pagerank_purchases",
+        "csv_roundtrip",
+        "json_roundtrip",
+        "orc_roundtrip",
+        "partitioned_write_prune",
+        "bucketed_join_colocated",
+        "corrupt_record_handling",
+        "schema_evolution_read",
+    }
+    bad = []
+    for n in QS:
+        if n in runs_jobs_at_build:
+            continue
+        lines = plan_of(spark, n).splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            feeder = lines[i + 1] if i + 1 < len(lines) else ""
+            if not ("partial_" in feeder or "merge_" in feeder):
+                bad.append((n, line.strip()[:80], feeder.strip()[:80]))
+    assert not bad, f"row-scale SinglePartition exchanges: {bad}"
 
 
 def test_pipeline_loader_stage(spark, tmp_path):

@@ -297,22 +297,62 @@ def test_partitioned_table_matches_dict_model(spark, tmp_path_factory, ops):
             t.append(df)
             model_rows.extend(rows)
         else:
-            t.merge_upsert(spark, df.dropDuplicates(["id"]), ["id"])
-            seen = set()
-            upserts = []
-            for r in rows:
-                if r[0] not in seen:
-                    seen.add(r[0])
-                    upserts.append(r)
+            # dropDuplicates picks an ARBITRARY row per id — pin one
+            # evaluation here and read the pick back, so the model predicts
+            # from exactly the rows the sink merged. (merge_upsert also pins
+            # internally — test_merge_upsert_single_evaluation covers that.)
+            upd = df.dropDuplicates(["id"]).localCheckpoint(eager=True)
+            t.merge_upsert(spark, upd, ["id"])
+            upserts = [tuple(r) for r in upd.select("id", "g", "v").collect()]
+            seen = {r[0] for r in upserts}
             # Partition-scoped merge contract: old rows are retired only in
             # partitions the delta touches — a key whose partition value
             # changed leaves its old-partition row in place (documented in
             # merge_upsert; exact cross-partition retirement would scan the
             # whole table).
-            touched = {f"g{g}" for _, g, _ in batch}
+            touched = {r[1] for r in upserts}
             model_rows = [
                 r for r in model_rows if not (r[0] in seen and r[1] in touched)
             ] + upserts
         wrote = True
     got = sorted(map(tuple, t.read(spark).select("id", "g", "v").collect()))
     assert got == sorted(model_rows)
+
+
+def test_merge_upsert_single_evaluation(spark, tmp_path_factory):
+    """merge_upsert must evaluate a NONDETERMINISTIC `updates` exactly once:
+    the affected-partition collect, the anti-join, and the written rows all
+    have to see the same pick. The update row's partition is drawn fresh on
+    every plan evaluation (nondeterministic UDF); without the internal
+    localCheckpoint the three reads can disagree and commit a state outside
+    the contract (lost segments / duplicated keys). With it, every outcome
+    must be one of the two contract-valid results for SOME single pick."""
+    import os as _os
+
+    from pyspark.sql.types import StringType
+
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    flip = F.udf(
+        lambda: "gA" if _os.urandom(1)[0] % 2 == 0 else "gB", StringType()
+    ).asNondeterministic()
+
+    valid = {
+        # pick gA: gA rewritten (key1 retired there), gB untouched
+        ((1, "gA", 9), (2, "gB", 0)),
+        # pick gB: gB rewritten (key2 carried), old gA row untouched
+        ((1, "gA", 0), (1, "gB", 9), (2, "gB", 0)),
+    }
+    for trial in range(6):
+        t = PartitionedVersionedTable(
+            str(tmp_path_factory.mktemp(f"pin{trial}")), "g", max_versions=9
+        )
+        t.overwrite(
+            spark.createDataFrame([(1, "gA", 0), (2, "gB", 0)], "id long, g string, v long")
+        )
+        upd = spark.createDataFrame([(1, 9)], "id long, v long").select(
+            "id", flip().alias("g"), "v"
+        )
+        t.merge_upsert(spark, upd, ["id"])
+        got = tuple(sorted(map(tuple, t.read(spark).select("id", "g", "v").collect())))
+        assert got in valid, f"trial {trial}: inconsistent commit {got}"
