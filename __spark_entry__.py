@@ -1836,22 +1836,35 @@ def approx_sketches(spark, sf_dir):
       that holds under ANY sketch merge order. Point estimates remain
       covered rows-only in tests/test_operators.py."""
     ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
-        F.expr("percentile_approx(value, 0.5, 10000)").alias("p50"),
-        F.expr("percentile_approx(value, 0.99, 10000)").alias("p99"),
-        F.expr("percentile(value, 0.49)").alias("p50_lo"),
-        F.expr("percentile(value, 0.51)").alias("p50_hi"),
-        F.expr("percentile(value, 0.98)").alias("p99_lo"),
-        F.expr("percentile(value, 0.999)").alias("p99_hi"),
+    # Two slim single-shuffle aggregations instead of one mixed
+    # exact-distinct + 6-percentile agg (which Catalyst plans as an
+    # Expand x3 with per-copy percentile buffers — measured 7 s vs ~1 s
+    # for this shape at sf0.1):
+    # (1) distinct users: dedup pairs first, then count — HLL over the
+    #     deduped pairs equals HLL over raw (distinct-count semantics),
+    #     and the exact count is a plain count(*), no Expand.
+    users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        )
     )
+    # (2) percentiles: one array-typed sketch + one array-typed exact agg.
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, array(0.5D, 0.99D), 10000)").alias("ap"),
+        F.expr("percentile(value, array(0.49D, 0.51D, 0.98D, 0.999D))").alias("ex"),
+    )
+    # event_type is low-cardinality -> broadcast join of two tiny aggs
+    agg = users.join(F.broadcast(pct), "event_type")
     err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
     return agg.select(
         "event_type",
         (err <= 0.15).alias("users_in_bound"),
-        F.col("p50").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bound"),
-        F.col("p99").between(F.col("p99_lo"), F.col("p99_hi")).alias("p99_in_bound"),
+        F.get("ap", 0).between(F.get("ex", 0), F.get("ex", 1)).alias("p50_in_bound"),
+        F.get("ap", 1).between(F.get("ex", 2), F.get("ex", 3)).alias("p99_in_bound"),
     )
 
 

@@ -51,29 +51,34 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:8]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # summary keys LAST: downstream captures that keep only the
-                # tail of this line still see the headline numbers
-                "n_queries": len(timings),
-                "n_failed": len(failed),
-                "failed": failed,
-                "slowest": slowest,
-                "total_sec": total,
-                "sf": sf,
-            },
-            # compact separators: the per-query map is the valuable part of
-            # the artifact — keep the whole line short enough to survive any
-            # fixed-width capture downstream
-            separators=(",", ":"),
-        )
+    payload = json.dumps(
+        {
+            "metric": "declared_query_suite_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            # summary keys LAST: downstream captures that keep only the
+            # tail of this line still see the headline numbers
+            "n_queries": len(timings),
+            "n_failed": len(failed),
+            "failed": failed,
+            "slowest": slowest,
+            "total_sec": total,
+            "sf": sf,
+        },
+        # compact separators: the per-query map is the valuable part of
+        # the artifact — keep the whole line short enough to survive any
+        # fixed-width capture downstream
+        separators=(",", ":"),
     )
+    # redundant on-disk copy: a fixed-width stdout capture downstream can
+    # truncate the line; the file preserves the full structured payload
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        f.write(payload + "\n")
+    # stop Spark BEFORE printing: JVM shutdown can emit trailing output, and
+    # the contract is that the JSON line is the LAST thing on stdout
     spark.stop()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":
