@@ -1962,6 +1962,170 @@ def dedup_cluster_assignment(spark, sf_dir):
 
 
 @q(
+    "substring_span_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 6, 4)) AS i
+      FROM toks WHERE len(t) >= 8),
+    spans AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS h
+      FROM starts),
+    flagged AS (
+      SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS n_docs FROM spans)
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+           round(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+             AS dup_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def substring_span_dedup(spark, sf_dir):
+    """Cross-document duplicated-SPAN detection — the signal behind
+    exact-substring training-data dedup (Lee et al. 2022 build suffix
+    arrays; the distributed re-expression is rolling fixed-width span
+    hashes): 8-token windows at stride 4, hashed, a span is 'duplicated'
+    when it appears in >= 2 distinct documents. Output per doc: span
+    count, duplicated-span count, dup_ratio (the filter/trim signal).
+
+    Scale shape: explode factor is len/stride per doc (bounded, stride
+    amortizes); then exactly three key-partitioned shuffles — distinct
+    (doc,span-hash), span-hash window count, per-doc rollup. All JVM-side
+    exprs (split/slice/md5), no Python, no all-pairs comparison — the
+    span-hash groupBy replaces the suffix-array sort at corpus scale."""
+    docs = _tw(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 8)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 7, 4),"
+                " i -> md5(array_join(slice(t, i, 8), ' ')))"
+            )
+        ).alias("h"),
+    ).distinct()
+    flagged = spans.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    dup = F.sum((F.col("n_docs") >= 2).cast("long"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        dup.alias("n_dup_spans"),
+        F.round(dup / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )
+
+
+@q(
+    "dedup_canonical_selection",
+    """
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || s)) AS m
+      FROM sh, (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+    comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    ranked AS (
+      SELECT c.component, c.id, row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.id ASC) AS rn
+      FROM comp c JOIN documents d ON c.id = d.doc_id)
+    SELECT component,
+           max(CASE WHEN rn = 1 THEN id END) AS canonical_doc_id,
+           COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY component
+    """,
+)
+def dedup_canonical_selection(spark, sf_dir):
+    """The END ACTION of near-dup dedup: per transitive LSH cluster, keep
+    one canonical document (longest n_chars, doc_id tiebreak) and count
+    what gets dropped — the row a curation pipeline joins back to filter
+    the corpus. Same LSH + pointer-doubling components as
+    dedup_cluster_assignment (operators/dedup.py:41-179); the canonical
+    pick is one row_number window over cluster members (cluster-count
+    scale, tiny next to the corpus) plus a join to the doc stats.
+    Iterative (checkpointed) like its sibling -> plan-gate job-skip."""
+    docs = _tw(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=3, num_hashes=8, bands=2)
+    comp = dedup.connected_components(pairs, "id_a", "id_b", max_iterations=10)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("id").asc())
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("id"))).alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+@q(
+    "quality_weighted_sample",
+    """
+    WITH parts AS (
+      SELECT doc_id,
+             least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                   / length(text), 6) AS pr,
+             round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   t -> t IN ('the','and','of','to','is','in','that','it','was','for')))::DOUBLE
+                   / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS sw
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             round((len_score + greatest(0.0, 1.0 - pr * 4) + least(sw * 5, 1.0)) / 3, 6)
+               AS quality
+      FROM parts)
+    SELECT doc_id, quality
+    FROM scored
+    WHERE CAST(('0x' || substr(md5('qws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 < greatest(quality, 0.1)
+    """,
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Deterministic quality-WEIGHTED corpus sampling (the standard
+    data-mixing move: keep high-quality docs with probability ~ their
+    quality score, floor 0.1 so no stratum fully vanishes). The
+    acceptance draw is hash-uniform — first 8 hex chars of
+    md5('qws:'||doc_id) over 2^32 — so the sample is identical on every
+    engine, run, and cluster size (unlike rand()/sample()), and re-runs
+    are incrementally stable: a doc's fate never changes when the corpus
+    around it grows. Pure map+filter: zero shuffles, fully pushed-down
+    scan."""
+    docs = _tw(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") / F.lit(4294967296.0)
+    return (
+        docs.select("doc_id", T.quality_score("text").alias("quality"))
+        .filter(u < F.greatest(F.col("quality"), F.lit(0.1)))
+    )
+
+
+@q(
     "sample_split_hash",
     """
     SELECT doc_id,

@@ -370,6 +370,7 @@ def test_registry_wide_no_cartesian_no_python(spark):
         "streaming_stateful_totals",
         "stream_static_join_equiv",
         "dedup_cluster_assignment",
+        "dedup_canonical_selection",
         "shard_packing",
         "kmeans_assign",
         "similarity_topk_ivf",
@@ -415,6 +416,7 @@ def test_registry_wide_single_partition_only_after_partial_agg(spark):
         "streaming_stateful_totals",
         "stream_static_join_equiv",
         "dedup_cluster_assignment",
+        "dedup_canonical_selection",
         "shard_packing",
         "kmeans_assign",
         "similarity_topk_ivf",
