@@ -8,8 +8,10 @@ Scale notes (100 TB design point):
 - MinHash/LSH: per-doc signatures are computed in one pass (explode
   shingles -> groupBy doc), candidate generation joins docs only within an
   LSH band bucket — no all-pairs shuffle ever materializes. Band hash
-  cardinality grows with corpus size, so bucket joins stay balanced; skewed
-  mega-buckets (boilerplate docs) are handled by AQE skew-join splitting.
+  cardinality grows with corpus size, so bucket joins stay balanced;
+  mega-buckets (boilerplate docs) are capped by `max_bucket_size` (the
+  B(B-1)/2 pair-blowup guard — exact dedup upstream owns those families),
+  and residual in-cap skew is handled by AQE skew-join splitting.
 - All hashes are md5-based => bit-identical in the DuckDB oracle.
 """
 
@@ -58,13 +60,27 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs (a < b) sharing at least one LSH band.
 
     bands × rows_per_band = num_hashes; docs agreeing on ALL minhashes of
     one band collide. The pair join happens per band-bucket — the classic
     shuffle-bounded LSH plan that survives web-scale corpora.
-    """
+
+    `max_bucket_size` is the quadratic-blowup guard: a bucket with B
+    members emits B(B-1)/2 pairs, so ONE boilerplate bucket (identical
+    headers/footers, template pages) can dominate the whole job at corpus
+    scale. Buckets above the cap are dropped from candidate generation —
+    they are (near-)exact duplicate families that exact hash-dedup
+    upstream handles in linear time, which is also the production
+    ordering: exact dedup FIRST, then LSH for the fuzzy tail. The size
+    count partitions by the same bucket key as the pair join, so the
+    guard adds no new shuffle key. Fixture-scale buckets sit far below
+    the default cap, so the DuckDB oracles (which compute uncapped pairs)
+    remain exact at every test SF; pass None to disable."""
+    from pyspark.sql import Window
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     band_cols = []
@@ -78,6 +94,14 @@ def minhash_lsh_candidates(
             F.array(*[F.concat(F.lit(f"{b}:"), F.col(f"band{b}")) for b in range(bands)])
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        melted = (
+            melted.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            )
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     left = melted.alias("l")
     right = melted.alias("r")
     pairs = (

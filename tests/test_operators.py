@@ -222,3 +222,32 @@ def test_pagerank_dangling_hand_computed(spark):
     # iter1: a=150000, b=150000+850*1000000//1000=1000000
     # iter2: a=150000, b=150000+850*150000//1000=277500
     assert two == {1: 150_000, 2: 277_500}
+
+
+def test_lsh_bucket_cap_drops_only_boilerplate_buckets(spark):
+    """max_bucket_size guard: a boilerplate family larger than the cap
+    (identical text -> all bands collide -> one B-member bucket per band)
+    must emit NO candidate pairs, while a small near-dup pair in the same
+    corpus is still found. Uncapped (None) the boilerplate family emits
+    its quadratic B(B-1)/2 pairs — the exact blowup the cap exists to
+    stop at corpus scale."""
+    from domanda_etl_spark.operators import dedup
+
+    boiler = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    pair = [(100, "zzz unique body text alpha"), (101, "zzz unique body text alphq")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=8, bands=2, max_bucket_size=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got), f"boilerplate pairs leaked: {got}"
+    assert (100, 101) in got, "small near-dup pair lost by the cap"
+
+    uncapped = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=8, bands=2, max_bucket_size=None
+    )
+    n_boiler = sum(
+        1 for r in uncapped.collect() if r["id_a"] < 100 and r["id_b"] < 100
+    )
+    assert n_boiler == 8 * 7 // 2, "uncapped must emit the full quadratic family"
