@@ -2126,6 +2126,44 @@ def quality_weighted_sample(spark, sf_dir):
 
 
 @q(
+    "corpus_mixture_stats",
+    """
+    WITH per AS (
+      SELECT source, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0),
+    tot AS (SELECT SUM(n_tok) AS all_tok FROM per)
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens,
+           round(SUM(n_tok)::DOUBLE / (SELECT all_tok FROM tot), 6) AS token_share
+    FROM per GROUP BY source, lang
+    """,
+)
+def corpus_mixture_stats(spark, sf_dir):
+    """Data-mixing recipe input: per (source, lang) stratum, doc count,
+    token count, and share of the total token budget — the table a
+    training run's sampling weights are computed from. One partial-agg
+    shuffle for the strata + a 1-row broadcast for the global total
+    (SinglePartition only after partial aggregates — gate-compliant);
+    token counting is the whitespace tokenizer, JVM-side."""
+    docs = _tw(spark, sf_dir, "documents")
+    per = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    strata = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tok").alias("all_tok"))
+    return strata.join(F.broadcast(total)).select(
+        "source", "lang", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("all_tok"), 6).alias("token_share"),
+    )
+
+
+@q(
     "sample_split_hash",
     """
     SELECT doc_id,
@@ -7192,6 +7230,9 @@ _FIRST50: list[str] = [
     # previously rows-only, now deterministic bounds-checked
     "approx_sketches",
 ]
+# Round-7 rotation queue (registered after this round's window was frozen;
+# never driver-verified): substring_span_dedup, dedup_canonical_selection,
+# quality_weighted_sample, corpus_mixture_stats.
 
 
 def _ordered_names() -> list[str]:

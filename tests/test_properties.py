@@ -356,3 +356,76 @@ def test_merge_upsert_single_evaluation(spark, tmp_path_factory):
         t.merge_upsert(spark, upd, ["id"])
         got = tuple(sorted(map(tuple, t.read(spark).select("id", "g", "v").collect())))
         assert got in valid, f"trial {trial}: inconsistent commit {got}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcd")), min_size=0, max_size=20),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_substring_span_dedup_matches_python_reference(spark, token_docs):
+    """Span accounting vs a brute-force model on random token streams:
+    per doc, distinct 8-token windows at stride 4; a span is duplicated
+    iff some OTHER doc contains the same window (any stride position of
+    ITS OWN grid — both sides use the same stride grid, so the model
+    replays exactly that)."""
+    import __spark_entry__ as entrymod
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(token_docs)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = entrymod._tw
+    entrymod._tw = lambda s, d, n: df  # noqa: E731
+    try:
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in entrymod.substring_span_dedup(spark, "ignored").collect()
+        }
+    finally:
+        entrymod._tw = orig
+
+    def spans_of(toks):
+        return {
+            " ".join(toks[i : i + 8]) for i in range(0, len(toks) - 7, 4)
+        }
+
+    model_spans = {i: spans_of(t) for i, t in enumerate(token_docs) if len(t) >= 8}
+    expect = {}
+    for i, sp in model_spans.items():
+        others = set().union(*(s for j, s in model_spans.items() if j != i)) if len(
+            model_spans
+        ) > 1 else set()
+        expect[i] = (len(sp), sum(1 for s in sp if s in others))
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_quality_weighted_sample_is_subset_stable(spark, data):
+    """A doc's sampling fate depends only on its own (doc_id, text) — the
+    incremental-stability contract: sampling any SUBSET of the corpus
+    keeps exactly the subset's intersection with the full-corpus sample
+    (no rand()/row-order dependence)."""
+    import __spark_entry__ as entrymod
+
+    n = data.draw(st.integers(4, 16))
+    texts = [
+        data.draw(st.text(alphabet="abc THE the and of x.!", min_size=1, max_size=60))
+        for _ in range(n)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    subset_ids = data.draw(st.sets(st.sampled_from(range(n)), min_size=1))
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")  # noqa: E731
+
+    orig = entrymod._tw
+    try:
+        entrymod._tw = lambda s, d, nm: mk(rows)  # noqa: E731
+        full = {r["doc_id"] for r in entrymod.quality_weighted_sample(spark, "x").collect()}
+        sub_rows = [r for r in rows if r[0] in subset_ids]
+        entrymod._tw = lambda s, d, nm: mk(sub_rows)  # noqa: E731
+        sub = {r["doc_id"] for r in entrymod.quality_weighted_sample(spark, "x").collect()}
+    finally:
+        entrymod._tw = orig
+    assert sub == full & subset_ids
