@@ -1991,10 +1991,15 @@ def substring_span_dedup(spark, sf_dir):
     count, duplicated-span count, dup_ratio (the filter/trim signal).
 
     Scale shape: explode factor is len/stride per doc (bounded, stride
-    amortizes); then exactly three key-partitioned shuffles — distinct
-    (doc,span-hash), span-hash window count, per-doc rollup. All JVM-side
-    exprs (split/slice/md5), no Python, no all-pairs comparison — the
-    span-hash groupBy replaces the suffix-array sort at corpus scale."""
+    amortizes); then distinct (doc,span-hash), a span-hash groupBy count,
+    a join back on span-hash, and the per-doc rollup. The count is a
+    groupBy (NOT a count-over-window): a boilerplate span shared by
+    millions of docs is a hot key, and partial aggregation collapses it
+    map-side where a window would sort the whole hot partition in one
+    task; the join redistribution of that hot hash is then AQE
+    skew-splittable. All JVM-side exprs (split/slice/md5), no Python, no
+    all-pairs comparison — the span-hash groupBy replaces the
+    suffix-array sort at corpus scale."""
     docs = _tw(spark, sf_dir, "documents")
     t = F.split(F.trim(F.col("text")), r"\s+")
     toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 8)
@@ -2007,9 +2012,8 @@ def substring_span_dedup(spark, sf_dir):
             )
         ).alias("h"),
     ).distinct()
-    flagged = spans.withColumn(
-        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = spans.join(counts, "h")
     dup = F.sum((F.col("n_docs") >= 2).cast("long"))
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
