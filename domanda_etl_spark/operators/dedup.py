@@ -79,8 +79,6 @@ def minhash_lsh_candidates(
     guard adds no new shuffle key. Fixture-scale buckets sit far below
     the default cap, so the DuckDB oracles (which compute uncapped pairs)
     remain exact at every test SF; pass None to disable."""
-    from pyspark.sql import Window
-
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     band_cols = []
@@ -95,13 +93,19 @@ def minhash_lsh_candidates(
         ).alias("bucket"),
     )
     if max_bucket_size is not None:
-        melted = (
-            melted.withColumn(
-                "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-            )
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
+        # groupBy + anti-join, NOT count-over-window: the hot bucket this
+        # guard exists for would gather into a single window task, while
+        # the groupBy collapses it map-side (partial agg) and the
+        # oversized-bucket list is tiny by construction (<= corpus/cap
+        # entries, realistically a handful of boilerplate families) —
+        # AQE picks broadcast for the anti-join when it fits.
+        hot = (
+            melted.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("bucket")
         )
+        melted = melted.join(hot, "bucket", "left_anti")
     left = melted.alias("l")
     right = melted.alias("r")
     pairs = (
