@@ -7173,6 +7173,38 @@ def spatial_bucket_join(spark, sf_dir):
 # standing flagship domanda_pipeline_full. Rotated-out greens (TPC-H
 # 22/22, flagship_regional_revenue, the round-2/3 micro suites, ...)
 # remain under the identical local gate in tests/test_oracle_parity.py.
+# Queries that execute Spark jobs while BUILDING their DataFrame (sink
+# round trips, streaming with availableNow triggers, iterative algorithms
+# with checkpoints, bounded driver-state collects). Plan-inspection tooling
+# (tests/test_plans_quality.py registry gates, tools/dump_plans.py posture
+# stats) skips these — they are exercised end-to-end by their own tests and
+# oracle rows instead.
+RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
+    "merge_upsert",
+    "versioned_sink_roundtrip",
+    "versioned_retention_roundtrip",
+    "partitioned_merge_roundtrip",
+    "streaming_batch_equiv",
+    "streaming_dedup_equiv",
+    "streaming_stateful_totals",
+    "stream_static_join_equiv",
+    "dedup_cluster_assignment",
+    "dedup_canonical_selection",
+    "shard_packing",
+    "kmeans_assign",
+    "similarity_topk_ivf",
+    "domanda_pipeline_full",
+    "domanda_unify_mini",
+    "pagerank_purchases",
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "partitioned_write_prune",
+    "bucketed_join_colocated",
+    "corrupt_record_handling",
+    "schema_evolution_read",
+})
+
 _FIRST50: list[str] = [
     # standing flagship
     "domanda_pipeline_full",

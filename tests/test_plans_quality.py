@@ -360,32 +360,7 @@ def test_registry_wide_no_cartesian_no_python(spark):
     execute jobs at build time (sinks, streaming, iterative, bounded
     driver-state collects) are exercised by their own tests and skipped
     here to keep this a pure plan inspection."""
-    runs_jobs_at_build = {
-        "merge_upsert",
-        "versioned_sink_roundtrip",
-        "versioned_retention_roundtrip",
-        "partitioned_merge_roundtrip",
-        "streaming_batch_equiv",
-        "streaming_dedup_equiv",
-        "streaming_stateful_totals",
-        "stream_static_join_equiv",
-        "dedup_cluster_assignment",
-        "dedup_canonical_selection",
-        "shard_packing",
-        "kmeans_assign",
-        "similarity_topk_ivf",
-        "domanda_pipeline_full",  # builds synthesized inputs with actions
-        "domanda_unify_mini",
-        "pagerank_purchases",  # iterative, checkpoints per round
-        # sink/layout roundtrips: write real files at build time
-        "csv_roundtrip",
-        "json_roundtrip",
-        "orc_roundtrip",
-        "partitioned_write_prune",
-        "bucketed_join_colocated",
-        "corrupt_record_handling",
-        "schema_evolution_read",
-    }
+    runs_jobs_at_build = entrymod.RUNS_JOBS_AT_BUILD
     arrow_python_ok = {"image_features_fake", "media_frame_extract"}
     # registry-WIDE, not just the driver window: every pure-plan query in
     # queries() must be free of CartesianProduct and row-level Python
@@ -406,31 +381,7 @@ def test_registry_wide_single_partition_only_after_partial_agg(spark):
     the deterministic_shuffle class (a global row_number window that
     funneled the whole corpus through one partition before r6's
     TakeOrdered rewrite). Same job-running skips as the gate above."""
-    runs_jobs_at_build = {
-        "merge_upsert",
-        "versioned_sink_roundtrip",
-        "versioned_retention_roundtrip",
-        "partitioned_merge_roundtrip",
-        "streaming_batch_equiv",
-        "streaming_dedup_equiv",
-        "streaming_stateful_totals",
-        "stream_static_join_equiv",
-        "dedup_cluster_assignment",
-        "dedup_canonical_selection",
-        "shard_packing",
-        "kmeans_assign",
-        "similarity_topk_ivf",
-        "domanda_pipeline_full",
-        "domanda_unify_mini",
-        "pagerank_purchases",
-        "csv_roundtrip",
-        "json_roundtrip",
-        "orc_roundtrip",
-        "partitioned_write_prune",
-        "bucketed_join_colocated",
-        "corrupt_record_handling",
-        "schema_evolution_read",
-    }
+    runs_jobs_at_build = entrymod.RUNS_JOBS_AT_BUILD
     bad = []
     for n in QS:
         if n in runs_jobs_at_build:
