@@ -1629,6 +1629,56 @@ def incremental_lookback_q(spark, sf_dir):
 
 
 @q(
+    "incremental_lookback_pruned",
+    """
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS event_date,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE epoch_us(ts) / 1000000.0 > 1705276800.0
+    GROUP BY 1
+    """,
+)
+def incremental_lookback_pruned(spark, sf_dir):
+    """S3 at the 100 TB design point, driver-verified end-to-end: on a
+    date-partitioned lake the lookback must become a directory PRUNE
+    (PartitionFilters), not a row filter over the full history
+    (streaming/incremental.py:incremental_lookback_partitioned; reference
+    etl/extractor.py:8-17 re-evaluates the same cutoff per run). The
+    query materializes a date-partitioned copy of events (the lake
+    layout), applies the pruned lookback, ASSERTS the date predicate
+    reached PartitionFilters in the executed plan — loudly, so a plan
+    regression turns the driver row red — and rolls up per day. Oracle:
+    the same cutoff as a plain row filter on raw events."""
+    import tempfile
+
+    from domanda_etl_spark.streaming.incremental import (
+        incremental_lookback_partitioned,
+    )
+
+    cutoff = 1705276800.0  # 2024-01-15T00:00:00Z, injected (Q4: no hidden clock)
+    ev = _t(spark, sf_dir, "events")
+    lake = tempfile.mkdtemp(prefix="events_lake_")
+    ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(lake)
+    back = spark.read.parquet(lake).withColumn(
+        "epoch", F.unix_micros("ts") / 1e6
+    )
+    pruned = incremental_lookback_partitioned(back, "epoch", "event_date", cutoff)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    if len(pf) < 2 or "event_date" not in pf[1].split("]")[0]:
+        raise RuntimeError("lookback did not prune partitions")  # loud, driver-visible
+    return pruned.groupBy(
+        F.col("event_date").cast("string").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@q(
     "scalar_despace_cabin",
     """
     SELECT p_partkey, raw, replace(raw, ' ', '') AS despaced
@@ -7180,6 +7230,7 @@ def spatial_bucket_join(spark, sf_dir):
 # stats) skips these — they are exercised end-to-end by their own tests and
 # oracle rows instead.
 RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
+    "incremental_lookback_pruned",
     "merge_upsert",
     "versioned_sink_roundtrip",
     "versioned_retention_roundtrip",
@@ -7268,7 +7319,7 @@ _FIRST50: list[str] = [
 ]
 # Round-7 rotation queue (registered after this round's window was frozen;
 # never driver-verified): substring_span_dedup, dedup_canonical_selection,
-# quality_weighted_sample, corpus_mixture_stats.
+# quality_weighted_sample, corpus_mixture_stats, incremental_lookback_pruned.
 
 
 def _ordered_names() -> list[str]:
