@@ -1629,6 +1629,58 @@ def incremental_lookback_q(spark, sf_dir):
 
 
 @q(
+    "hll_partial_rollup",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             COUNT(DISTINCT user_id) AS du
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1),
+    sums AS (
+      SELECT event_type, CAST(SUM(du) AS BIGINT) AS sum_daily_distinct
+      FROM daily GROUP BY 1)
+    SELECT t.event_type, t.exact_users, s.sum_daily_distinct,
+           TRUE AS merged_within_bound
+    FROM tot t JOIN sums s USING (event_type)
+    """,
+)
+def hll_partial_rollup(spark, sf_dir):
+    """RE-AGGREGATABLE distinct counting — the pre-aggregated-rollup
+    pattern a 100 TB lake lives on: per (event_type, day) HLL sketch
+    partials (Apache DataSketches via hll_sketch_agg) merge losslessly
+    into the per-type total with hll_union_agg, while exact daily
+    distinct counts do NOT sum (users repeat across days —
+    sum_daily_distinct >= exact_users is published for contrast). The
+    merged estimate's error contract is asserted in-query (lgK=12 ->
+    rsd ~1.6%; bound 5%, deterministic for fixed data since HLL merge is
+    order-independent), so the driver hash-checks the bound, exact
+    values, and the naive-sum contrast. Daily partials mean yesterday's
+    sketch is never recomputed — incremental maintenance at day
+    granularity."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.count_distinct("user_id").alias("du"),
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.sum("du").alias("sum_daily_distinct"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+    return exact.join(F.broadcast(rolled), "event_type").select(
+        "event_type",
+        "exact_users",
+        "sum_daily_distinct",
+        (err <= 0.05).alias("merged_within_bound"),
+    )
+
+
+@q(
     "incremental_lookback_pruned",
     """
     SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS event_date,
@@ -7319,7 +7371,8 @@ _FIRST50: list[str] = [
 ]
 # Round-7 rotation queue (registered after this round's window was frozen;
 # never driver-verified): substring_span_dedup, dedup_canonical_selection,
-# quality_weighted_sample, corpus_mixture_stats, incremental_lookback_pruned.
+# quality_weighted_sample, corpus_mixture_stats, incremental_lookback_pruned,
+# hll_partial_rollup.
 
 
 def _ordered_names() -> list[str]:
