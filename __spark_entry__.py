@@ -1629,6 +1629,59 @@ def incremental_lookback_q(spark, sf_dir):
 
 
 @q(
+    "unigram_surprisal_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    dw AS (SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT w, CAST(SUM(n) AS BIGINT) AS cnt FROM dw GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab)
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+           round(SUM(d.n * (length(bin(t // v.cnt)) - 1))::DOUBLE / SUM(d.n), 6)
+             AS surprisal_bits
+    FROM dw d JOIN vocab v USING (w), tot
+    GROUP BY d.doc_id
+    """,
+)
+def unigram_surprisal_score(spark, sf_dir):
+    """CCNet-style language-model quality signal: score each document by
+    the mean surprisal of its tokens under the corpus's own unigram
+    model (boilerplate/high-frequency junk scores low, rare-token noise
+    scores high; filters trim both tails). Cross-engine floats make
+    ln() hazardous, so surprisal is quantized to INTEGER bits —
+    floor(log2(total/count)) computed as length(bin(total div count))-1,
+    bit-identical in Spark and DuckDB; only the final mean divides.
+
+    Scale shape: per-(doc,word) partial counts first (one shuffle, and
+    the hot-word key collapses map-side), vocabulary rollup derives from
+    those partials (second shuffle), then a word-keyed join back
+    (AQE-skew-splittable; stop-word keys are hot) and the per-doc rollup.
+    The corpus total is a 1-row partial-agg broadcast. No log(), no
+    Python, no all-pairs."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+    )
+    dw = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = dw.groupBy("w").agg(F.sum("n").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("t"))
+    bits = F.length(F.bin(F.expr("t div cnt"))) - 1
+    scored = dw.join(vocab, "w").join(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("n") * bits).cast("double") / F.sum("n"), 6
+        ).alias("surprisal_bits"),
+    )
+
+
+@q(
     "hll_partial_rollup",
     """
     WITH daily AS (
@@ -7372,7 +7425,7 @@ _FIRST50: list[str] = [
 # Round-7 rotation queue (registered after this round's window was frozen;
 # never driver-verified): substring_span_dedup, dedup_canonical_selection,
 # quality_weighted_sample, corpus_mixture_stats, incremental_lookback_pruned,
-# hll_partial_rollup.
+# hll_partial_rollup, unigram_surprisal_score.
 
 
 def _ordered_names() -> list[str]:
