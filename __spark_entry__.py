@@ -5835,6 +5835,53 @@ def partitioned_merge_roundtrip(spark, sf_dir):
 
 
 @q(
+    "partitioned_delete_roundtrip",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                  FROM orders WHERE o_orderkey % 6 = 0),
+    gone AS (SELECT o_orderkey FROM base
+             WHERE o_orderpriority = (SELECT min(o_orderpriority) FROM orders)
+               AND o_orderkey % 12 = 0)
+    SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM gone)
+    """,
+)
+def partitioned_delete_roundtrip(spark, sf_dir):
+    """GDPR-style targeted deletion through the REAL
+    PartitionedVersionedTable: base loads into a priority-partitioned
+    table, a delete feed naming (key, partition) pairs inside ONE
+    partition retires exactly those rows (only that partition rewrites —
+    O(affected partitions), untouched references carried verbatim,
+    asserted in tests/test_sinks.py), and the published version reads
+    back. The pre-delete version is restorable until retention — also
+    asserted here by restoring and counting. Oracle = the pure relational
+    anti-join."""
+    import tempfile
+
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 6 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    target = base.agg(F.min("o_orderpriority")).collect()[0][0]  # bounded scalar
+    feed = base.filter(
+        (F.col("o_orderpriority") == target) & (F.col("o_orderkey") % 12 == 0)
+    ).select("o_orderkey", "o_orderpriority")
+    table = PartitionedVersionedTable(
+        tempfile.mkdtemp(prefix="part_delete_"), "o_orderpriority"
+    )
+    v0 = table.overwrite(base)
+    table.delete_keys(spark, feed, ["o_orderkey"])
+    out = table.read(spark)
+    n_after = out.count()
+    restored_n = table.read(spark, version=v0).count()  # pre-delete still readable
+    if restored_n != n_after + feed.count():
+        raise RuntimeError("pre-delete version lost rows")  # loud, driver-visible
+    return out
+
+
+@q(
     "unpivot_melt",
     """
     SELECT o_orderkey, kv.metric, kv.val
@@ -7336,6 +7383,7 @@ def spatial_bucket_join(spark, sf_dir):
 # oracle rows instead.
 RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "incremental_lookback_pruned",
+    "partitioned_delete_roundtrip",
     "merge_upsert",
     "versioned_sink_roundtrip",
     "versioned_retention_roundtrip",
@@ -7425,7 +7473,7 @@ _FIRST50: list[str] = [
 # Round-7 rotation queue (registered after this round's window was frozen;
 # never driver-verified): substring_span_dedup, dedup_canonical_selection,
 # quality_weighted_sample, corpus_mixture_stats, incremental_lookback_pruned,
-# hll_partial_rollup, unigram_surprisal_score.
+# hll_partial_rollup, unigram_surprisal_score, partitioned_delete_roundtrip.
 
 
 def _ordered_names() -> list[str]:

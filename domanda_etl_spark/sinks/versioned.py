@@ -149,6 +149,17 @@ class VersionedTable:
         merged = kept.unionByName(updates, allowMissingColumns=True)
         return self.overwrite(merged)
 
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Targeted row deletion (GDPR / right-to-be-forgotten): publishes a
+        new version containing only the survivors. On the unpartitioned
+        table this is an O(table) rewrite — the honest copy-on-write cost;
+        PartitionedVersionedTable.delete_keys restricts it to affected
+        partitions. Pre-delete versions remain restorable until retention
+        vacuums them (the compliance window is `max_versions` deep —
+        tighten retention when deletion must become durable)."""
+        survivors = self.read(spark).filter(~condition)
+        return self.overwrite(survivors)
+
     # ---------------- read / history / restore ---------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self._read_manifest()
@@ -350,6 +361,49 @@ class PartitionedVersionedTable:
         for p in written_parts:
             new_parts[p] = [seg]
         return self._commit(m, "merge", new_parts)
+
+    def delete_keys(self, spark: SparkSession, deletes: DataFrame, keys: list[str]) -> int:
+        """Targeted deletion (GDPR / right-to-be-forgotten) with
+        partition-level copy-on-write: rewrites ONLY the partitions the
+        delete feed names, carrying every other partition's references
+        over untouched (zero IO), and publishes one new version.
+
+        CONTRACT — `deletes` must carry the partition column (CDC delete
+        feeds do): exactly the (key, partition) pairs in the feed are
+        retired; the same key's rows in partitions the feed does not name
+        are untouched — the same partition-scoped discipline as
+        merge_upsert, and the property that keeps a delete O(affected
+        partitions) at 100 TB. A partition whose every row is deleted
+        disappears from the new version (its directory simply is not
+        rewritten). Pre-delete versions remain restorable until retention
+        vacuums them; tighten `max_versions` when deletion must become
+        durable."""
+        m = self._read_manifest()
+        if m["current"] is None:
+            raise FileNotFoundError(f"{self.path}: empty table")
+        # same single-evaluation pinning as merge_upsert: the partition
+        # collect and the anti-join must see identical delete rows
+        deletes = deletes.localCheckpoint(eager=True)
+        pc = self.partition_col
+        affected = [
+            str(r[pc])
+            for r in deletes.select(F.col(pc).cast("string")).distinct().collect()
+        ]
+        prev = self._entry(m, m["current"])["parts"]
+        touched = [p for p in affected if p in prev]
+        new_parts = {k: list(v) for k, v in prev.items() if k not in set(touched)}
+        if touched:
+            current_slice = self._read_parts(spark, {p: prev[p] for p in touched})
+            join_cols = list(keys) if pc in keys else [*keys, pc]
+            pairs = deletes.select(
+                *[F.col(k) for k in keys if k != pc],
+                F.col(pc).cast("string").alias(pc),
+            ).distinct()
+            kept = current_slice.join(pairs, join_cols, "left_anti")
+            seg, written_parts = self._write_segment(kept, m)
+            for p in written_parts:
+                new_parts[p] = [seg]
+        return self._commit(m, "delete", new_parts)
 
     # -- read / restore ----------------------------------------------------
     def _read_parts(self, spark: SparkSession, parts: dict[str, list[int]]) -> DataFrame:

@@ -241,3 +241,56 @@ def test_partitioned_append_restore_and_partition_pruned_read(spark, tmp_path):
     t.restore(spark, v0)
     assert t.read(spark).count() == 1
     assert t.history()[0]["op"] == "append"
+
+
+def test_delete_where_publishes_restorable_version(spark, table):
+    """GDPR delete on the unpartitioned table: survivors only in the new
+    version, the pre-delete version restorable until retention."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id INT, v DOUBLE")
+    v0 = table.overwrite(df)
+    v1 = table.delete_where(spark, F.col("id") % 2 == 0)
+    assert v1 > v0
+    assert sorted(r["id"] for r in table.read(spark).collect()) == [1, 3, 5, 7, 9]
+    table.restore(spark, v0)
+    assert table.read(spark).count() == 10
+
+
+def test_partitioned_delete_keys_scoped_and_zero_io(spark, tmp_path):
+    """delete_keys rewrites ONLY the partitions the feed names (untouched
+    references carried verbatim), retires exactly the (key, partition)
+    pairs — the same key survives in a partition the feed does not name —
+    and drops a partition entirely when its last row is deleted."""
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    t = PartitionedVersionedTable(str(tmp_path / "ptd"), "day")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(30)] + [(0, "d1", 777.0)],
+        "id INT, day STRING, v DOUBLE",
+    )
+    v0 = t.overwrite(base)
+    m0 = t._read_manifest()
+    parts0 = t._entry(m0, m0["current"])["parts"]
+
+    # delete key 0 ONLY in d0; its d1 row must survive (partition-scoped)
+    feed = spark.createDataFrame([(0, "d0")], "id INT, day STRING")
+    t.delete_keys(spark, feed, ["id"])
+    m1 = t._read_manifest()
+    parts1 = t._entry(m1, m1["current"])["parts"]
+    assert parts1["d1"] == parts0["d1"] and parts1["d2"] == parts0["d2"]
+    ids_d0 = {r["id"] for r in t.read(spark, partitions=["d0"]).collect()}
+    assert 0 not in ids_d0 and ids_d0 == {3, 6, 9, 12, 15, 18, 21, 24, 27}
+    assert (0, 777.0) in {
+        (r["id"], r["v"]) for r in t.read(spark, partitions=["d1"]).collect()
+    }
+
+    # delete every remaining d0 key -> the partition disappears
+    feed_all = spark.createDataFrame([(i, "d0") for i in ids_d0], "id INT, day STRING")
+    t.delete_keys(spark, feed_all, ["id"])
+    m2 = t._read_manifest()
+    assert "d0" not in t._entry(m2, m2["current"])["parts"]
+    assert t.read(spark).count() == 21  # 31 - 1 - 9
+    # pre-delete state restorable
+    t.restore(spark, v0)
+    assert t.read(spark).count() == 31
