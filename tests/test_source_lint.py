@@ -14,9 +14,9 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 
 # file -> allowed occurrence count, with the justification
 COLLECT_WHITELIST = {
-    # partition-scoped MERGE: distinct partition VALUES of the update batch
-    # (bounded by partition count, never row count)
-    "sinks/versioned.py": 1,
+    # partition-scoped MERGE + DELETE: distinct partition VALUES of the
+    # update/delete batch (bounded by partition count, never row count)
+    "sinks/versioned.py": 2,
 }
 
 
