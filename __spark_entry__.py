@@ -7363,6 +7363,378 @@ def spatial_bucket_join(spark, sf_dir):
     )
 
 
+# ==========================================================================
+# Distribution-drift and model-fit statistics (training-data monitoring)
+# ==========================================================================
+_DRIFT_CUT_US = 1705276800 * 1_000_000  # 2024-01-15T00:00:00Z — mid-corpus
+
+
+@q(
+    "distribution_drift_tvd",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(least(CAST(floor(value / 50) AS BIGINT), 11) AS INT) AS bin,
+             CASE WHEN epoch_us(ts) > 1705276800000000 THEN 'after'
+                  ELSE 'before' END AS period,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    t AS (SELECT event_type, period, sum(n) AS tot FROM c GROUP BY 1, 2),
+    s AS (SELECT c.event_type, c.bin, c.period, c.n * 1000000 // t.tot AS sm
+          FROM c JOIN t USING (event_type, period)),
+    pq AS (SELECT event_type, bin,
+                  sum(CASE WHEN period = 'before' THEN sm ELSE 0 END) AS p,
+                  sum(CASE WHEN period = 'after' THEN sm ELSE 0 END) AS q
+           FROM s GROUP BY 1, 2),
+    tv AS (SELECT event_type, CAST(sum(abs(p - q)) // 2 AS BIGINT) AS tvd_micro
+           FROM pq GROUP BY 1),
+    nn AS (SELECT event_type,
+                  CAST(sum(CASE WHEN period = 'before' THEN tot ELSE 0 END) AS BIGINT) AS n_before,
+                  CAST(sum(CASE WHEN period = 'after' THEN tot ELSE 0 END) AS BIGINT) AS n_after
+           FROM t GROUP BY 1)
+    SELECT event_type, n_before, n_after, tvd_micro,
+           tvd_micro > 100000 AS drifted
+    FROM tv JOIN nn USING (event_type)
+    """,
+)
+def distribution_drift_tvd(spark, sf_dir):
+    """Binned distribution-drift monitor: total-variation distance between
+    the value distribution before/after a cutoff, per event_type — the
+    train-vs-serve drift check every feature pipeline runs. TVD instead
+    of PSI because it stays INTEGER-exact end to end: per-bin shares are
+    quantized to micro-units with integer division, the distance is
+    Σ|p−q|/2 in those units, and the alarm is an integer threshold — no
+    ln(), no float accumulation, hash-identical across engines.
+
+    Scale shape: ONE fact-scale shuffle (groupBy type×bin×period with
+    map-side combine collapses to ≤ types·12·2 rows); everything after
+    is domain-bounded, with totals broadcast back onto the bins."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(11)).cast(
+        "int"
+    )
+    period = F.when(
+        F.unix_micros("ts") > _DRIFT_CUT_US, F.lit("after")
+    ).otherwise(F.lit("before"))
+    c = ev.groupBy(
+        "event_type", bin_.alias("bin"), period.alias("period")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # period totals via a whole-partition window over the SAME domain-bounded
+    # table (≤ types·12·2 rows) — a groupBy+join would re-aggregate the fact
+    # scan once per consumer; this keeps ONE fact-scale shuffle total
+    wt = Window.partitionBy("event_type", "period")
+    s = c.select(
+        "event_type",
+        "bin",
+        "period",
+        "n",
+        F.expr("n * 1000000").alias("nm"),
+        F.sum("n").over(wt).alias("tot"),
+    ).withColumn("sm", F.expr("nm div tot"))
+    is_before = F.col("period") == "before"
+    pq = s.groupBy("event_type", "bin").agg(
+        F.sum(F.when(is_before, F.col("sm")).otherwise(0)).alias("p"),
+        F.sum(F.when(~is_before, F.col("sm")).otherwise(0)).alias("q"),
+        F.sum(F.when(is_before, F.col("n")).otherwise(0)).alias("nb"),
+        F.sum(F.when(~is_before, F.col("n")).otherwise(0)).alias("na"),
+    )
+    return pq.groupBy("event_type").agg(
+        F.sum("nb").cast("long").alias("n_before"),
+        F.sum("na").cast("long").alias("n_after"),
+        F.expr("sum(abs(p - q)) div 2").cast("long").alias("tvd_micro"),
+    ).select(
+        "event_type",
+        "n_before",
+        "n_after",
+        "tvd_micro",
+        (F.col("tvd_micro") > 100000).alias("drifted"),
+    )
+
+
+@q(
+    "ks_drift_exact",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             sum(CASE WHEN epoch_us(ts) <= 1705276800000000 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN epoch_us(ts) > 1705276800000000 THEN 1 ELSE 0 END) AS n2
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS tot1,
+                 CAST(sum(n2) AS BIGINT) AS tot2
+          FROM v GROUP BY 1),
+    c AS (SELECT event_type, cents,
+                 sum(n1) OVER (PARTITION BY event_type ORDER BY cents) AS c1,
+                 sum(n2) OVER (PARTITION BY event_type ORDER BY cents) AS c2
+          FROM v)
+    SELECT c.event_type, t.tot1 AS n_before, t.tot2 AS n_after,
+           CAST(max(abs(c.c1 * t.tot2 - c.c2 * t.tot1)) * 1000000
+                // (t.tot1 * t.tot2) AS BIGINT) AS ks_micro
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type, t.tot1, t.tot2
+    """,
+)
+def ks_drift_exact(spark, sf_dir):
+    """EXACT two-sample Kolmogorov–Smirnov statistic per event_type
+    (before/after the same cutoff as distribution_drift_tvd): the
+    supremum ECDF gap — binless, so it catches drift TVD's fixed bins
+    smear out. Integer-exact via cross-multiplication:
+    D = max|c1·N2 − c2·N1| / (N1·N2), published in micro-units with
+    integer division — no per-row float ECDFs.
+
+    Scale shape: the fact-scale rows collapse FIRST to per-(type, cents)
+    counts (one shuffle, map-side combine; cardinality is domain-bounded
+    at ≤ types × 56K quantized values — independent of row count). The
+    cumulative window then runs over that domain-bounded table, so the
+    per-type window partition can never exceed the value domain no
+    matter how many input rows, and the final max is a tiny partial
+    agg."""
+    ev = _t(spark, sf_dir, "events")
+    before = (F.unix_micros("ts") <= _DRIFT_CUT_US).cast("long")
+    v = ev.groupBy(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(
+        F.sum(before).alias("n1"),
+        F.sum(1 - before).alias("n2"),
+    )
+    # totals come from a whole-partition window over the SAME domain-bounded
+    # table (not a second groupBy + join): one pipeline, one fact shuffle —
+    # the multi-consumer subplan would otherwise re-aggregate events twice
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wt = Window.partitionBy("event_type")
+    c = v.select(
+        "event_type",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+        F.sum("n1").over(wt).cast("long").alias("tot1"),
+        F.sum("n2").over(wt).cast("long").alias("tot2"),
+    )
+    gap = F.abs(F.col("c1") * F.col("tot2") - F.col("c2") * F.col("tot1"))
+    return (
+        c.groupBy("event_type", "tot1", "tot2")
+        .agg(F.max(gap).alias("mg"))
+        .select(
+            "event_type",
+            F.col("tot1").alias("n_before"),
+            F.col("tot2").alias("n_after"),
+            F.expr("CAST(mg * 1000000 div (tot1 * tot2) AS BIGINT)").alias(
+                "ks_micro"
+            ),
+        )
+    )
+
+
+@q(
+    "groupwise_ols_regression",
+    """
+    WITH r AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM r GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept_cents,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def groupwise_ols_regression(spark, sf_dir):
+    """Per-group closed-form OLS (value-cents vs days since 2024-01-01):
+    slope, intercept, R² from the five classical sums — the model-fit
+    primitive behind metric trend monitors and per-segment calibration.
+    Exactness: x and y are integers (day index, floor-cents); all sums
+    and the normal-equation numerators/denominators are computed in
+    exact decimal(38,0) (DuckDB: HUGEINT) — x is CENTERED on a fixed
+    epoch so the products stay far inside 38 digits — and only the final
+    division converts to double (integer→double is IEEE
+    round-to-nearest in both engines), rounded to 6.
+
+    Scale shape: one partial-agg shuffle (5 sums + count collapse
+    map-side); the algebra runs on one tiny row per group. No window,
+    no second pass, no covariance UDF."""
+    ev = _t(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.groupBy("event_type").agg(
+        d(F.count(F.lit(1))).alias("n"),
+        d(F.sum("x")).alias("sx"),
+        d(F.sum("y")).alias("sy"),
+        d(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        d(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    a = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    b = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cc = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    icept = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(a / b, 6).alias("slope_cents_per_day"),
+        F.round(icept / b, 6).alias("intercept_cents"),
+        F.round(a * a / (b * cc), 6).alias("r2"),
+    )
+
+
+@q(
+    "market_basket_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+             FROM op GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS pk1, b.l_partkey AS pk2,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT pc.pk1, pc.pk2, pc.n_ab,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           pc.n_ab * 1000000 // n_orders.n AS support_micro,
+           pc.n_ab * n_orders.n * 1000000 // (ia.n_item * ib.n_item) AS lift_micro
+    FROM pc
+    JOIN item ia ON ia.l_partkey = pc.pk1
+    JOIN item ib ON ib.l_partkey = pc.pk2, n_orders
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Frequent co-purchase pair mining (the association-rule primitive):
+    part pairs appearing together in ≥2 orders, with integer-exact
+    support and lift in micro-units — no float probabilities. The i<j
+    ordering counts each unordered pair once.
+
+    Scale shape: pairs are generated ARRAY-SIDE from a per-order item
+    set (one groupBy shuffle; TPC-H ≤7 items/order → ≤21 pairs, so the
+    expansion is bounded and never an |items|² self-join, and the
+    sorted-set expansion yields each unordered pair exactly once with
+    pk1 < pk2 for free). Item frequencies explode the same bounded sets
+    (grows with SF — a plain join, NOT forced broadcast; AQE broadcasts
+    the surviving ≥2 slice where it fits); the order count is a 1-row
+    partial-agg broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    item = (
+        grouped.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("pk1"), y.alias("pk2")),
+            ),
+        )
+    )
+    pc = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.pk1", "p.pk2")
+        .groupBy("pk1", "pk2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("pk1"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("pk2"), F.col("n_item").alias("n_b"))
+    return (
+        pc.join(ia, "pk1")
+        .join(ib, "pk2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pk1",
+            "pk2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * 1000000 div n").alias("support_micro"),
+            F.expr("n_ab * n * 1000000 div (n_a * n_b)").alias("lift_micro"),
+        )
+    )
+
+
+@q(
+    "histogram_median_rollup",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) // 1000 AS bin,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, n,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY event_type) AS tot
+          FROM b)
+    SELECT event_type, CAST(tot AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN bin END) AS BIGINT) AS median_bin,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN bin END) * 1000 AS BIGINT) AS bin_lo_cents,
+           CAST((min(CASE WHEN cum * 2 >= tot THEN bin END) + 1) * 1000 - 1 AS BIGINT) AS bin_hi_cents
+    FROM c GROUP BY event_type, tot
+    """,
+)
+def histogram_median_rollup(spark, sf_dir):
+    """Mergeable-quantile rollup — the histogram sibling of
+    hll_partial_rollup: per-(event_type, day) fixed-width cents
+    histograms are the stored partials (yesterday's never recomputed),
+    merged by simple addition into per-type histograms, from which the
+    median bin is read off the cumulative counts. The ORACLE computes
+    the same median bin directly from raw rows — the hash match proves
+    the daily-partial merge is lossless at bin granularity. All counts
+    and bin edges are integers.
+
+    Scale shape: one fact-scale shuffle to (type, day, bin) partials
+    (map-side combine); the merge and cumulative window run over a
+    domain-bounded table (types × ~57 bins) regardless of row count."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(floor(value * 100) AS BIGINT) div 1000").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wtot = Window.partitionBy("event_type")
+    c = merged.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("tot"),
+    )
+    med = F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("bin")))
+    return c.groupBy("event_type", "tot").agg(
+        med.alias("mb")
+    ).select(
+        "event_type",
+        F.col("tot").cast("long").alias("n"),
+        F.col("mb").cast("long").alias("median_bin"),
+        (F.col("mb") * 1000).cast("long").alias("bin_lo_cents"),
+        ((F.col("mb") + 1) * 1000 - 1).cast("long").alias("bin_hi_cents"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),

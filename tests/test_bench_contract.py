@@ -30,11 +30,20 @@ def test_bench_emits_one_json_line_with_zero_errors():
     assert proc.returncode == 0, proc.stderr[-2000:]
     json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
     assert len(json_lines) == 1, f"expected ONE JSON line, got {len(json_lines)}"
+    # the driver records only the last 2000 bytes of stdout and parses that
+    # capture — the printed line must survive it whole
+    assert len(json_lines[0]) <= 2000, "stdout JSON line exceeds the driver's capture window"
     d = json.loads(json_lines[0])
     assert d["metric"] == "declared_query_suite_wall"
     assert d["unit"] == "sec"
     assert d["sf"] == 0.001
     assert d["value"] > 0
+    assert d["n_failed"] == 0, f"bench reported failed queries: {d['failed']}"
     failed = [k for k, v in d["queries"].items() if v < 0]
     assert not failed, f"bench reported failed queries: {failed}"
-    assert len(d["queries"]) >= 150
+    # full per-query map (stdout line may be trimmed to fit the capture)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_LOCAL.json")) as f:
+        full = json.loads(f.read())
+    assert len(full["queries"]) >= 150
+    assert not [k for k, v in full["queries"].items() if v < 0]
