@@ -7735,6 +7735,155 @@ def histogram_median_rollup(spark, sf_dir):
     )
 
 
+def _zorder_expr(bx: str, by: str, bits: int, div_op: str) -> str:
+    """16-bit Morton interleave of two {bits}-bit bucket expressions as a
+    portable integer-arithmetic SQL string (no shift operators — Spark
+    spells integer division `div`, DuckDB `//`; everything else is shared).
+    Bit i of bx lands at z-bit 2i+1, bit i of by at 2i."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({bx} {div_op} {2**i}) % 2) * {2 ** (2 * i + 1)}")
+        terms.append(f"(({by} {div_op} {2**i}) % 2) * {2 ** (2 * i)}")
+    return " + ".join(terms)
+
+
+@q(
+    "zorder_clustered_scan",
+    """
+    WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem)
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem, mx
+    WHERE (l_partkey * 256) // (mp + 1) BETWEEN 64 AND 127
+      AND (l_suppkey * 256) // (ms + 1) BETWEEN 64 AND 127
+    GROUP BY 1
+    """,
+)
+def zorder_clustered_scan(spark, sf_dir):
+    """Z-ORDER layout for multi-dimension data skipping — the clustering
+    technique a 100 TB lake uses when queries filter on TWO independent
+    columns (partition pruning only serves one). lineitem is rewritten
+    range-partitioned + sorted on the 16-bit Morton interleave of
+    (partkey, suppkey) buckets, so each output file owns a tight z-range
+    and a 2-D box predicate touches only the files whose range
+    intersects it. The query box is an ALIGNED quad (both buckets in
+    [64,127] — the top two bits of each dimension fixed), which makes
+    its z-image one CONTIGUOUS range [12288, 16383]; the box rollup read
+    through the z predicate is therefore EXACTLY the plain 2-D filter
+    the oracle runs on raw lineitem. Two loud in-query asserts make the
+    layout claim driver-visible: per-file z-ranges must not overlap
+    (range partition + sort did cluster), and the quad may touch at most
+    4 of the 16 files (file-level skipping is real — ~1/16 of the z
+    space; ≤4 absorbs range-sampling boundary wobble).
+
+    Driver-state collects are bounded: one 1-row agg (bucket scale
+    bounds) and one 16-row per-file stats frame."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]  # 1-row bounds probe (documented bounded driver state)
+    bx = f"(l_partkey * 256) div ({mx['mp']} + 1)"
+    by = f"(l_suppkey * 256) div ({mx['ms']} + 1)"
+    z = F.expr(_zorder_expr(f"({bx})", f"({by})", 8, "div"))
+    lake = tempfile.mkdtemp(prefix="zorder_lake_")
+    (
+        li.withColumn("z", z)
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(lake)
+    )
+    back = spark.read.parquet(lake)
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("z").alias("zmin"), F.max("z").alias("zmax"))
+        .collect()
+    )  # ≤16 rows (one per written file) — bounded driver state
+    spans = sorted((r["zmin"], r["zmax"]) for r in stats)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        if lo <= hi:
+            raise RuntimeError("z-order write produced overlapping file ranges")
+    z_lo, z_hi = 12288, 16383  # aligned quad [64,127]² interleaved
+    touched = sum(1 for lo, hi in spans if lo <= z_hi and hi >= z_lo)
+    if touched > 4:
+        raise RuntimeError(
+            f"z-order skipping failed: quad touches {touched} of {len(spans)} files"
+        )
+    return (
+        back.filter(F.col("z").between(z_lo, z_hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_cents"),
+        )
+    )
+
+
+@q(
+    "triangle_count_keys",
+    """
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS a, c_custkey + d AS b
+      FROM customer, (SELECT unnest([1, 2, 3, 5, 8]) AS d), mx
+      WHERE c_custkey + d <= mx.m),
+    tri AS (
+      SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT va AS v FROM tri UNION ALL SELECT vb FROM tri
+            UNION ALL SELECT vc FROM tri)
+      GROUP BY 1)
+    SELECT v, n_triangles FROM pv ORDER BY n_triangles DESC, v LIMIT 50
+    """,
+)
+def triangle_count_keys(spark, sf_dir):
+    """Distributed triangle counting — the standard two-join enumeration
+    over an ORIENTED edge list (every edge stored once as a<b, so each
+    triangle is generated exactly once as a<b<c; at fleet scale the
+    orientation is what keeps the wedge join's fan-out bounded by
+    out-degree instead of total degree). The graph is synthesized
+    deterministically from customer keys (edges to +1/+2/+3/+5/+8
+    neighbors — a banded graph with a known dense triangle structure),
+    the same synthesize-from-keys pattern as spatial_bucket_join, so the
+    oracle can rebuild it exactly. Output: the 50 highest-participation
+    vertices with exact triangle counts.
+
+    Scale shape: wedge join keyed on the shared vertex, closure join
+    keyed on (a, c) — two bounded shuffles; per-vertex rollup is a
+    partial agg; top-50 is TakeOrdered, never a global sort."""
+    cust = _t(spark, sf_dir, "customer")
+    mm = cust.agg(F.max("c_custkey").alias("m"))  # 1-row partial-agg broadcast
+    e = (
+        cust.crossJoin(F.broadcast(mm))
+        .select(
+            F.col("c_custkey").alias("a"),
+            F.explode(F.array(*[F.lit(d) for d in (1, 2, 3, 5, 8)])).alias("d"),
+            "m",
+        )
+        .filter(F.col("c_custkey") + F.col("d") <= F.col("m"))
+        .select("a", (F.col("a") + F.col("d")).alias("b"))
+    )
+    e1 = e.select(F.col("a").alias("va"), F.col("b").alias("vb"))
+    e2 = e.select(F.col("a").alias("vb"), F.col("b").alias("vc"))
+    e3 = e.select(F.col("a").alias("va"), F.col("b").alias("vc"))
+    tri = e1.join(e2, "vb").join(e3, ["va", "vc"])
+    pv = (
+        tri.select(F.explode(F.array("va", "vb", "vc")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return pv.orderBy(F.desc("n_triangles"), "v").limit(50)
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -7755,6 +7904,7 @@ def histogram_median_rollup(spark, sf_dir):
 # oracle rows instead.
 RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "incremental_lookback_pruned",
+    "zorder_clustered_scan",
     "partitioned_delete_roundtrip",
     "merge_upsert",
     "versioned_sink_roundtrip",
@@ -7845,7 +7995,10 @@ _FIRST50: list[str] = [
 # Round-7 rotation queue (registered after this round's window was frozen;
 # never driver-verified): substring_span_dedup, dedup_canonical_selection,
 # quality_weighted_sample, corpus_mixture_stats, incremental_lookback_pruned,
-# hll_partial_rollup, unigram_surprisal_score, partitioned_delete_roundtrip.
+# hll_partial_rollup, unigram_surprisal_score, partitioned_delete_roundtrip,
+# distribution_drift_tvd, ks_drift_exact, groupwise_ols_regression,
+# market_basket_pairs, histogram_median_rollup, zorder_clustered_scan,
+# triangle_count_keys.
 
 
 def _ordered_names() -> list[str]:
