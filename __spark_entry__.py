@@ -7735,6 +7735,284 @@ def histogram_median_rollup(spark, sf_dir):
     )
 
 
+# ==========================================================================
+# Corpus-curation batch 2: SemDeDup, DSIR weights, boilerplate removal
+# ==========================================================================
+_D2_SQL = """ROUND(list_sum(list_transform(range(1, 65),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))), 6)"""
+
+_COS_SQL = """round(
+  list_sum(list_transform(range(1, 65),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, 65),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, 65),
+       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+  , 6)"""
+
+
+@q(
+    "semdedup_cluster_prune",
+    f"""
+    WITH cent AS (SELECT vec_id AS cluster_id, embedding AS cvec
+                  FROM embeddings WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, c.cluster_id, {_D2_SQL} AS d2
+          FROM embeddings e CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rk
+        FROM d) WHERE rk = 1),
+    ae AS (SELECT a1.vec_id, a1.cluster_id, e.embedding
+           FROM assigned a1 JOIN embeddings e USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM ae a JOIN ae b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.4)
+    SELECT a1.vec_id, a1.cluster_id,
+           (d.vec_id IS NOT NULL) AS is_dropped
+    FROM assigned a1 LEFT JOIN dropped d ON a1.vec_id = d.vec_id
+    """,
+)
+def semdedup_cluster_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup that is quadratic only
+    WITHIN coarse clusters — assign every embedding to its nearest
+    centroid (literal-array map expression, zero shuffle — same plan as
+    kmeans_assign; centroids := first 8 vectors, the deterministic
+    stand-in for trained ones), then inside each cluster drop every
+    vector that has an EARLIER (lower-id) cluster-mate with cosine ≥
+    0.4. The in-cluster pair join is keyed on cluster_id, so the
+    pairwise cost is Σ|cell|² — the published SemDeDup trade — never
+    corpus². Cosine via index-ordered zip_with/aggregate folds rounded
+    to 6 (cross-engine float convention); the keep/drop rule is
+    id-deterministic."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )  # k×64 floats — bounded driver state (k-means inter-iteration style)
+    centroids = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cluster_id"),
+                F.array(*[F.lit(float(v)) for v in r.embedding]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def d2_to(c):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c["cvec"],
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    best = F.array_min(
+        F.transform(
+            centroids,
+            lambda c: F.struct(
+                d2_to(c).alias("d2"), c["cluster_id"].alias("cluster_id")
+            ),
+        )
+    )
+    ae = emb.select(
+        "vec_id", best["cluster_id"].alias("cluster_id"), "embedding"
+    )
+    a = ae.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+    )
+    b = ae.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("b_vec"),
+    )
+    from domanda_etl_spark.functions import vectors as V
+
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.round(V.cosine("a_vec", "b_vec"), 6) >= 0.4)
+        .select("vec_id")
+        .distinct()
+    )
+    return ae.join(
+        dropped.withColumn("hit", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce("hit", F.lit(False)).alias("is_dropped"),
+    )
+
+
+@q(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             substr(md5(unnest(string_split_regex(trim(lower(text)), '\\s+'))), 1, 2)
+               AS bucket
+      FROM documents WHERE length(trim(text)) > 0),
+    stats AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+             CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
+      FROM toks GROUP BY 1),
+    tots AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+                    CAST(sum(cnt_r) AS BIGINT) AS tot_r FROM stats),
+    delta AS (
+      SELECT bucket,
+             (cnt_t * 1000000 // greatest(tot_t, 1))
+               - (cnt_r * 1000000 // greatest(tot_r, 1)) AS dmicro
+      FROM stats, tots)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(d.dmicro) AS BIGINT) AS dsir_score_micro,
+           CAST(sum(d.dmicro) AS BIGINT) > 0 AS selected
+    FROM toks t JOIN delta d USING (bucket)
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by how target-like its hashed-feature distribution is.
+    Features are md5-bucketed unigrams (256 buckets via the first two
+    md5 hex chars — the same portable-hash convention the split/sample
+    ops use); the target domain is source='src0' (the
+    contamination_screen stand-in). Per-token weight is the LINEARIZED
+    importance signal p_target(b) − p_raw(b) in exact integer
+    micro-units — sign-compatible with DSIR's log-ratio log(p_t/p_r) at
+    every bucket (both are positive iff the bucket is
+    target-over-represented), chosen over the log because it stays
+    integer-exact cross-engine with NO transcendental calls; UNsmoothed
+    because the two corpora differ in size and add-one shrinks the
+    smaller side's probabilities systematically (observed: it pushed
+    every document negative) — and a document's importance score is the
+    exact integer sum over its tokens.
+
+    Scale shape: token→bucket stats collapse to 256 rows (one fact
+    shuffle, map-side combine); the per-bucket weight table is a
+    broadcast join back onto the token stream; the per-doc rollup is the
+    second fact shuffle. Totals are a 1-row partial-agg broadcast."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .select(
+            "doc_id", "source", F.substring(F.md5("w"), 1, 2).alias("bucket")
+        )
+    )
+    stats = toks.groupBy("bucket").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("cnt_t"),
+        F.sum((F.col("source") != "src0").cast("long")).alias("cnt_r"),
+    )
+    tots = stats.agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    delta = stats.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        F.expr(
+            "(cnt_t * 1000000 div greatest(tot_t, 1))"
+            " - (cnt_r * 1000000 div greatest(tot_r, 1))"
+        ).alias("dmicro"),
+    )
+    scored = toks.join(F.broadcast(delta), "bucket")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("dmicro").cast("long").alias("dsir_score_micro"),
+        (F.sum("dmicro") > 0).alias("selected"),
+    )
+
+
+@q(
+    "boilerplate_line_removal",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE length(trim(text)) > 0),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+      FROM words,
+           (SELECT unnest(range(0, 200)) AS i)
+      WHERE i * 8 < len(ws)),
+    df AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY 1),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.seg
+      FROM segs s JOIN df USING (seg) WHERE df.n_docs < 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def boilerplate_line_removal(spark, sf_dir):
+    """CCNet-style boilerplate stripping: segments (8-word windows — the
+    fixture corpus has no newlines, so fixed windows stand in for lines)
+    that appear in MORE THAN ONE distinct document are boilerplate and
+    are removed from EVERY document, including the first occurrence —
+    the complement of paragraph_dedup, which keeps the first repeat.
+    Documents whose every segment is boilerplate disappear (documented;
+    the oracle mirrors it). Reassembly is position-ordered.
+
+    Scale shape: segment doc-frequency is one fact-scale groupBy with a
+    distinct-doc count (map-side partial on (seg, doc)); the df table
+    joins back on the segment key (AQE-skew-splittable — boilerplate
+    keys are hot by definition); reassembly is one groupBy(doc_id) with
+    an in-group sort, never a global sort."""
+    docs = _tw(spark, sf_dir, "documents")
+    words = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws")
+    )
+    nseg = F.ceil(F.size("ws") / F.lit(8)).cast("int")
+    segs = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice("ws", i * 8 + 1, 8)
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.seg")
+    df = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("n_docs"))
+    kept = segs.join(df.filter(F.col("n_docs") < 2), "seg")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "seg"))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def _zorder_expr(bx: str, by: str, bits: int, div_op: str) -> str:
     """16-bit Morton interleave of two {bits}-bit bucket expressions as a
     portable integer-arithmetic SQL string (no shift operators — Spark
@@ -7918,6 +8196,7 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "dedup_canonical_selection",
     "shard_packing",
     "kmeans_assign",
+    "semdedup_cluster_prune",
     "similarity_topk_ivf",
     "domanda_pipeline_full",
     "domanda_unify_mini",
@@ -7998,7 +8277,8 @@ _FIRST50: list[str] = [
 # hll_partial_rollup, unigram_surprisal_score, partitioned_delete_roundtrip,
 # distribution_drift_tvd, ks_drift_exact, groupwise_ols_regression,
 # market_basket_pairs, histogram_median_rollup, zorder_clustered_scan,
-# triangle_count_keys.
+# triangle_count_keys, semdedup_cluster_prune, dsir_importance_weights,
+# boilerplate_line_removal.
 
 
 def _ordered_names() -> list[str]:
