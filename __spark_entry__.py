@@ -8013,6 +8013,121 @@ def boilerplate_line_removal(spark, sf_dir):
     )
 
 
+@q(
+    "k_anonymity_generalize",
+    """
+    WITH g0 AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS bal_cents
+      FROM customer GROUP BY 1, 2),
+    small AS (SELECT c_nationkey, c_mktsegment FROM g0 WHERE n < 10),
+    g1 AS (
+      SELECT c.c_nationkey, count(*) AS n,
+             sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS bal_cents
+      FROM customer c JOIN small s
+        ON c.c_nationkey = s.c_nationkey AND c.c_mktsegment = s.c_mktsegment
+      GROUP BY 1)
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+           CAST(n AS BIGINT) AS n, CAST(bal_cents AS BIGINT) AS bal_cents
+    FROM g0 WHERE n >= 10
+    UNION ALL
+    SELECT CAST(c_nationkey AS BIGINT), 'ANY', CAST(n AS BIGINT),
+           CAST(bal_cents AS BIGINT)
+    FROM g1 WHERE n >= 10
+    """,
+)
+def k_anonymity_generalize(spark, sf_dir):
+    """k-anonymity (k=10) over the quasi-identifier pair (nation, market
+    segment) with a one-level generalization ladder — the
+    data-governance release gate next to the GDPR delete sink: groups
+    meeting k publish as-is; members of sub-k groups are RE-aggregated
+    with the segment generalized to 'ANY' (one rung up the lattice), and
+    anything still under k after generalization is suppressed entirely.
+    Published stats are exact integer cents.
+
+    Scale shape: one fact-scale groupBy for the level-0 groups; the
+    sub-k group list is group-cardinality-sized (broadcast), so the
+    re-aggregation pass is a broadcast semi-probe + partial agg, never a
+    second full shuffle tree. No row ever appears at two levels."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    g0 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("bal_cents")
+    )
+    small = g0.filter(F.col("n") < 10).select("c_nationkey", "c_mktsegment")
+    g1 = (
+        cust.join(F.broadcast(small), ["c_nationkey", "c_mktsegment"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("bal_cents"))
+    )
+    pub0 = g0.filter(F.col("n") >= 10).select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").cast("long").alias("n"),
+        F.col("bal_cents").cast("long").alias("bal_cents"),
+    )
+    pub1 = g1.filter(F.col("n") >= 10).select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.lit("ANY").alias("segment"),
+        F.col("n").cast("long").alias("n"),
+        F.col("bal_cents").cast("long").alias("bal_cents"),
+    )
+    return pub0.unionAll(pub1)
+
+
+@q(
+    "small_file_compaction",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def small_file_compaction(spark, sf_dir):
+    """Small-file compaction — the lake-maintenance job that keeps a
+    100 TB table scannable: a fragmented write (64 splits of the
+    documents table, the many-tiny-files state a streaming ingester
+    leaves behind) is rewritten into 4 id-range-clustered files. Three
+    loud in-query asserts make the claim driver-visible: the fragmented
+    stage really produced >16 files, the compacted stage exactly 4, and
+    not one row was lost or duplicated (count equality before/after).
+    The returned rollup reads from the COMPACTED lake and must
+    hash-match the oracle's rollup of the raw table — content
+    preservation, not just counts.
+
+    Driver-state is bounded: two file listings (≤64 names) and two
+    1-row counts."""
+    import os as _os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    frag = tempfile.mkdtemp(prefix="frag_lake_")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in _os.listdir(frag) if f.endswith(".parquet")])
+    if n_frag <= 16:
+        raise RuntimeError(f"fragmentation stage wrote only {n_frag} files")
+    fragged = spark.read.parquet(frag)
+    compact = tempfile.mkdtemp(prefix="compact_lake_")
+    (
+        fragged.repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    n_comp = len([f for f in _os.listdir(compact) if f.endswith(".parquet")])
+    if n_comp != 4:
+        raise RuntimeError(f"compaction wrote {n_comp} files, wanted 4")
+    back = spark.read.parquet(compact)
+    n_before, n_after = fragged.count(), back.count()
+    if n_before != n_after:
+        raise RuntimeError(f"compaction changed row count {n_before}->{n_after}")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def _zorder_expr(bx: str, by: str, bits: int, div_op: str) -> str:
     """16-bit Morton interleave of two {bits}-bit bucket expressions as a
     portable integer-arithmetic SQL string (no shift operators — Spark
@@ -8183,6 +8298,7 @@ def triangle_count_keys(spark, sf_dir):
 RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "incremental_lookback_pruned",
     "zorder_clustered_scan",
+    "small_file_compaction",
     "partitioned_delete_roundtrip",
     "merge_upsert",
     "versioned_sink_roundtrip",
@@ -8278,7 +8394,7 @@ _FIRST50: list[str] = [
 # distribution_drift_tvd, ks_drift_exact, groupwise_ols_regression,
 # market_basket_pairs, histogram_median_rollup, zorder_clustered_scan,
 # triangle_count_keys, semdedup_cluster_prune, dsir_importance_weights,
-# boilerplate_line_removal.
+# boilerplate_line_removal, k_anonymity_generalize, small_file_compaction.
 
 
 def _ordered_names() -> list[str]:
