@@ -8014,6 +8014,122 @@ def boilerplate_line_removal(spark, sf_dir):
 
 
 @q(
+    "bpe_merge_candidates",
+    """
+    WITH dw AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0)
+      WHERE length(w) >= 2 GROUP BY 1),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM dw, (SELECT unnest(range(1, 40)) AS i)
+      WHERE i <= length(w) - 1),
+    pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1)
+    SELECT pair, n FROM pc ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """One BPE-training iteration over the corpus: the frequency table of
+    adjacent character pairs (weighted by word frequency), whose top
+    entry is the next merge a byte-pair-encoding tokenizer would learn —
+    the inner loop of tokenizer training expressed as a corpus-scale
+    aggregation. Exact integer counts; top-20 via TakeOrdered with a
+    lexicographic tiebreak.
+
+    Scale shape: the corpus collapses FIRST to the (word, freq) table
+    (one fact shuffle — the same word-histogram reuse a real BPE trainer
+    does, so pair counting touches each DISTINCT word once, not each
+    occurrence); pair expansion is array-side and bounded by word
+    length; the pair rollup combines map-side; top-20 never sorts
+    globally."""
+    docs = _tw(spark, sf_dir, "documents")
+    dw = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = dw.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+    return pc.orderBy(F.desc("n"), "pair").limit(20)
+
+
+@q(
+    "hard_negative_mining",
+    """
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS sim
+      FROM embeddings e, q WHERE e.label <> q.q_label)
+    SELECT q_id, n_id, n_label, sim, rank FROM (
+      SELECT q_id, n_id, n_label, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    (first 8 vectors — the deterministic query batch the similarity
+    family uses), the 5 most-similar vectors with a DIFFERENT label —
+    the near-miss negatives that make embedding training converge.
+    Cosine via index-ordered folds rounded to 6; rank ties break on
+    neighbor id.
+
+    Scale shape: the anchor batch broadcasts (queries are the small side
+    by construction); one corpus scan scores label-mismatched candidates
+    and the per-anchor top-5 is a bounded window over (anchor, sim) —
+    only (anchor, candidate, sim) rows ever move. The label predicate
+    prunes same-class candidates before the window."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    from domanda_etl_spark.functions import vectors as V
+
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    scored = (
+        emb.join(qv, F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("n_label"),
+            F.round(V.cosine("qe", "embedding"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id", "n_label", "sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+@q(
     "k_anonymity_generalize",
     """
     WITH g0 AS (
@@ -8394,7 +8510,8 @@ _FIRST50: list[str] = [
 # distribution_drift_tvd, ks_drift_exact, groupwise_ols_regression,
 # market_basket_pairs, histogram_median_rollup, zorder_clustered_scan,
 # triangle_count_keys, semdedup_cluster_prune, dsir_importance_weights,
-# boilerplate_line_removal, k_anonymity_generalize, small_file_compaction.
+# boilerplate_line_removal, k_anonymity_generalize, small_file_compaction,
+# bpe_merge_candidates, hard_negative_mining.
 
 
 def _ordered_names() -> list[str]:
