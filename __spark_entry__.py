@@ -8781,6 +8781,367 @@ def dp_randomized_response(spark, sf_dir):
     )
 
 
+@q(
+    "heavy_hitters_cms",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    seeds AS (SELECT unnest(range(4)) AS d),
+    cells AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(d || ':' || w), 1, 8)) AS BIGINT) % 64 AS cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, seeds GROUP BY 1, 2),
+    exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY 1),
+    cand AS (SELECT w, exact_n FROM exact ORDER BY exact_n DESC, w LIMIT 10),
+    probes AS (
+      SELECT c.w, c.exact_n, s.d,
+             CAST(('0x' || substr(md5(s.d || ':' || c.w), 1, 8)) AS BIGINT) % 64
+               AS cell
+      FROM cand c CROSS JOIN seeds s),
+    est AS (
+      SELECT p.w, p.exact_n, MIN(cl.cnt) AS cms_estimate
+      FROM probes p JOIN cells cl ON cl.d = p.d AND cl.cell = p.cell
+      GROUP BY 1, 2)
+    SELECT w, exact_n, cms_estimate,
+           cms_estimate - exact_n AS overcount,
+           CAST(CASE WHEN cms_estimate - exact_n <= (3 * tot.n) // 64
+                     THEN 1 ELSE 0 END AS INT) AS within_bound
+    FROM est, tot
+    """,
+)
+def heavy_hitters_cms(spark, sf_dir):
+    """Count-min sketch heavy hitters — the MERGEABLE frequency sketch
+    (Cormode-Muthukrishnan 2005) a 100 TB pipeline uses when exact
+    per-token counts don't fit: depth 4 × width 64 counters, built as one
+    partial-agg groupBy over (seed, md5-bucket) — each executor combines
+    its partition into ≤256 cells map-side, so shuffle volume is
+    partitions×256 regardless of corpus size, and sketches of separate
+    corpora ADD cell-wise (the point of the structure). Estimates
+    (min over depths) are checked against exact counts for the exact
+    top-10 tokens, with the ε=3/64 overcount bound emitted as a column —
+    all integer arithmetic, md5 buckets identical across engines.
+    Width 64 is deliberately small so collisions are REAL in the fixture
+    and the min-over-depths recovery is visible."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    seeds = spark.range(4).select(F.col("id").alias("d"))
+
+    def cms_cell(d_col, w_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(d_col.cast("string"), F.lit(":"), w_col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(64),
+        )
+
+    cells = (
+        toks.crossJoin(F.broadcast(seeds))
+        .select("d", cms_cell(F.col("d"), F.col("w")).alias("cell"))
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    cand = exact.orderBy(F.desc("exact_n"), "w").limit(10)
+    probes = cand.crossJoin(F.broadcast(seeds)).select(
+        "w", "exact_n", "d", cms_cell(F.col("d"), F.col("w")).alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+        F.when(
+            F.col("cms_estimate") - F.col("exact_n")
+            <= F.expr("(3 * n) div 64"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
+@q(
+    "vocab_oov_rate",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    vocab AS (
+      SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1)
+      ORDER BY c DESC, w LIMIT 16)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit: build the top-K vocabulary
+    from the corpus's own frequencies (count desc, token tiebreak — fully
+    deterministic) and score every document's out-of-vocabulary token
+    rate — the signal that decides whether a tokenizer's vocab fits a new
+    corpus before a pretraining run, and a standard quality gate (high
+    OOV = encoding junk). K=16 against the fixture's 31-token vocabulary
+    so both tails are populated. Scale shape: vocab derives from the
+    token partial counts (map-side combine), is top-K-truncated
+    (TakeOrdered, never a global sort), and broadcasts into the per-doc
+    LEFT join — the corpus-sized side never shuffles on the token key."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(16)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@q(
+    "embedding_power_iteration",
+    """
+    WITH qv AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+      FROM embeddings),
+    cells AS (
+      SELECT i, j, q[i] * q[j] AS p
+      FROM (SELECT q, i, unnest(range(i, 65)) AS j
+            FROM (SELECT q, unnest(range(1, 65)) AS i FROM qv))),
+    gu AS (SELECT i, j, SUM(p) AS g FROM cells GROUP BY i, j),
+    gfull AS (SELECT i, j, g FROM gu
+              UNION ALL SELECT j, i, g FROM gu WHERE i <> j),
+    gs AS (SELECT i, j,
+                  CASE WHEN g < 0 THEN -((-g) // 1099511627776)
+                       ELSE g // 1099511627776 END AS g
+           FROM gfull),
+    r1 AS (SELECT i, CAST(SUM(g) * 1048576 AS BIGINT) AS raw FROM gs GROUP BY i),
+    n1 AS (SELECT greatest(MAX(ABS(raw)) // 1048576, 1) AS dnm FROM r1),
+    v1 AS (SELECT i,
+                  CASE WHEN raw < 0 THEN -((-raw) // n1.dnm)
+                       ELSE raw // n1.dnm END AS v
+           FROM r1, n1),
+    r2 AS (SELECT gs.i, CAST(SUM(gs.g * v1.v) AS BIGINT) AS raw
+           FROM gs JOIN v1 ON gs.j = v1.i GROUP BY gs.i),
+    n2 AS (SELECT greatest(MAX(ABS(raw)) // 1048576, 1) AS dnm FROM r2),
+    v2 AS (SELECT i,
+                  CASE WHEN raw < 0 THEN -((-raw) // n2.dnm)
+                       ELSE raw // n2.dnm END AS v
+           FROM r2, n2)
+    SELECT CAST(i AS INT) AS dim, CAST(v AS BIGINT) AS v_q FROM v2
+    """,
+)
+def embedding_power_iteration(spark, sf_dir):
+    """Distributed power iteration — the top principal direction of the
+    embedding corpus (the PCA/spectral building block) computed as two
+    matvec rounds against the exact quantized Gram matrix. The only
+    corpus-scale stage is the Gram build (same map-side-combine
+    outer-product as embedding_gram_matrix: shuffle volume
+    partitions×2080, independent of corpus size); every later stage
+    operates on the 64×64 matrix / 64-vector — broadcast-sized no matter
+    how large the corpus. Determinism: all arithmetic is bigint — the
+    Gram is 2^20-quantized then down-shifted, each iterate renormalizes
+    to 2^20 via max-|component| integer division, with the sign split
+    out so truncation-toward-zero matches DuckDB's floor division on the
+    non-negative operand. int64 headroom holds to ~50k×: |g|<=rows,
+    |v|<=2^20, 64 terms -> |raw| <= 64·rows·2^20."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1048576).cast("long")
+    )
+    d = emb.select(qv.alias("q"))
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(64)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.element_at("q", i) * F.element_at("q", j)).alias("p"),
+                ),
+            ),
+        )
+    )
+    gu = (
+        d.select(F.explode(cells).alias("c"))
+        .groupBy("c.i", "c.j")
+        .agg(F.sum("c.p").alias("g"))
+    )
+    gfull = gu.unionByName(
+        gu.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+
+    # sign-split integer division: truncation on the non-negative operand
+    # matches DuckDB's floor-division; `div` keeps everything in BIGINT
+    # (float `/` would round above 2^53)
+    gs = gfull.select(
+        "i",
+        "j",
+        F.expr(
+            "CASE WHEN g < 0 THEN -((-g) div 1099511627776)"
+            " ELSE g div 1099511627776 END"
+        ).alias("g"),
+    )
+    r1 = gs.groupBy("i").agg((F.sum("g") * 1048576).cast("long").alias("raw"))
+    n1 = r1.agg(
+        F.greatest(F.expr("max(abs(raw)) div 1048576"), F.lit(1).cast("long")).alias(
+            "dnm"
+        )
+    )
+
+    def renorm(r, n):
+        # divide-only renormalization: v = raw / (max|raw| / 2^20), no
+        # multiplication -> no int64 overflow at any corpus size
+        return r.crossJoin(F.broadcast(n)).select(
+            "i",
+            F.expr(
+                "CASE WHEN raw < 0 THEN -((-raw) div dnm)"
+                " ELSE raw div dnm END"
+            )
+            .cast("long")
+            .alias("v"),
+        )
+
+    v1 = renorm(r1, n1)
+    r2 = (
+        gs.join(v1.select(F.col("i").alias("j"), "v"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("raw"))
+    )
+    n2 = r2.agg(
+        F.greatest(F.expr("max(abs(raw)) div 1048576"), F.lit(1).cast("long")).alias(
+            "dnm"
+        )
+    )
+    v2 = renorm(r2, n2)
+    return v2.select(F.col("i").cast("int").alias("dim"), F.col("v").alias("v_q"))
+
+
+@q(
+    "streaming_watermark_late_drop",
+    """
+    WITH cut AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    ontime AS (
+      SELECT ts FROM events, cut
+      WHERE NOT (event_id % 10 = 3 AND ts < cut.c)),
+    wmf AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ontime),
+    agg AS (SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n FROM ontime
+            GROUP BY 1)
+    SELECT epoch_us(ws) AS window_start_us, CAST(n AS BIGINT) AS n_events
+    FROM agg, wmf WHERE ws + INTERVAL 1 HOUR <= wmf.w
+    """,
+)
+def streaming_watermark_late_drop(spark, sf_dir):
+    """§2.9 watermark semantics end-to-end: a REAL three-micro-batch
+    Structured Streaming run (file source, maxFilesPerTrigger=1 under
+    availableNow) whose LAST batch carries genuinely late events — rows
+    >=14 days older than the watermark, arriving AFTER their 1-hour
+    tumbling windows were finalized and evicted. Micro-batch order is
+    bulk (holds the max event time, so the watermark jumps) -> mid ->
+    late. Spark's documented lag is honored: the watermark used to
+    FILTER batch N's input is the one published after batch N-1, so the
+    mid batch (processed under the initial zero watermark, windows still
+    in state) merges fine, while every late-batch row hits
+    window_end <= watermark and is dropped by the engine — the run
+    asserts numRowsDroppedByWatermark > 0 so a batching regression can't
+    make the check vacuous. Append mode emits each window exactly once
+    when the watermark passes its end; the oracle is therefore plain
+    batch SQL: on-time rows only, windows whose end <= final watermark.
+    The lateness cutoff derives from min(ts) (never a wall-clock or a
+    hardcoded date — survives testdata regeneration)."""
+    import datetime
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    min_ts = ev.agg(F.min("ts")).collect()[0][0]  # 1-row bounds probe
+    cut = F.lit(min_ts + datetime.timedelta(days=15))
+    late = (F.col("event_id") % 10 == 3) & (F.col("ts") < cut)
+    mid = (~late) & (F.col("event_id") % 10 == 7)
+    bulk = (~late) & (F.col("event_id") % 10 != 7)
+    stream_dir = tempfile.mkdtemp(prefix="wm_stream_")
+    for tag, pred in (("b1", bulk), ("b2", mid), ("b3", late)):
+        tmp = tempfile.mkdtemp(prefix=f"wm_{tag}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(stream_dir, f"{tag}.parquet"))
+    now = time.time()  # file mtimes only order the micro-batches
+    for i, tag in enumerate(("b1", "b2", "b3")):
+        mt = now - 180 + i * 60
+        os.utime(os.path.join(stream_dir, f"{tag}.parquet"), (mt, mt))
+    name = "wm_late_" + os.path.basename(tempfile.mkdtemp(prefix="q")).strip("q")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in sq.recentProgress
+        if p.get("stateOperators")
+    )
+    if dropped == 0:
+        raise RuntimeError(
+            "watermark late-drop did not engage: 0 rows dropped "
+            "(micro-batch split or watermark lag changed)"
+        )
+    return spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_events"
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -8801,6 +9162,7 @@ def dp_randomized_response(spark, sf_dir):
 # oracle rows instead.
 RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "bloom_prefilter_join",
+    "streaming_watermark_late_drop",
     "incremental_lookback_pruned",
     "zorder_clustered_scan",
     "small_file_compaction",
