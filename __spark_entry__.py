@@ -9142,6 +9142,95 @@ def streaming_watermark_late_drop(spark, sf_dir):
     )
 
 
+@q(
+    "event_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    marg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM pairs GROUP BY 1)
+    SELECT p.src, p.dst, CAST(p.n AS BIGINT) AS n_transitions,
+           round(p.n::DOUBLE / m.n_src, 6) AS p_transition
+    FROM pairs p JOIN marg m ON p.src = m.src
+    """,
+)
+def event_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence — the behavioral-modeling rollup (what follows what, with
+    maximum-likelihood transition probabilities) behind next-action
+    prediction features and funnel anomaly detection. One lead() window
+    per user (single shuffle on user_id, ties broken by event_id),
+    then transition partial counts and a 25-row marginal join — both
+    derived from the pair partials, so shuffle volume after the window
+    is O(|event_type|^2), independent of event count. Probabilities
+    divide once at the end and round to 6 digits (cross-engine float
+    convention, file header)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(F.broadcast(marg), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p_transition"),
+    )
+
+
+@q(
+    "domain_cap_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_domain
+      FROM documents)
+    SELECT doc_id, source, rk AS sample_rank, CAST(n_domain AS BIGINT) AS n_domain
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def domain_cap_sample(spark, sf_dir):
+    """Domain balancing for corpus mixing: cap every domain's
+    contribution at K=20 documents, chosen by a DETERMINISTIC per-domain
+    hash ranking (md5 of doc_id, doc_id tiebreak) rather than rand() —
+    so the sample is identical across engines and runs, and incrementally
+    stable: a domain's kept set only changes where new docs hash below
+    the cap boundary. This is the standard head-domain squashing move
+    (Common Crawl: a few hosts dominate raw counts) before quality-
+    weighted mixing. One shuffle on source for the ranking window; the
+    cap filter is rank <= K, never a global sort. n_domain is emitted so
+    the squash ratio is auditable per domain."""
+    docs = _tw(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    wn = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("sample_rank"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n_domain"),
+        )
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "source", "sample_rank", "n_domain")
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -9262,7 +9351,10 @@ _FIRST50: list[str] = [
 # market_basket_pairs, histogram_median_rollup, zorder_clustered_scan,
 # triangle_count_keys, semdedup_cluster_prune, dsir_importance_weights,
 # boilerplate_line_removal, k_anonymity_generalize, small_file_compaction,
-# bpe_merge_candidates, hard_negative_mining.
+# bpe_merge_candidates, hard_negative_mining, bloom_prefilter_join,
+# ewma_halflife_smoothing, leakage_safe_group_split, attribution_first_last,
+# bigram_lm_surprisal, dp_randomized_response, heavy_hitters_cms,
+# vocab_oov_rate, embedding_power_iteration, streaming_watermark_late_drop.
 
 
 def _ordered_names() -> list[str]:
