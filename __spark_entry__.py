@@ -8424,32 +8424,7 @@ def bloom_prefilter_join(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     hot = orders.filter(F.col("o_totalprice") > 450000).select("o_custkey")
-    M_BITS, WORDS = 65536, 1024
-    bkt = F.pmod(F.xxhash64("o_custkey"), F.lit(M_BITS))
-    rows = (
-        hot.select(bkt.alias("bkt"))
-        .distinct()
-        .select(
-            (F.col("bkt") / 64).cast("int").alias("w"),
-            F.expr("shiftleft(1L, CAST(bkt % 64 AS INT))").alias("bit"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("bit").alias("bits"))
-        .collect()  # <= 1024 rows / 8 KiB regardless of table size
-    )
-    words = [0] * WORDS
-    for r in rows:
-        words[r["w"]] = r["bits"]
-    h = F.pmod(F.xxhash64("c_custkey"), F.lit(M_BITS))
-    word = F.element_at(
-        F.lit(words).cast("array<bigint>"), (F.col("_h") / 64).cast("int") + 1
-    )
-    mask = F.expr("shiftleft(1L, CAST(_h % 64 AS INT))")
-    pre = (
-        cust.withColumn("_h", h)
-        .filter(word.bitwiseAND(mask) != 0)
-        .drop("_h")
-    )
+    pre = joins.key_bitset_prefilter(cust, "c_custkey", hot, "o_custkey")
     return (
         pre.join(hot, pre.c_custkey == hot.o_custkey, "leftsemi")
         .groupBy("c_mktsegment")

@@ -190,3 +190,49 @@ def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     """NOT EXISTS — rows of left with no match in right (the idiomatic form
     of the reference's row-removal filters P4/P5)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def key_bitset_prefilter(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    n_bits: int = 65536,
+) -> DataFrame:
+    """Bloom-style broadcast prefilter: hash the build side's keys into an
+    `n_bits`-bit bitset (n_bits/64 longs, collected once — bounded driver
+    state independent of build-side row count), then drop probe rows whose
+    key bucket is empty BEFORE any shuffle. May pass false positives
+    (hash-bucket collisions) but never drops a true match, so
+    `semi_join(key_bitset_prefilter(p, k, b, bk), b, ...)` is
+    result-identical to the plain semi join while shuffling only the
+    surviving rows — the explicit, engine-portable form of Spark's runtime
+    bloom-filter join (spark.sql.optimizer.runtime.bloomFilter.*)."""
+    if n_bits % 64 != 0:
+        raise ValueError("n_bits must be a multiple of 64")
+    words_n = n_bits // 64
+    bkt = F.pmod(F.xxhash64(build_key), F.lit(n_bits))
+    rows = (
+        build.select(bkt.alias("__bkt"))
+        .distinct()
+        .select(
+            (F.col("__bkt") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(__bkt % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * words_n
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    h = F.pmod(F.xxhash64(probe_key), F.lit(n_bits))
+    word = F.element_at(
+        F.lit(words).cast("array<bigint>"), (F.col("__h") / 64).cast("int") + 1
+    )
+    mask = F.expr("shiftleft(1L, CAST(__h % 64 AS INT))")
+    return (
+        probe.withColumn("__h", h)
+        .filter(word.bitwiseAND(mask) != 0)
+        .drop("__h")
+    )

@@ -429,3 +429,84 @@ def test_quality_weighted_sample_is_subset_stable(spark, data):
     finally:
         entrymod._tw = orig
     assert sub == full & subset_ids
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=40),
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+)
+def test_bitset_prefilter_semi_join_equivalence(spark, build_keys, probe_keys):
+    """key_bitset_prefilter may pass false positives but NEVER drops a
+    true match: semi join after the prefilter == plain semi join."""
+    from domanda_etl_spark.operators import joins as J
+
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    build = spark.createDataFrame(
+        [(k,) for k in build_keys] or [(None,)], "bk long"
+    ).filter(F.col("bk").isNotNull())
+    pre = J.key_bitset_prefilter(probe, "k", build, "bk", n_bits=128)
+    a = sorted(
+        r["k"] for r in pre.join(build, pre.k == build.bk, "leftsemi").collect()
+    )
+    b = sorted(
+        r["k"] for r in probe.join(build, probe.k == build.bk, "leftsemi").collect()
+    )
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.floats(0.01, 400.0, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ewma_unrolled_weights_match_recursion(spark, rows):
+    """The window-unrolled EWMA (per-row weight 0.5^k, quantized-micro
+    sum) equals the textbook recursion y_t = 0.5 x_t + 0.5 y_{t-1} up to
+    one micro-unit of floor loss per row."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(g, i, float(v)) for i, (g, v) in enumerate(rows)], "g int, seq int, v double"
+    )
+    w = W.partitionBy("g").orderBy("seq")
+    wn = W.partitionBy("g")
+    k = F.when(F.col("rn") == 1, F.col("n") - 1).otherwise(F.col("n") - F.col("rn") + 1)
+    term = F.floor(F.col("v") * F.pow(F.lit(0.5), k) * 1000000).cast("long")
+    got = {
+        r["g"]: (r["m"], r["cnt"])
+        for r in df.select(
+            "g", "v", F.row_number().over(w).alias("rn"), F.count(F.lit(1)).over(wn).alias("n")
+        )
+        .groupBy("g")
+        .agg(F.sum(term).alias("m"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # pure-python recursion per group, in seq order
+    expected = {}
+    for g, v in rows:
+        expected[g] = 0.5 * v + 0.5 * expected[g] if g in expected else v
+    for g, (micro, cnt) in got.items():
+        assert abs(micro / 1e6 - expected[g]) <= (cnt + 1) / 1e6 + 1e-9, (
+            g,
+            micro,
+            expected[g],
+        )
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min guarantee on the real fixture: estimate >= exact for
+    every reported heavy hitter, and the emitted ε-bound flag holds."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["heavy_hitters_cms"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["overcount"] == r["cms_estimate"] - r["exact_n"]
+        assert r["within_bound"] in (0, 1)
