@@ -9206,6 +9206,35 @@ def domain_cap_sample(spark, sf_dir):
     )
 
 
+@q(
+    "twophase_distinct_agg",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def twophase_distinct_agg(spark, sf_dir):
+    """Skew-safe distinct counting: COUNT(DISTINCT) under a hot group key
+    is rewritten as two cascaded partial aggregations —
+    groupBy(key, user) dedup first (the hot key's rows spread over ALL
+    reducers because the composite key is high-cardinality), then
+    groupBy(key) counts the survivors. Catalyst's own rewrite (Expand +
+    double aggregate) reaches the same shape for one distinct column;
+    spelling it out keeps the plan skew-proof when mixed distinct+plain
+    aggregates would otherwise force Expand to replicate every row. The
+    n_events leg rides the same second shuffle via a partial sum."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
