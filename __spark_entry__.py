@@ -8570,44 +8570,35 @@ def attribution_first_last(spark, sf_dir):
     """Marketing-style first-touch / last-touch attribution: for every
     converting user (>=1 'purchase'), the channel that FIRST touched them
     and the channel that LAST touched them strictly before their first
-    purchase, plus how many events preceded conversion. All four legs
-    (first-purchase agg, first-touch window, pre-purchase window, count)
-    hash on user_id, so the whole DAG reuses ONE exchange partitioning —
-    AQE plans the joins shuffle-free after the first. Ties broken by
-    event_id for engine-stable ordering."""
+    purchase, plus how many events preceded conversion. SINGLE-PASS
+    design: one scan of events, one shuffle on user_id — two analytic
+    windows (partition-min first-purchase time, running-first touch) and
+    the final rollup share the same hash partitioning, and the
+    last-touch argmax rides the rollup as a lexicographic struct max
+    (ts, event_id, type) over pre-purchase rows — no join, no second
+    scan (the naive 4-leg join plan reads events 4 times). Ties broken
+    by event_id for engine-stable ordering."""
     ev = _t(spark, sf_dir, "events")
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ann = ev.select("user_id", "event_type", "ts", "event_id").select(
+        "*",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(wu)
+        .alias("fp"),
+        F.first("event_type").over(wo).alias("ft"),
     )
-    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ft = (
-        ev.withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_touch"))
+    pre = F.col("ts") < F.col("fp")
+    mx = F.max(
+        F.when(pre, F.struct("ts", "event_id", F.col("event_type").alias("et")))
     )
-    pre = ev.join(fp, "user_id").filter(F.col("ts") < F.col("first_purchase"))
-    w_last = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    lp = (
-        pre.withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("last_touch_pre"))
-    )
-    cnt = pre.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events_before"))
     return (
-        fp.join(ft, "user_id")
-        .join(lp, "user_id", "left")
-        .join(cnt, "user_id", "left")
-        .select(
-            "user_id",
-            "first_touch",
-            "last_touch_pre",
-            F.coalesce("n_events_before", F.lit(0)).cast("long").alias(
-                "n_events_before"
-            ),
+        ann.filter(F.col("fp").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ft").alias("first_touch"),
+            mx.getField("et").alias("last_touch_pre"),
+            F.sum(F.when(pre, 1).otherwise(0)).cast("long").alias("n_events_before"),
         )
     )
 
@@ -9358,7 +9349,8 @@ _FIRST50: list[str] = [
 # bpe_merge_candidates, hard_negative_mining, bloom_prefilter_join,
 # ewma_halflife_smoothing, leakage_safe_group_split, attribution_first_last,
 # bigram_lm_surprisal, dp_randomized_response, heavy_hitters_cms,
-# vocab_oov_rate, embedding_power_iteration, streaming_watermark_late_drop.
+# vocab_oov_rate, embedding_power_iteration, streaming_watermark_late_drop,
+# event_markov_transitions, domain_cap_sample, twophase_distinct_agg.
 
 
 def _ordered_names() -> list[str]:
