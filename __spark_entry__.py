@@ -9226,6 +9226,56 @@ def twophase_distinct_agg(spark, sf_dir):
     )
 
 
+@q(
+    "rolling_active_users",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    c AS (
+      SELECT user_id,
+             CAST(unnest(range(day, day + INTERVAL 7 DAY, INTERVAL 1 DAY))
+                  AS DATE) AS obs_day
+      FROM d)
+    SELECT strftime(obs_day, '%Y-%m-%d') AS obs_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+    FROM c, b WHERE obs_day <= b.hi
+    GROUP BY 1
+    """,
+)
+def rolling_active_users(spark, sf_dir):
+    """Rolling 7-day active users (the WAU curve) the scale-correct way:
+    COUNT(DISTINCT) over a sliding window cannot be expressed as a window
+    aggregate (distinct doesn't decompose), and the naive 7-way
+    self-join rescans the activity table per offset. Instead each
+    (user, active-day) pair — already deduplicated by a partial-agg
+    distinct — CONTRIBUTES itself to the 7 observation days it covers
+    (explode of a 7-element date sequence), and one distinct-count per
+    observation day finishes the job. Shuffle volume is 7x the distinct
+    (user, day) pairs — days-active scale, not event scale. The trailing
+    boundary is clamped to the observed max day via a 1-row broadcast
+    bounds aggregate (partial windows below min(day)+6 are emitted
+    as-is, matching the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    b = d.agg(F.max("day").alias("hi"))
+    c = d.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "obs_day"
+        ),
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .filter(F.col("obs_day") <= F.col("hi"))
+        .groupBy(F.date_format("obs_day", "yyyy-MM-dd").alias("obs_day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau7"))
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),

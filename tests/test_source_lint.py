@@ -17,6 +17,9 @@ COLLECT_WHITELIST = {
     # partition-scoped MERGE + DELETE: distinct partition VALUES of the
     # update/delete batch (bounded by partition count, never row count)
     "sinks/versioned.py": 2,
+    # key_bitset_prefilter: the <=n_bits/64-long bitset words (8 KiB at
+    # the 65536-bit default, independent of build-side row count)
+    "operators/joins.py": 1,
 }
 
 
