@@ -1940,7 +1940,9 @@ def word_freq_topk(spark, sf_dir):
     """,
 )
 def json_extract_props(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # _tw: per-row JSON parsing is the cost; spread the single-row-group
+    # fixture scan across cores (self-disables on real multi-split lakes)
+    ev = _tw(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k")
     return ev.select("event_id", k.alias("k_str"), k.cast("bigint").alias("k_num"))
 
