@@ -9278,6 +9278,82 @@ def rolling_active_users(spark, sf_dir):
     )
 
 
+@q(
+    "score_decile_lift",
+    """
+    WITH resp AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_totalprice > 300000),
+    f AS (SELECT c_custkey, c_acctbal,
+                 CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS responder
+          FROM customer c LEFT JOIN resp r ON c.c_custkey = r.o_custkey),
+    b AS (SELECT quantile_cont(c_acctbal,
+                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM f),
+    s AS (SELECT responder,
+                 len(list_filter(b.bounds, x -> x <= c_acctbal)) AS decile
+          FROM f, b),
+    per AS (SELECT decile, COUNT(*) AS n, SUM(responder) AS resp
+            FROM s GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tn, SUM(resp) AS tr FROM per)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(resp AS BIGINT) AS n_responders,
+           round(resp::DOUBLE / n, 6) AS response_rate,
+           round((resp::DOUBLE * tn) / (n::DOUBLE * tr), 6) AS lift
+    FROM per, tot
+    """,
+)
+def score_decile_lift(spark, sf_dir):
+    """Model-evaluation lift table: rank the population by a score
+    (acctbal stands in for a model score), cut into global equi-depth
+    deciles, and report each decile's response rate and lift over the
+    base rate — the gains chart behind targeting-model evaluation. The
+    deciles come from ONE exact-percentile aggregate broadcast as a
+    1-row bound list (the quantile_bucket_global scale path — no ntile,
+    no Exchange SinglePartition, swap percentile_approx in at 100 TB
+    with an unchanged plan shape); response flags ride a left semi-style
+    join against the distinct converter keys; rates and lift divide
+    integer-exact sums once at the end (6-digit ratio rule)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    resp = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    f = cust.join(resp, cust.c_custkey == resp.o_custkey, "left").select(
+        "c_acctbal",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("responder"),
+    )
+    b = f.agg(
+        F.percentile(
+            "c_acctbal", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("bounds")
+    )
+    s = f.join(F.broadcast(b)).select(
+        "responder",
+        F.size(F.filter("bounds", lambda x: x <= F.col("c_acctbal"))).alias(
+            "decile"
+        ),
+    )
+    per = s.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("responder").alias("resp")
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("resp").alias("tr"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("resp").cast("long").alias("n_responders"),
+        F.round(F.col("resp").cast("double") / F.col("n"), 6).alias(
+            "response_rate"
+        ),
+        F.round(
+            (F.col("resp").cast("double") * F.col("tn"))
+            / (F.col("n").cast("double") * F.col("tr")),
+            6,
+        ).alias("lift"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
