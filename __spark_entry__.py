@@ -9478,7 +9478,8 @@ _FIRST50: list[str] = [
 # ewma_halflife_smoothing, leakage_safe_group_split, attribution_first_last,
 # bigram_lm_surprisal, dp_randomized_response, heavy_hitters_cms,
 # vocab_oov_rate, embedding_power_iteration, streaming_watermark_late_drop,
-# event_markov_transitions, domain_cap_sample, twophase_distinct_agg.
+# event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
+# rolling_active_users, score_decile_lift.
 
 
 def _ordered_names() -> list[str]:
