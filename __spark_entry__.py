@@ -9354,6 +9354,188 @@ def score_decile_lift(spark, sf_dir):
     )
 
 
+@q(
+    "scd2_daily_snapshot",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             (lag(TRUE) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL) AS is_first
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE is_first OR event_type IS DISTINCT FROM prev_type),
+    versions AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes),
+    b AS (SELECT user_id, CAST(min(valid_from) AS DATE) AS lo,
+                 CAST(max(coalesce(valid_to, valid_from)) AS DATE) AS hi
+          FROM versions GROUP BY 1),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(range(lo, hi + INTERVAL 1 DAY, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM b)
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           v.event_type AS state
+    FROM spine s JOIN versions v
+      ON s.user_id = v.user_id
+     AND v.valid_from < CAST(s.day AS TIMESTAMP) + INTERVAL 1 DAY
+     AND (v.valid_to IS NULL
+          OR v.valid_to >= CAST(s.day AS TIMESTAMP) + INTERVAL 1 DAY)
+    """,
+)
+def scd2_daily_snapshot(spark, sf_dir):
+    """Point-in-time reconstruction over SCD2 intervals — the read-side
+    counterpart of scd2_user_history: materialize each key's state at
+    every end-of-day between its first and last version, i.e. the daily
+    snapshot table BI layers expect from a type-2 dimension. The
+    [valid_from, valid_to) intervals partition each key's timeline, so
+    exactly one version matches every (key, day) probe; the as-of
+    predicate is an equi join on the key plus an interval filter — the
+    per-key version list is history-sized, never event-sized, so the
+    fan-out is bounded. Day spine bounds derive from the history itself
+    (no wall clock, no hardcoded dates)."""
+    from domanda_etl_spark.operators.scd import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        ev,
+        key_cols=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreakers=[F.col("event_id").asc()],
+    )
+    b = hist.groupBy("user_id").agg(
+        F.to_date(F.min("valid_from")).alias("lo"),
+        F.to_date(F.max(F.coalesce("valid_to", "valid_from"))).alias("hi"),
+    )
+    spine = b.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    p = F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+    return (
+        spine.join(hist, "user_id")
+        .filter(
+            (F.col("valid_from") < p)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") >= p))
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("event_type").alias("state"),
+        )
+    )
+
+
+@q(
+    "impute_group_mean",
+    """
+    WITH m AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events),
+    g AS (SELECT event_type,
+                 CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS s,
+                 COUNT(v) AS c
+          FROM m GROUP BY 1)
+    SELECT m.event_id,
+           round(coalesce(m.v, g.s / g.c), 6) AS v_imputed,
+           CAST(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END AS INT) AS was_imputed
+    FROM m JOIN g ON m.event_type = g.event_type
+    """,
+)
+def impute_group_mean(spark, sf_dir):
+    """Group-mean imputation — the feature-engineering fill for missing
+    numerics (complementing forward_fill's LOCF and interpolate_linear's
+    time-bracketing): nulls take their group's mean computed over the
+    observed rows. A deterministic mask (event_id % 7) synthesizes the
+    missingness so the fixture exercises both branches. The group means
+    are one partial-agg shuffle over |event_type| keys, broadcast back
+    into a map-only coalesce — the event-scale side never reshuffles;
+    means are exact decimal sums / counts, divided once (6-digit ratio
+    rule), so no float-accumulation order anywhere."""
+    ev = _tw(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    g = m.groupBy("event_type").agg(
+        F.sum(F.col("v").cast("decimal(30,6)")).cast("double").alias("s"),
+        F.count("v").alias("c"),
+    )
+    return m.join(F.broadcast(g), "event_type").select(
+        "event_id",
+        F.round(F.coalesce(F.col("v"), F.col("s") / F.col("c")), 6).alias(
+            "v_imputed"
+        ),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias(
+            "was_imputed"
+        ),
+    )
+
+
+@q(
+    "temporal_split_audit",
+    """
+    WITH c AS (SELECT min(ts) + INTERVAL 21 DAY AS cut FROM events),
+    t AS (SELECT user_id,
+                 CASE WHEN ts < c.cut THEN 'train' ELSE 'test' END AS split
+          FROM events, c),
+    per AS (SELECT split, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM t GROUP BY 1),
+    o AS (SELECT COUNT(*) AS n_overlap_users
+          FROM (SELECT user_id FROM t GROUP BY user_id
+                HAVING COUNT(DISTINCT split) = 2))
+    SELECT split, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(o.n_overlap_users AS BIGINT) AS n_overlap_users
+    FROM per, o
+    """,
+)
+def temporal_split_audit(spark, sf_dir):
+    """TEMPORAL train/test split (forecasting's counterpart to
+    leakage_safe_group_split's domain hashing): everything before
+    min(ts)+21d trains, the tail tests — and the audit column makes the
+    split's inherent entity overlap explicit (users active on both sides
+    of the cutoff are expected here, unlike a group split where overlap
+    would be leakage). Cutoff derives from the data, never a wall clock.
+    One partial-agg rollup per split + a two-phase distinct-split count
+    for the overlap, joined back as a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.agg((F.min("ts") + F.expr("INTERVAL 21 DAY")).alias("cut"))
+    t = ev.crossJoin(F.broadcast(c)).select(
+        "user_id",
+        F.when(F.col("ts") < F.col("cut"), "train").otherwise("test").alias(
+            "split"
+        ),
+    )
+    per = t.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    o = (
+        t.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).alias("n_overlap_users"))
+    )
+    return per.crossJoin(F.broadcast(o)).select(
+        "split",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_overlap_users").cast("long").alias("n_overlap_users"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
