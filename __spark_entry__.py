@@ -9536,6 +9536,144 @@ def temporal_split_audit(spark, sf_dir):
     )
 
 
+@q(
+    "incremental_dedup_newbatch",
+    """
+    WITH idx AS (
+      SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fp
+      FROM documents WHERE source <> 'src0'),
+    nb AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE source = 'src0')
+    SELECT nb.doc_id, nb.fp,
+           CAST(CASE WHEN idx.fp IS NULL THEN 1 ELSE 0 END AS INT) AS is_novel
+    FROM nb LEFT JOIN idx ON nb.fp = idx.fp
+    """,
+)
+def incremental_dedup_newbatch(spark, sf_dir):
+    """INCREMENTAL dedup — the production shape: dedupe today's batch
+    (source 'src0' stands in for the new crawl) against the historical
+    corpus WITHOUT rescanning its text. The history contributes only its
+    distinct content fingerprints (the persisted dedup index a real
+    pipeline maintains incrementally — md5 of the whitespace-normalized
+    lowercased text, same key as dedup_exact); the new batch left-joins
+    that index on the 16-byte key and each doc is flagged novel or
+    already-seen. Work per run is O(new batch + index probe), never
+    O(corpus text); the join key is a uniform hash, so the shuffle is
+    skew-free by construction. Flagging (not dropping) keeps the output
+    auditable — the filter is `WHERE is_novel = 1` downstream."""
+    docs = _tw(spark, sf_dir, "documents")
+    fp = T.fingerprint("text")
+    idx = (
+        docs.filter(F.col("source") != "src0")
+        .select(fp.alias("fp"))
+        .distinct()
+        .select("fp", F.lit(1).alias("seen"))
+    )
+    nb = docs.filter(F.col("source") == "src0").select("doc_id", fp.alias("fp"))
+    return nb.join(idx, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.when(F.col("seen").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_novel"
+        ),
+    )
+
+
+@q(
+    "linear_quality_inference",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM toks),
+    wts AS (
+      SELECT b.bucket,
+             (CAST(('0x' || substr(md5('w:' || b.bucket), 1, 8)) AS BIGINT)
+              % 2001) - 1000 AS w_milli
+      FROM (SELECT unnest(range(64)) AS bucket) b),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(SUM(w.w_milli) AS BIGINT) AS score_milli,
+             COUNT(*) AS n_tok
+      FROM feat f JOIN wts w ON f.bucket = w.bucket
+      GROUP BY f.doc_id)
+    SELECT doc_id, score_milli, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(floor(score_milli * 1000.0 / n_tok) AS BIGINT) AS mean_score_micro,
+           CAST(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM scored
+    """,
+)
+def linear_quality_inference(spark, sf_dir):
+    """Broadcast-model batch inference — the fastText-style quality-
+    classifier pass every pretraining pipeline runs over its corpus,
+    reduced to its distributed essentials: hash each token into a
+    64-bucket feature space, score each document as the sum of a FIXED
+    weight vector over its features, threshold into a keep flag. The
+    'model' is a 64-row broadcast (deterministic pseudo-weights derived
+    from md5 so the oracle reproduces them; a real model would broadcast
+    its embedding/weight arrays the same way — the plan is identical).
+    Integer milli-unit weights make every sum exact; the per-doc mean is
+    floored into integer micro-units (milli-score ties at the 6th digit
+    made round() engine-divergent — floor has no tie semantics, and both
+    engines floor the same correctly-rounded IEEE quotient). Map-side
+    feature hashing, one broadcast join, one partial-agg rollup per doc
+    — no Python, no model server."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    feat = toks.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"),
+            F.lit(64),
+        ).alias("bucket"),
+    )
+    wts = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - 1000
+        ).alias("w_milli"),
+    )
+    scored = (
+        feat.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_milli").cast("long").alias("score_milli"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "score_milli",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.floor(F.col("score_milli") * 1000.0 / F.col("n_tok"))
+        .cast("long")
+        .alias("mean_score_micro"),
+        F.when(F.col("score_milli") > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
