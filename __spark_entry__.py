@@ -9799,7 +9799,9 @@ _FIRST50: list[str] = [
 # bigram_lm_surprisal, dp_randomized_response, heavy_hitters_cms,
 # vocab_oov_rate, embedding_power_iteration, streaming_watermark_late_drop,
 # event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
-# rolling_active_users, score_decile_lift.
+# rolling_active_users, score_decile_lift, scd2_daily_snapshot,
+# impute_group_mean, temporal_split_audit, incremental_dedup_newbatch,
+# linear_quality_inference.
 
 
 def _ordered_names() -> list[str]:
