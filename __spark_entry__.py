@@ -9674,6 +9674,110 @@ def linear_quality_inference(spark, sf_dir):
     )
 
 
+@q(
+    "quarantine_bad_rows",
+    """
+    WITH parsed AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props) THEN props END AS ok_props,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  WHEN json_valid(props) THEN json_extract_string(props, '$.k')
+                  END AS k
+      FROM events),
+    routed AS (
+      SELECT event_id, k,
+             CASE WHEN event_id % 11 = 0 OR ok_props IS NULL
+                  THEN 'quarantine' ELSE 'main' END AS route
+      FROM parsed)
+    SELECT route, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(k) AS BIGINT) AS n_with_key,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id
+    FROM routed GROUP BY route
+    """,
+)
+def quarantine_bad_rows(spark, sf_dir):
+    """Dead-letter routing — the ingestion pattern that keeps a 100 TB
+    load running when a fraction of rows are malformed: validate each
+    record (here: JSON parse of props, plus a deterministic event_id%11
+    mask standing in for rows that fail business validation), route
+    failures to a quarantine leg instead of failing the job or silently
+    dropping them, and publish per-route counts so the DLQ rate is
+    monitored. Single map + one partial-agg rollup; at scale the two
+    legs become two sink writes off one cached pass (corrupt_record_
+    handling covers the reader-level PERMISSIVE variant; this is the
+    row-level business-rule variant)."""
+    ev = _tw(spark, sf_dir, "events")
+    parsed_k = F.get_json_object(F.col("props"), "$.k")
+    bad = (F.col("event_id") % 11 == 0) | parsed_k.isNull()
+    routed = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, None).otherwise(parsed_k).alias("k"),
+        F.when(bad, "quarantine").otherwise("main").alias("route"),
+    )
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").cast("long").alias("n_with_key"),
+        F.min("event_id").cast("long").alias("min_event_id"),
+    )
+
+
+@q(
+    "referential_integrity_check",
+    """
+    SELECT 'orders->customer' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ord.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    """,
+)
+def referential_integrity_check(spark, sf_dir):
+    """Cross-table foreign-key audit — the DQ gate dq_constraint_summary
+    (single-table) doesn't cover: orphan counts for every FK edge of the
+    schema (orders→customer, lineitem→orders, customer→nation), each as
+    one LEFT join where only the PARENT KEY column is projected — so the
+    parent side of each probe is a distinct-key-sized broadcast/shuffle,
+    never the parent's payload. Three independent legs union into one
+    audit frame; a release gate reads n_orphans == 0."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+
+    def leg(name, child, ck, parent, pk):
+        p = parent.select(F.col(pk).alias("__pk")).distinct()
+        j = child.select(F.col(ck).alias("__ck")).join(
+            p, F.col("__ck") == F.col("__pk"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    return (
+        leg("orders->customer", orders, "o_custkey", customer, "c_custkey")
+        .unionByName(
+            leg("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey")
+        )
+        .unionByName(
+            leg("customer->nation", customer, "c_nationkey", nation, "n_nationkey")
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
