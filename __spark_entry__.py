@@ -9905,7 +9905,7 @@ _FIRST50: list[str] = [
 # event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
 # rolling_active_users, score_decile_lift, scd2_daily_snapshot,
 # impute_group_mean, temporal_split_audit, incremental_dedup_newbatch,
-# linear_quality_inference.
+# linear_quality_inference, quarantine_bad_rows, referential_integrity_check.
 
 
 def _ordered_names() -> list[str]:
