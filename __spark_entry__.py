@@ -9778,6 +9778,97 @@ def referential_integrity_check(spark, sf_dir):
     )
 
 
+@q(
+    "stream_stream_join_equiv",
+    """
+    WITH c AS (SELECT user_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+          WHERE event_type = 'purchase'),
+    j AS (SELECT p.user_id, p.p_id
+          FROM p JOIN c ON p.user_id = c.user_id
+           AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+           AND c.c_ts <= p.p_ts)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_matched
+    FROM j GROUP BY user_id
+    """,
+)
+def stream_stream_join_equiv(spark, sf_dir):
+    """§2.9 STREAM-STREAM join — the last major Structured Streaming
+    join mode (stream-static and aggregations are covered by their own
+    queries): purchases joined to the clicks that preceded them within
+    30 minutes, both sides real file streams with event-time watermarks,
+    the time-range condition bounding each side's join state so the
+    engine can expire buffered rows (the thing that makes stream-stream
+    joins feasible at all — unbounded-condition joins would buffer
+    forever). Inner-join matches emit as found; the memory-sink pair
+    table is then aggregated in batch and pinned to the pure batch
+    interval-join oracle. Same availableNow + temp-checkpoint harness as
+    the other streaming queries."""
+    import tempfile
+
+    from domanda_etl_spark.sources.parquet import table_read_schema
+
+    schema, _ns = table_read_schema(sf_dir, "events")
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select(
+                "event_id",
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+            )
+        )
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purch = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = purch.join(
+        clicks,
+        F.expr(
+            "user_id = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select(F.col("p_user").alias("user_id"), "p_id")
+    name = "ssj_" + os.path.basename(tempfile.mkdtemp(prefix="q")).strip("q")
+    sq = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssj_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("p_id").cast("long").alias("n_purchases_matched"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -9811,6 +9902,7 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "streaming_dedup_equiv",
     "streaming_stateful_totals",
     "stream_static_join_equiv",
+    "stream_stream_join_equiv",
     "dedup_cluster_assignment",
     "dedup_canonical_selection",
     "shard_packing",
