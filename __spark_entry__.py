@@ -9869,6 +9869,149 @@ def stream_stream_join_equiv(spark, sf_dir):
     )
 
 
+@q(
+    "seasonal_baseline_residuals",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, dayofweek(day) AS dow,
+             CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS s,
+             COUNT(*) AS c
+      FROM daily GROUP BY 1, 2),
+    resid AS (
+      SELECT d.event_type, d.day, d.v,
+             round(d.v - b.s / b.c, 6) AS residual
+      FROM daily d JOIN base b
+        ON d.event_type = b.event_type AND dayofweek(d.day) = b.dow)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, round(v, 6) AS v,
+           residual
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY abs(residual) DESC, day) AS rk FROM resid)
+    WHERE rk <= 5
+    """,
+)
+def seasonal_baseline_residuals(spark, sf_dir):
+    """Seasonality-aware anomaly detection (the step spike_detection's
+    plain rolling z-score misses): each event type's daily volume is
+    compared to its DAY-OF-WEEK mean — the simplest seasonal baseline,
+    the same shape as subtracting any (type, season-bucket) profile —
+    and the 5 largest absolute residuals per type surface as anomalies.
+    Everything derives from the daily partial-agg (event-scale touched
+    once); the 7-row-per-type baseline joins back broadcast-sized. Means
+    are exact decimal sums / counts; residual subtraction is one IEEE op
+    on already-rounded doubles; top-5 ranks by the rounded residual with
+    a day tiebreak (cross-engine ranking rule)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("v"))
+    base = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.sum(F.col("v").cast("decimal(30,6)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    resid = (
+        daily.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(base), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.round(F.col("v") - F.col("s") / F.col("c"), 6).alias("residual"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("residual")).desc(), "day"
+    )
+    return (
+        resid.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("v", 6).alias("v"),
+            "residual",
+        )
+    )
+
+
+@q(
+    "table_stats_profile",
+    """
+    SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def table_stats_profile(spark, sf_dir):
+    """ANALYZE-style column statistics — the maintenance pass that feeds
+    a cost-based optimizer and data-quality dashboards: per column,
+    row/non-null/distinct counts and min/max (stringified so mixed types
+    share one schema). All five columns profile in ONE scan: the plan is
+    a single wide aggregate over the table (count+min+max partial-agg
+    map-side) plus one distinct-aggregate expansion — at fleet scale
+    swap COUNT(DISTINCT) for approx_count_distinct and the shape is
+    unchanged. The oracle's 5-scan UNION is the semantic spec; Spark
+    executes the single-pass form and unpivots."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    rows = None
+    for c in cols:
+        r = one.select(
+            F.lit(c).alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"{c}__nn").cast("long").alias("n_nonnull"),
+            F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
