@@ -10140,7 +10140,8 @@ _FIRST50: list[str] = [
 # event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
 # rolling_active_users, score_decile_lift, scd2_daily_snapshot,
 # impute_group_mean, temporal_split_audit, incremental_dedup_newbatch,
-# linear_quality_inference, quarantine_bad_rows, referential_integrity_check.
+# linear_quality_inference, quarantine_bad_rows, referential_integrity_check,
+# stream_stream_join_equiv, seasonal_baseline_residuals, table_stats_profile.
 
 
 def _ordered_names() -> list[str]:
