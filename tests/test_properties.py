@@ -510,3 +510,17 @@ def test_cms_never_underestimates(spark):
         assert r["cms_estimate"] >= r["exact_n"], r
         assert r["overcount"] == r["cms_estimate"] - r["exact_n"]
         assert r["within_bound"] in (0, 1)
+
+
+def test_scd2_snapshot_exactly_one_state_per_key_day(spark):
+    """SCD2 intervals partition each key's timeline: the daily snapshot
+    must contain exactly one state per (user, day) — no gaps inside the
+    spine, no double-matches at version boundaries."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["scd2_daily_snapshot"](
+        spark, "/root/testdata/sf0.001"
+    )
+    total = out.count()
+    distinct_pairs = out.select("user_id", "day").distinct().count()
+    assert total == distinct_pairs and total > 0
