@@ -10012,6 +10012,295 @@ def table_stats_profile(spark, sf_dir):
     return rows
 
 
+@q(
+    "setsim_prefix_join",
+    """
+    WITH ex AS (
+      SELECT DISTINCT doc_id,
+             unnest([substr(text, CAST(i AS INT), 12)
+                     FOR i IN range(1, len(text) - 10)]) AS sh
+      FROM documents WHERE len(text) >= 12),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc1, doc2, n_inter, s1.n + s2.n - n_inter AS n_union,
+           round(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter), 6)
+             AS jaccard
+    FROM inter JOIN sz s1 ON s1.doc_id = doc1
+               JOIN sz s2 ON s2.doc_id = doc2
+    WHERE 3 * n_inter >= s1.n + s2.n
+    """,
+)
+def setsim_prefix_join(spark, sf_dir):
+    """Exact set-similarity self-join with PREFIX FILTERING (the
+    AllPairs/PPJoin candidate rule): all document pairs whose 12-char
+    shingle sets have Jaccard >= 0.5, found WITHOUT comparing all pairs.
+    Each doc's shingles are ordered by a global canonical order (document
+    frequency asc, shingle asc — rarest first); if J(a,b) >= t, the first
+    |s| - ceil(t*|s|) + 1 shingles of each side (= floor(|s|/2)+1 at
+    t=0.5) must share at least one element, so joining ONLY on prefix
+    shingles is lossless — the oracle proves that by brute-forcing the
+    full inverted-index join and reaching the identical pair set. The
+    Jaccard >= 0.5 test itself is the integer predicate
+    3*|inter| >= |a|+|b| — no float in the decision, and a symmetric
+    length prefilter (max <= 2*min, necessary since j <= min/max) prunes
+    candidates before set intersection.
+
+    Scale shape: candidate generation is bounded by PREFIX posting lists
+    (the rare half of each set), not full postings — the standard
+    100 TB-corpus set-similarity strategy; frequency ranking itself is
+    one partial-agg shuffle. Verification touches candidate pairs only,
+    via array_intersect on the two shingle arrays (complements
+    lsh_pair_containment, which generates candidates approximately via
+    MinHash bands; this variant is EXACT end-to-end)."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length("text") >= 12)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 11),
+                    lambda i: F.col("text").substr(i, F.lit(12)),
+                )
+            )
+        ).alias("sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "sh"))),
+                lambda x: x["sh"],
+            ).alias("s")
+        )
+        .withColumn("n", F.size("s"))
+    )
+    pre = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.slice("s", 1, (F.floor(F.col("n") / 2) + 1).cast("int"))
+        ).alias("sh"),
+    )
+    a = pre.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"), "sh")
+    b = pre.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .filter(
+            (F.col("doc1") < F.col("doc2"))
+            & (F.greatest("na", "nb") <= 2 * F.least("na", "nb"))
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = ordered.select(
+        F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    s2 = ordered.select(
+        F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n").alias("n2")
+    )
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("n_inter", F.size(F.array_intersect("s1", "s2")).cast("long"))
+        .withColumn(
+            "n_union", (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("long")
+        )
+        .filter(3 * F.col("n_inter") >= F.col("n1") + F.col("n2"))
+        .select(
+            "doc1",
+            "doc2",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+        )
+    )
+
+
+@q(
+    "cdc_apply_log",
+    """
+    WITH latest AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type AS last_type,
+           CAST(floor(value * 100) AS BIGINT) AS value_cents,
+           epoch_us(ts) AS ts_us
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_log(spark, sf_dir):
+    """Change-data-capture APPLY: collapse an ordered changelog into the
+    final table snapshot, honoring delete tombstones (the merge-on-read
+    compaction every CDC-fed lake table needs; the reference's loader
+    only ever does full upsert — reference etl/loader.py:15-348 — so
+    tombstone semantics are the missing half). Events model the log:
+    'error' rows are DELETEs, everything else an UPSERT of
+    (event_type, value); per key the LATEST op wins (ts, then event_id
+    as the deterministic within-timestamp sequence), and keys whose
+    last op is a delete vanish from the snapshot entirely — distinct
+    from latest_wins_dedup, which always keeps one row per key.
+
+    Scale shape: exactly one hash shuffle on the key for the
+    row_number window; tombstone filtering is a post-window predicate
+    (no second pass, no anti-join). At 100 TB the same plan applies
+    per partition-of-keys; cents conversion keeps the value column
+    integer-exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+@q(
+    "benford_digit_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM digits GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    exp AS (SELECT digit, CAST(p AS DOUBLE) AS p FROM (VALUES
+      (CAST(1 AS BIGINT), 0.3010299957), (2, 0.1760912591),
+      (3, 0.1249387366), (4, 0.0969100130), (5, 0.0791812460),
+      (6, 0.0669467896), (7, 0.0579919470), (8, 0.0511525224),
+      (9, 0.0457574906)) e(digit, p))
+    SELECT e.digit, coalesce(o.n_obs, CAST(0 AS BIGINT)) AS n_obs,
+           round(e.p * tot.n, 6) AS n_exp,
+           round((coalesce(o.n_obs, 0) - e.p * tot.n)
+                 * (coalesce(o.n_obs, 0) - e.p * tot.n)
+                 / (e.p * tot.n), 6) AS chi2_term
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit, tot
+    """,
+)
+def benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit — the classic fraud /
+    data-fabrication screen for financial columns: observed
+    first-significant-digit counts of o_totalprice vs the Benford
+    expectation p(d) = log10(1 + 1/d), with the per-digit chi-square
+    contribution. The nine probabilities are FIXED LITERALS (rounded to
+    10 decimals) on both engines — no libm log10 at query time, so the
+    only float ops are (obs - p*n)^2 / (p*n) evaluated in the identical
+    IEEE order on both sides, then rounded to 6.
+
+    Scale shape: one partial-agg shuffle collapses the table to <= 9
+    digit counts map-side; the expectation table is a 9-row literal
+    broadcast and the total a 1-row broadcast. Reading the verdict is
+    O(1) regardless of input size — the 100 TB plan is identical."""
+    orders = _t(spark, sf_dir, "orders")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    benford = [
+        (1, 0.3010299957),
+        (2, 0.1760912591),
+        (3, 0.1249387366),
+        (4, 0.0969100130),
+        (5, 0.0791812460),
+        (6, 0.0669467896),
+        (7, 0.0579919470),
+        (8, 0.0511525224),
+        (9, 0.0457574906),
+    ]
+    exp = spark.createDataFrame(benford, "digit long, p double")
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    dev = F.coalesce("n_obs", F.lit(0)) - F.col("p") * F.col("n")
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.round(F.col("p") * F.col("n"), 6).alias("n_exp"),
+            F.round(dev * dev / (F.col("p") * F.col("n")), 6).alias("chi2_term"),
+        )
+    )
+
+
+@q(
+    "robust_scaler_groups",
+    """
+    WITH c AS (SELECT event_type, event_id,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events),
+    qs AS (SELECT event_type,
+                  quantile_cont(cents, 0.25) AS q1,
+                  quantile_cont(cents, 0.50) AS med,
+                  quantile_cont(cents, 0.75) AS q3
+           FROM c GROUP BY 1)
+    SELECT c.event_type, c.event_id, c.cents,
+           round((c.cents - qs.med) / (qs.q3 - qs.q1), 6) AS scaled
+    FROM c JOIN qs USING (event_type)
+    """,
+)
+def robust_scaler_groups(spark, sf_dir):
+    """Per-group robust scaling (median/IQR — the outlier-insensitive
+    sibling of zscore_normalize's mean/std): each event's value is
+    centered on its type's median and scaled by the interquartile
+    range. Values go through floor-cents LONGs first, which makes the
+    linear-interpolated quartiles EXACT: the interpolation fraction at
+    p in {.25,.5,.75} is a multiple of 1/4, so (1-f)*a + f*b on
+    sub-2^20 integers has no rounding error in either engine
+    (Spark `percentile` and DuckDB `quantile_cont` share the
+    p*(n-1) definition) — one IEEE division at the end, rounded to 6.
+
+    Scale shape: one partial-agg shuffle for the per-type exact
+    quartiles (at fleet scale swap in approx_percentile, same plan),
+    then the tiny per-group stats broadcast back onto the events —
+    row-scale data is touched exactly twice, never re-shuffled."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    qs = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("q")
+    )
+    qs = qs.select(
+        "event_type",
+        F.col("q")[0].alias("q1"),
+        F.col("q")[1].alias("med"),
+        F.col("q")[2].alias("q3"),
+    )
+    return c.join(F.broadcast(qs), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.round(
+            (F.col("cents") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
+        ).alias("scaled"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
