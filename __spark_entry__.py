@@ -10430,7 +10430,9 @@ _FIRST50: list[str] = [
 # rolling_active_users, score_decile_lift, scd2_daily_snapshot,
 # impute_group_mean, temporal_split_audit, incremental_dedup_newbatch,
 # linear_quality_inference, quarantine_bad_rows, referential_integrity_check,
-# stream_stream_join_equiv, seasonal_baseline_residuals, table_stats_profile.
+# stream_stream_join_equiv, seasonal_baseline_residuals, table_stats_profile,
+# setsim_prefix_join, cdc_apply_log, benford_digit_audit,
+# robust_scaler_groups.
 
 
 def _ordered_names() -> list[str]:
