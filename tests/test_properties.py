@@ -524,3 +524,81 @@ def test_scd2_snapshot_exactly_one_state_per_key_day(spark):
     total = out.count()
     distinct_pairs = out.select("user_id", "day").distinct().count()
     assert total == distinct_pairs and total > 0
+
+
+def test_setsim_prefix_filter_lossless_vs_python_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS: the prefix-join result equals a
+    Python brute-force over all document pairs (12-char shingle sets,
+    Jaccard >= 0.5 decided by the integer predicate 3*inter >= |a|+|b|).
+    Independent of the DuckDB oracle — pure set arithmetic."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    shingles = {
+        int(r.doc_id): {r.text[i : i + 12] for i in range(len(r.text) - 11)}
+        for r in docs.itertuples()
+        if len(r.text) >= 12
+    }
+    expect = set()
+    ids = sorted(shingles)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            inter = len(shingles[a] & shingles[b])
+            if 3 * inter >= len(shingles[a]) + len(shingles[b]):
+                expect.add((a, b, inter, len(shingles[a] | shingles[b])))
+    got = {
+        (r["doc1"], r["doc2"], r["n_inter"], r["n_union"])
+        for r in entrymod.queries()["setsim_prefix_join"](spark, sf).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_robust_scaler_group_invariants(spark):
+    """Robust scaling must put each group's median at 0 and its IQR at
+    exactly 1 (the quartiles are float-exact on floor-cents ints, so
+    these hold to rounding of the OUTPUT only)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["robust_scaler_groups"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_group: dict[str, list[float]] = {}
+    for r in rows:
+        by_group.setdefault(r["event_type"], []).append(r["scaled"])
+    assert by_group
+    for g, vals in by_group.items():
+        vals.sort()
+        n = len(vals)
+
+        def q(p):
+            i = p * (n - 1)
+            lo, f = int(i), i - int(i)
+            return vals[lo] * (1 - f) + vals[min(lo + 1, n - 1)] * f
+
+        assert abs(q(0.5)) < 1e-5, (g, q(0.5))
+        assert abs((q(0.75) - q(0.25)) - 1.0) < 1e-5, g
+
+
+def test_cdc_apply_tombstones_vs_python_reference(spark):
+    """CDC apply: keys whose LATEST op is a delete are absent; all other
+    keys appear exactly once with their latest payload."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    last = ev.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    expect = {
+        int(r.user_id): (r.event_type, int(r.value * 100 // 1))
+        for r in last.itertuples()
+        if r.event_type != "error"
+    }
+    got = {
+        r["user_id"]: (r["last_type"], r["value_cents"])
+        for r in entrymod.queries()["cdc_apply_log"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
