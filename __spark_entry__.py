@@ -10301,6 +10301,159 @@ def robust_scaler_groups(spark, sf_dir):
     )
 
 
+@q(
+    "embedding_int8_quantization",
+    """
+    WITH base AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings),
+    sc AS (
+      SELECT vec_id, v, list_max([abs(e) FOR e IN v]) / 127.0 AS scale
+      FROM base),
+    qz AS (
+      SELECT vec_id, scale, v,
+             [CAST(floor(e / scale + 0.5) AS BIGINT) FOR e IN v] AS q
+      FROM sc WHERE scale > 0)
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_max([abs(e) FOR e IN q]) AS BIGINT) AS q_absmax,
+           CAST(list_sum([CAST(floor((v[i] - q[i]*scale)
+                                     * (v[i] - q[i]*scale)
+                                     * 1000000000000.0 + 0.5) AS BIGINT)
+                          FOR i IN range(1, len(v)+1)]) AS BIGINT)
+             AS err2_pico,
+           round(CAST(list_sum([CAST(floor((v[i] - q[i]*scale)
+                                           * (v[i] - q[i]*scale)
+                                           * 1000000000000.0 + 0.5) AS BIGINT)
+                                FOR i IN range(1, len(v)+1)]) AS DOUBLE)
+                 / (len(v) * 1000000000000.0), 9) AS mse
+    FROM qz
+    """,
+)
+def embedding_int8_quantization(spark, sf_dir):
+    """Symmetric per-vector INT8 quantization of the embedding corpus —
+    the 4x vector-compression step every billion-scale ANN index does
+    before sharding (float32 -> int8 + one float scale per vector):
+    scale = max|x|/127, q_i = round(x_i/scale), with the per-vector
+    reconstruction error reported as an audit. Rounding is the explicit
+    floor(x+0.5) on both engines (no engine-specific HALF_UP ties), and
+    the squared-error SUM is quantized per element to picounits and
+    summed as EXACT integers — no float accumulation order anywhere;
+    the only engine-shared float ops are elementwise IEEE arithmetic.
+
+    Scale shape: pure map — zero shuffles, whole-row array expressions
+    (transform/zip_with/aggregate stay inside codegen); at 100 TB this
+    runs scan-speed and the int8 payload shrinks downstream shuffle and
+    index bytes 4x. Complements similarity_topk_* (which search) by
+    producing the compressed representation they'd ship."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    sc = base.withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    ).filter(F.col("scale") > 0)
+    qz = sc.withColumn(
+        "q",
+        F.transform(
+            "v", lambda e: F.floor(e / F.col("scale") + F.lit(0.5)).cast("long")
+        ),
+    )
+    err_terms = F.zip_with(
+        "v",
+        "q",
+        lambda a, b: F.floor(
+            (a - b * F.col("scale"))
+            * (a - b * F.col("scale"))
+            * F.lit(1e12)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    # err2 computed BEFORE the projection that re-aliases "scale": in the
+    # final select a lateral column alias (`round(scale,6) AS scale`) would
+    # capture the F.col("scale") inside the lambda and silently quantize
+    # against the ROUNDED scale (Spark >= 3.4 implicit lateral alias
+    # resolution — caught by the DuckDB oracle, off by ~2% in err2_pico).
+    withsum = qz.withColumn(
+        "err2_pico",
+        F.aggregate(err_terms, F.lit(0).cast("long"), lambda acc, x: acc + x),
+    )
+    return withsum.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_max(F.transform("q", F.abs)).cast("long").alias("q_absmax"),
+        "err2_pico",
+        F.round(
+            F.col("err2_pico").cast("double") / (F.size("v") * F.lit(1e12)), 9
+        ).alias("mse"),
+    )
+
+
+@q(
+    "corpus_fertility_by_lang",
+    """
+    WITH toks AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    per_lang AS (
+      SELECT lang,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+      FROM toks WHERE tok <> '' GROUP BY 1),
+    chars AS (
+      SELECT lang, CAST(sum(len(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1)
+    SELECT p.lang, p.n_docs, p.n_tokens, p.n_types, c.n_chars,
+           round(CAST(c.n_chars AS DOUBLE) / p.n_tokens, 6)
+             AS chars_per_token,
+           round(CAST(p.n_types AS DOUBLE) / p.n_tokens, 6)
+             AS type_token_ratio
+    FROM per_lang p JOIN chars c USING (lang)
+    """,
+)
+def corpus_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer-fertility and vocabulary-richness profile —
+    the corpus-mix audit run before training a multilingual tokenizer:
+    chars-per-token (fertility: how many bytes a whitespace token costs
+    per language) and type-token ratio (corpus-level vocabulary
+    diversity), from integer-exact char/token/type counts. Distinct
+    from text_stats (per-document) and corpus_mixture_stats (source
+    weights): this aggregates ACROSS documents per language, including
+    a cross-document DISTINCT over the token stream.
+
+    Scale shape: one explode + two-key partial-agg for token counts;
+    the distinct-token count is the only expensive leg (count DISTINCT
+    over (lang, tok) — at fleet scale swap approx_count_distinct, same
+    plan) — per-language char sums ride a separate cheap partial agg
+    and join back on the 5-row lang key, broadcast."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_lang = toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_types"),
+    )
+    chars = docs.groupBy("lang").agg(
+        F.sum(F.length("text")).cast("long").alias("n_chars")
+    )
+    return per_lang.join(F.broadcast(chars), "lang").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_chars",
+        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
