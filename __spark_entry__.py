@@ -10585,7 +10585,8 @@ _FIRST50: list[str] = [
 # linear_quality_inference, quarantine_bad_rows, referential_integrity_check,
 # stream_stream_join_equiv, seasonal_baseline_residuals, table_stats_profile,
 # setsim_prefix_join, cdc_apply_log, benford_digit_audit,
-# robust_scaler_groups.
+# robust_scaler_groups, embedding_int8_quantization,
+# corpus_fertility_by_lang.
 
 
 def _ordered_names() -> list[str]:
