@@ -10725,7 +10725,7 @@ _FIRST50: list[str] = [
 # stream_stream_join_equiv, seasonal_baseline_residuals, table_stats_profile,
 # setsim_prefix_join, cdc_apply_log, benford_digit_audit,
 # robust_scaler_groups, embedding_int8_quantization,
-# corpus_fertility_by_lang.
+# corpus_fertility_by_lang, quantization_recall_audit.
 
 
 def _ordered_names() -> list[str]:
