@@ -10904,7 +10904,8 @@ _FIRST50: list[str] = [
 # stream_stream_join_equiv, seasonal_baseline_residuals, table_stats_profile,
 # setsim_prefix_join, cdc_apply_log, benford_digit_audit,
 # robust_scaler_groups, embedding_int8_quantization,
-# corpus_fertility_by_lang, quantization_recall_audit.
+# corpus_fertility_by_lang, quantization_recall_audit,
+# twostage_rerank_retrieval, ohlc_resample.
 
 
 def _ordered_names() -> list[str]:
