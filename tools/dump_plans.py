@@ -80,6 +80,9 @@ HEADLINE = [
     "robust_scaler_groups",
     "embedding_int8_quantization",
     "corpus_fertility_by_lang",
+    "quantization_recall_audit",
+    "twostage_rerank_retrieval",
+    "ohlc_resample",
 ]
 
 
