@@ -10990,7 +10990,7 @@ _FIRST50: list[str] = [
 # setsim_prefix_join, cdc_apply_log, benford_digit_audit,
 # robust_scaler_groups, embedding_int8_quantization,
 # corpus_fertility_by_lang, quantization_recall_audit,
-# twostage_rerank_retrieval, ohlc_resample.
+# twostage_rerank_retrieval, ohlc_resample, streaming_session_window.
 
 
 def _ordered_names() -> list[str]:
