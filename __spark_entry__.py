@@ -10856,6 +10856,136 @@ def streaming_session_window(spark, sf_dir):
     )
 
 
+@q(
+    "quantile_transform_uniform",
+    """
+    WITH c AS (SELECT event_type, event_id,
+                      CAST(floor(value*100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, event_id, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM c)
+    SELECT event_type, event_id, cents,
+           round((rk - 1.0) / (n - 1.0), 6) AS u
+    FROM r
+    """,
+)
+def quantile_transform_uniform(spark, sf_dir):
+    """Per-group quantile transform to uniform [0,1] — the third leg of
+    the feature-normalization triad (zscore_normalize: mean/std;
+    robust_scaler_groups: median/IQR; here: full rank map, the
+    outlier-immune transform tree models and calibration curves use).
+    Rank ties break on event_id so the map is a deterministic bijection;
+    (rk-1)/(n-1) puts the group minimum at exactly 0 and maximum at 1.
+
+    Scale shape: ONE hash shuffle on the group key serves both the
+    row_number and the count window (same partitioning); no second
+    pass. At 100 TB with a group too large for one partition's sort,
+    the same output comes from the range-bucketed rank (shard_packing's
+    prefix-sum pattern) — the transform definition is unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.round(
+            (F.row_number().over(wr) - F.lit(1.0))
+            / (F.count(F.lit(1)).over(wn) - F.lit(1.0)),
+            6,
+        ).alias("u"),
+    )
+
+
+@q(
+    "pareto_frontier_2d",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(floor(l_discount * 10000) AS BIGINT) AS disc_bp,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2),
+    flagged AS (
+      SELECT price_c, disc_bp, n,
+             max(disc_bp) OVER (PARTITION BY price_c) AS max_same,
+             max(disc_bp) OVER (ORDER BY price_c
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS best_cheaper
+      FROM pts)
+    SELECT price_c, disc_bp, n
+    FROM flagged
+    WHERE disc_bp = max_same
+      AND (best_cheaper IS NULL OR disc_bp > best_cheaper)
+    """,
+)
+def pareto_frontier_2d(spark, sf_dir):
+    """2-D Pareto frontier (skyline): the line items no other item
+    dominates on (lower price, higher discount) — the multi-objective
+    shortlist pattern (price/quality curation trade-offs, cost/recall
+    operating points). A point survives iff its discount strictly beats
+    the best discount among ALL strictly-cheaper points. Integer cents
+    and basis points end-to-end; the oracle is the textbook single
+    global running-max window.
+
+    Scale shape: the oracle's global ORDER BY window would plan as
+    Exchange SinglePartition — banned by the registry plan gate — so
+    the Spark side computes the SAME prefix max with shard_packing's
+    range-bucket pattern: points bucket by price (bounded domain ->
+    bounded buckets), per-bucket running max is a partitioned window,
+    the per-bucket maxima (<= n_buckets rows) take their prefix max via
+    a bounded triangular self-join, and each point's best-cheaper is
+    greatest(carry-in, within-bucket strict-preceding max). No
+    single-partition exchange anywhere; frontier work is
+    distinct-points-scale, not row-scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = (
+        li.select(
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.floor(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        )
+        .groupBy("price_c", "disc_bp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket", F.floor(F.col("price_c") / 1000000).cast("long"))
+    )
+    wsame = Window.partitionBy("price_c")
+    wb = Window.partitionBy("bucket").orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = pts.withColumn("max_same", F.max("disc_bp").over(wsame)).withColumn(
+        "in_bucket_prev", F.max("disc_bp").over(wb)
+    )
+    bmax = pts.groupBy("bucket").agg(F.max("disc_bp").alias("bmax"))
+    carry = (
+        bmax.alias("a")
+        .join(
+            F.broadcast(bmax.alias("b")),
+            F.col("b.bucket") < F.col("a.bucket"),
+            "left",
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.max(F.col("b.bmax")).alias("carry"))
+    )
+    best = F.greatest(
+        F.coalesce(F.col("carry"), F.lit(-1)),
+        F.coalesce(F.col("in_bucket_prev"), F.lit(-1)),
+    )
+    return (
+        flagged.join(F.broadcast(carry), "bucket")
+        .filter(
+            (F.col("disc_bp") == F.col("max_same")) & (F.col("disc_bp") > best)
+        )
+        .select("price_c", "disc_bp", "n")
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
