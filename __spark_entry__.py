@@ -11120,7 +11120,8 @@ _FIRST50: list[str] = [
 # setsim_prefix_join, cdc_apply_log, benford_digit_audit,
 # robust_scaler_groups, embedding_int8_quantization,
 # corpus_fertility_by_lang, quantization_recall_audit,
-# twostage_rerank_retrieval, ohlc_resample, streaming_session_window.
+# twostage_rerank_retrieval, ohlc_resample, streaming_session_window,
+# quantile_transform_uniform, pareto_frontier_2d.
 
 
 def _ordered_names() -> list[str]:
