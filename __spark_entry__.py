@@ -10986,6 +10986,69 @@ def pareto_frontier_2d(spark, sf_dir):
     )
 
 
+@q(
+    "weighted_median_groups",
+    """
+    WITH c AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    acc AS (
+      SELECT grp, price_c, w,
+             SUM(w) OVER (PARTITION BY grp
+                          ORDER BY price_c, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS total
+      FROM c)
+    SELECT grp, CAST(min(price_c) AS BIGINT) AS weighted_median_c,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM acc WHERE 2 * cum >= total GROUP BY grp
+    """,
+)
+def weighted_median_groups(spark, sf_dir):
+    """Per-group WEIGHTED median — the quantity-weighted center
+    (inventory-weighted price, token-weighted score) that plain
+    percentile() cannot express: the smallest value whose cumulative
+    weight reaches half the group total. The lower weighted median is
+    exact-integer decided (2*cum >= total — no float), with a
+    deterministic (value, orderkey, linenumber) accumulation order so
+    equal values split ties identically in both engines.
+
+    Scale shape: ONE hash shuffle on the group key serves the running
+    sum, the group total, and the final group-min — the cumulative
+    window is a within-partition sort, and because cum is monotone
+    along the order the qualifying rows are a suffix whose min value is
+    the answer (no second pass over the data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("grp")
+    acc = c.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "total", F.sum("w").over(wtot)
+    )
+    return (
+        acc.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("grp")
+        .agg(
+            F.min("price_c").cast("long").alias("weighted_median_c"),
+            F.min("total").cast("long").alias("total_weight"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
