@@ -602,3 +602,98 @@ def test_cdc_apply_tombstones_vs_python_reference(spark):
         for r in entrymod.queries()["cdc_apply_log"](spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_pareto_frontier_matches_python_dominance_check(spark):
+    """Frontier must equal the brute-force non-dominated set: a point
+    survives iff no other point has (price <=, disc >=) with one strict.
+    Independent of the SQL window spec — O(n^2) dominance over the
+    distinct points."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    pts = {}
+    for r in li.itertuples():
+        key = (int(r.l_extendedprice * 100 // 1), int(r.l_discount * 10000 // 1))
+        pts[key] = pts.get(key, 0) + 1
+    expect = set()
+    for (p, d), n in pts.items():
+        dominated = any(
+            (p2 <= p and d2 >= d and (p2 < p or d2 > d)) for (p2, d2) in pts
+        )
+        if not dominated:
+            expect.add((p, d, n))
+    got = {
+        (r["price_c"], r["disc_bp"], r["n"])
+        for r in entrymod.queries()["pareto_frontier_2d"](spark, sf).collect()
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_twostage_rerank_equals_exact_bruteforce_topk(spark):
+    """With shortlist depth 50 >> k=10 and int8 recall 1.0 on this corpus,
+    the two-stage result must equal exact full-precision brute force —
+    the end-to-end guarantee the recall audit implies."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from domanda_etl_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in entrymod.queries()["twostage_rerank_retrieval"](
+            spark, sf
+        ).collect()
+    }
+    emb = entrymod._t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    exact = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in similarity.cosine_topk_bruteforce(
+            base.filter(F.col("vec_id") < 8),
+            base,
+            "vec_id",
+            "vec_id",
+            query_vec="v",
+            corpus_vec="v",
+            k=10,
+        ).collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def test_weighted_median_matches_python_reference(spark):
+    """Lower weighted median: smallest value whose cumulative weight (in
+    the deterministic accumulation order) reaches half the total."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    li = li.assign(
+        price_c=(li.l_extendedprice * 100).astype("int64"),
+        w=li.l_quantity.astype("int64"),
+    ).sort_values(["l_returnflag", "price_c", "l_orderkey", "l_linenumber"])
+    expect = {}
+    for grp, g in li.groupby("l_returnflag"):
+        total = int(g.w.sum())
+        cum = 0
+        for r in g.itertuples():
+            cum += int(r.w)
+            if 2 * cum >= total:
+                expect[grp] = (int(r.price_c), total)
+                break
+    got = {
+        r["grp"]: (r["weighted_median_c"], r["total_weight"])
+        for r in entrymod.queries()["weighted_median_groups"](
+            spark, sf
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
