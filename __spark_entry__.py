@@ -11049,6 +11049,150 @@ def weighted_median_groups(spark, sf_dir):
     )
 
 
+@q(
+    "ab_test_proportions_ztest",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN md5(CAST(user_id AS VARCHAR)) < '80' THEN 'control'
+                  ELSE 'treatment' END AS variant
+      FROM events),
+    conv AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase' AND value > 99),
+    cells AS (
+      SELECT a.variant, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(c.user_id) AS BIGINT) AS n_conv
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id GROUP BY 1),
+    w AS (SELECT max(CASE WHEN variant='control' THEN n_users END) AS n1,
+                 max(CASE WHEN variant='control' THEN n_conv END) AS x1,
+                 max(CASE WHEN variant='treatment' THEN n_users END) AS n2,
+                 max(CASE WHEN variant='treatment' THEN n_conv END) AS x2
+          FROM cells)
+    SELECT n1, x1, n2, x2,
+           round(CAST(x1 AS DOUBLE)/n1, 6) AS p1,
+           round(CAST(x2 AS DOUBLE)/n2, 6) AS p2,
+           round((CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
+                 / sqrt((CAST(x1+x2 AS DOUBLE)/(n1+n2))
+                        * (1 - CAST(x1+x2 AS DOUBLE)/(n1+n2))
+                        * (1.0/n1 + 1.0/n2)), 6) AS z
+    FROM w
+    """,
+)
+def ab_test_proportions_ztest(spark, sf_dir):
+    """Two-proportion z-test — the experimentation-platform readout
+    (chi2_contingency covers k x m independence; this is the A/B
+    primitive product teams actually consume): users assigned to
+    control/treatment by the same deterministic md5-threshold rule as
+    sample_split_hash (stable across engines, runs, and cluster
+    sizes — never rand()), conversion = any high-value purchase, pooled
+    z = (p1-p2)/sqrt(p_pool(1-p_pool)(1/n1+1/n2)). Counts are exact
+    integers; the z arithmetic is the identical IEEE sequence on both
+    engines (sqrt is correctly-rounded per IEEE-754), rounded to 6.
+
+    Scale shape: assignment and conversion are DISTINCT-collapses of
+    the event log (partial-agg shuffles); the final test statistic
+    folds 2 cells into 1 row — at 100 TB the readout cost is the two
+    distincts, nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id",
+        F.when(F.md5(F.col("user_id").cast("string")) < "80", "control")
+        .otherwise("treatment")
+        .alias("variant"),
+    ).distinct()
+    conv = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 99))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("converted").alias("n_conv"),
+        )
+    )
+    w = cells.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == "control", F.col("n_conv"))).alias("x1"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_users"))).alias("n2"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_conv"))).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return w.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@q(
+    "period_over_period_growth",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY 1),
+    g AS (SELECT month, rev_c,
+                 lag(rev_c) OVER (ORDER BY month) AS prev_c
+          FROM m)
+    SELECT month, rev_c, prev_c,
+           round((rev_c - prev_c) * 1.0 / prev_c, 6) AS mom_growth
+    FROM g
+    """,
+)
+def period_over_period_growth(spark, sf_dir):
+    """Month-over-month revenue growth — the period-comparison rollup
+    every BI layer ships. The oracle states it as the textbook global
+    lag window; the Spark plan instead CALENDAR-SHIFT JOINS the monthly
+    aggregate to itself (prev := add_months(month, 1) == month) — the
+    bounded-domain month table joins broadcast, no global-sort
+    SinglePartition exchange, and missing predecessors surface as NULL
+    exactly like lag. Revenue sums are integer cents; growth is one
+    rounded division.
+
+    Scale shape: one partial-agg shuffle collapses orders to <= months
+    rows; the self-join is broadcast at month-table size regardless of
+    fact scale. The same shift-join generalizes to YoY (add_months 12)
+    with no new machinery."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mstart")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    prev = m.select(
+        F.add_months(F.to_date("mstart"), 1).alias("pj"),
+        F.col("rev_c").alias("prev_c"),
+    )
+    return (
+        m.join(F.broadcast(prev), F.to_date("mstart") == F.col("pj"), "left")
+        .select(
+            F.date_format("mstart", "yyyy-MM").alias("month"),
+            "rev_c",
+            "prev_c",
+            F.round(
+                (F.col("rev_c") - F.col("prev_c")) * F.lit(1.0) / F.col("prev_c"),
+                6,
+            ).alias("mom_growth"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
