@@ -11328,7 +11328,8 @@ _FIRST50: list[str] = [
 # robust_scaler_groups, embedding_int8_quantization,
 # corpus_fertility_by_lang, quantization_recall_audit,
 # twostage_rerank_retrieval, ohlc_resample, streaming_session_window,
-# quantile_transform_uniform, pareto_frontier_2d, weighted_median_groups.
+# quantile_transform_uniform, pareto_frontier_2d, weighted_median_groups,
+# ab_test_proportions_ztest, period_over_period_growth.
 
 
 def _ordered_names() -> list[str]:
