@@ -11193,6 +11193,161 @@ def period_over_period_growth(spark, sf_dir):
     )
 
 
+@q(
+    "embedding_dimension_stats",
+    """
+    WITH ex AS (
+      SELECT u.i AS dim, CAST(e.embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings e, LATERAL unnest(range(1, 65)) u(i)),
+    s AS (
+      SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM ex GROUP BY 1)
+    SELECT dim, n, round(sx / n, 6) AS mean,
+           round(sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)), 6) AS std
+    FROM s
+    """,
+)
+def embedding_dimension_stats(spark, sf_dir):
+    """Per-DIMENSION embedding corpus statistics — the embedding-QA
+    pass that catches collapsed dimensions (std ~ 0), dead dimensions,
+    and mean drift after a model swap; also the inputs to per-dimension
+    whitening. Sums accumulate in DECIMAL(38,12) (order-insensitive,
+    engine-exact at picoscale truncation) and convert to double only
+    for the final mean/std, so the 64-row result hash-matches.
+
+    Scale shape: posexplode fans each vector into 64 (dim, x) rows and
+    ONE partial-agg shuffle collapses them to 64 groups map-side — the
+    classic narrow-explode/wide-combine plan; at 100 TB the shuffle
+    carries 64 rows per map task regardless of corpus size."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "x")
+    s = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    return s.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(F.col("sxx") / F.col("n") - mean * mean, F.lit(0.0))),
+            6,
+        ).alias("std"),
+    )
+
+
+@q(
+    "rfm_segmentation",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(max(o_orderdate) AS DATE) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders GROUP BY 1),
+    anchor AS (SELECT max(last_d) AS maxd FROM cust),
+    rfm AS (
+      SELECT o_custkey, datediff('day', last_d, anchor.maxd) AS rec_days,
+             freq, spend_c
+      FROM cust, anchor),
+    th AS (
+      SELECT quantile_cont(rec_days, 0.25) AS r25,
+             quantile_cont(rec_days, 0.50) AS r50,
+             quantile_cont(rec_days, 0.75) AS r75,
+             quantile_cont(freq, 0.25) AS f25,
+             quantile_cont(freq, 0.50) AS f50,
+             quantile_cont(freq, 0.75) AS f75,
+             quantile_cont(spend_c, 0.25) AS m25,
+             quantile_cont(spend_c, 0.50) AS m50,
+             quantile_cont(spend_c, 0.75) AS m75
+      FROM rfm)
+    SELECT o_custkey, CAST(rec_days AS BIGINT) AS rec_days, freq, spend_c,
+           CAST(CASE WHEN rec_days <= r25 THEN 4 WHEN rec_days <= r50 THEN 3
+                     WHEN rec_days <= r75 THEN 2 ELSE 1 END AS BIGINT)
+             AS r_score,
+           CAST(CASE WHEN freq > f75 THEN 4 WHEN freq > f50 THEN 3
+                     WHEN freq > f25 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+           CAST(CASE WHEN spend_c > m75 THEN 4 WHEN spend_c > m50 THEN 3
+                     WHEN spend_c > m25 THEN 2 ELSE 1 END AS BIGINT) AS m_score
+    FROM rfm, th
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — the canonical CRM rollup: per
+    customer recency (days since last order, against the corpus max
+    date so the query has no wall clock), frequency, monetary (integer
+    cents), each scored 1-4 against the population quartiles. Quartiles
+    interpolate on integers (float-exact, as in robust_scaler_groups)
+    and broadcast as ONE 9-column row — never ntile's global sort
+    (score_decile_lift's posture). Recency scores invert (lower is
+    better); boundary rules (<= for R, > for F/M) are explicit so both
+    engines cut identically.
+
+    Scale shape: one partial-agg shuffle to customer grain, a 1-row
+    anchor and a 1-row threshold broadcast back over it — the fact
+    table is touched once; at 100 TB swap the exact quartiles for
+    approx_percentile and the plan is unchanged."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_c"),
+    )
+    anchor = cust.agg(F.max("last_d").alias("maxd"))
+    rfm = cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("maxd", "last_d").cast("long").alias("rec_days"),
+        "freq",
+        "spend_c",
+    )
+    th = rfm.agg(
+        F.expr("percentile(rec_days, array(0.25D, 0.5D, 0.75D))").alias("rq"),
+        F.expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").alias("fq"),
+        F.expr("percentile(spend_c, array(0.25D, 0.5D, 0.75D))").alias("mq"),
+    )
+    out = rfm.crossJoin(F.broadcast(th))
+    r_score = (
+        F.when(F.col("rec_days") <= F.col("rq")[0], 4)
+        .when(F.col("rec_days") <= F.col("rq")[1], 3)
+        .when(F.col("rec_days") <= F.col("rq")[2], 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") > F.col("fq")[2], 4)
+        .when(F.col("freq") > F.col("fq")[1], 3)
+        .when(F.col("freq") > F.col("fq")[0], 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("spend_c") > F.col("mq")[2], 4)
+        .when(F.col("spend_c") > F.col("mq")[1], 3)
+        .when(F.col("spend_c") > F.col("mq")[0], 2)
+        .otherwise(1)
+    )
+    return out.select(
+        "o_custkey",
+        "rec_days",
+        "freq",
+        "spend_c",
+        r_score.cast("long").alias("r_score"),
+        f_score.cast("long").alias("f_score"),
+        m_score.cast("long").alias("m_score"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
