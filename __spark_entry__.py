@@ -11484,7 +11484,8 @@ _FIRST50: list[str] = [
 # corpus_fertility_by_lang, quantization_recall_audit,
 # twostage_rerank_retrieval, ohlc_resample, streaming_session_window,
 # quantile_transform_uniform, pareto_frontier_2d, weighted_median_groups,
-# ab_test_proportions_ztest, period_over_period_growth.
+# ab_test_proportions_ztest, period_over_period_growth,
+# embedding_dimension_stats, rfm_segmentation.
 
 
 def _ordered_names() -> list[str]:

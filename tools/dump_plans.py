@@ -83,6 +83,9 @@ HEADLINE = [
     "quantization_recall_audit",
     "twostage_rerank_retrieval",
     "ohlc_resample",
+    "pareto_frontier_2d",
+    "weighted_median_groups",
+    "period_over_period_growth",
 ]
 
 
