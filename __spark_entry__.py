@@ -11348,6 +11348,107 @@ def rfm_segmentation(spark, sf_dir):
     )
 
 
+@q(
+    "exact_auc_ranksum",
+    """
+    WITH lab AS (
+      SELECT CAST(floor(value*100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    hist AS (
+      SELECT cents,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg
+      FROM lab GROUP BY 1),
+    pre AS (
+      SELECT cents, n_pos, n_neg,
+             coalesce(SUM(n_neg) OVER (ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM hist),
+    tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+             CAST(SUM(n_neg) AS BIGINT) AS nn,
+             CAST(SUM(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT) AS u2
+      FROM pre)
+    SELECT np AS n_pos, nn AS n_neg,
+           round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+    FROM tot
+    """,
+)
+def exact_auc_ranksum(spark, sf_dir):
+    """EXACT distributed AUC (Mann-Whitney rank-sum with tie
+    averaging) — the ranking-model acceptance metric, computed without
+    ever sorting row-scale data: rows collapse to a SCORE HISTOGRAM
+    (one partial-agg shuffle), the "negatives below" prefix runs over
+    the bounded histogram with the range-bucket pattern (per-bucket
+    partitioned running sums + a triangular carry join — same posture
+    as pareto_frontier_2d; the oracle states the plain global-window
+    spec), and AUC = sum(2*pos*neg_below + pos*neg_ties) / (2*P*N) is
+    integer-exact until one final division (verified against a
+    tie-averaged rank reference in tests). score_decile_lift buckets
+    calibration; this is the threshold-free companion.
+
+    Scale shape: the only row-scale operation is the histogram
+    partial-agg; everything after runs at distinct-score scale. At
+    100 TB with high-cardinality scores, pre-quantize the score
+    (cents already do) and the histogram stays bounded."""
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    hist = (
+        lab.groupBy("cents")
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        )
+        .withColumn("bucket", F.floor(F.col("cents") / 1000).cast("long"))
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bsum = hist.groupBy("bucket").agg(F.sum("n_neg").alias("bneg"))
+    carry = (
+        bsum.alias("a")
+        .join(
+            F.broadcast(bsum.alias("b")),
+            F.col("b.bucket") < F.col("a.bucket"),
+            "left",
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum(F.col("b.bneg")), F.lit(0)).alias("carry"))
+    )
+    pre = (
+        hist.withColumn(
+            "inb", F.coalesce(F.sum("n_neg").over(wb), F.lit(0))
+        )
+        .join(F.broadcast(carry), "bucket")
+        .withColumn("neg_below", F.col("carry") + F.col("inb"))
+    )
+    tot = pre.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum("n_neg").cast("long").alias("nn"),
+        F.sum(
+            2 * F.col("n_pos") * F.col("neg_below")
+            + F.col("n_pos") * F.col("n_neg")
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return tot.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            F.col("u2").cast("double") / (F.lit(2.0) * F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),

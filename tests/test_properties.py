@@ -697,3 +697,33 @@ def test_weighted_median_matches_python_reference(spark):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_exact_auc_matches_tie_averaged_rank_reference(spark):
+    """Histogram rank-sum AUC must equal the classic tie-AVERAGED
+    Mann-Whitney computation done directly on per-row average ranks."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    y = (ev.event_type == "purchase").astype(int).values
+    s = np.floor(ev.value.values * 100)
+    order = np.argsort(s, kind="stable")
+    ss = s[order]
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and ss[j + 1] == ss[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j + 2) / 2.0
+        i = j + 1
+    n1 = int(y.sum())
+    n0 = len(y) - n1
+    expect = round((ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0), 6)
+    row = entrymod.queries()["exact_auc_ranksum"](spark, sf).collect()[0]
+    assert row["n_pos"] == n1 and row["n_neg"] == n0
+    assert abs(row["auc"] - expect) < 1e-9, (row["auc"], expect)
