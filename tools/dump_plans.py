@@ -86,6 +86,9 @@ HEADLINE = [
     "pareto_frontier_2d",
     "weighted_median_groups",
     "period_over_period_growth",
+    "embedding_dimension_stats",
+    "rfm_segmentation",
+    "exact_auc_ranksum",
 ]
 
 
