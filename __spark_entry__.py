@@ -11449,6 +11449,204 @@ def exact_auc_ranksum(spark, sf_dir):
     )
 
 
+@q(
+    "minhash_estimate_audit",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 3) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)),
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed || ':' || s)) AS m
+      FROM sh, (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(m, '|' ORDER BY seed)) AS bh
+      FROM mh GROUP BY doc_id, seed // 4),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+    match AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM pairs p
+      JOIN mh a ON a.doc_id = p.id_a
+      JOIN mh b ON b.doc_id = p.id_b AND b.seed = a.seed
+      GROUP BY 1, 2),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.s = a.s
+      GROUP BY 1, 2)
+    SELECT m.id_a, m.id_b, m.n_match,
+           round(CAST(coalesce(i.n, 0) AS DOUBLE)
+                 / (ca.c + cb.c - coalesce(i.n, 0)), 6) AS jaccard,
+           round(abs(m.n_match / 8.0
+                     - CAST(coalesce(i.n, 0) AS DOUBLE)
+                       / (ca.c + cb.c - coalesce(i.n, 0))), 6) AS abs_err
+    FROM match m
+    LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+    JOIN cnt ca ON ca.doc_id = m.id_a
+    JOIN cnt cb ON cb.doc_id = m.id_b
+    """,
+)
+def minhash_estimate_audit(spark, sf_dir):
+    """MinHash ACCURACY audit — est-vs-exact for the sketch the whole
+    near-dup stack rests on: for every LSH candidate pair, the
+    signature-agreement estimate (n_match/8, whose expectation IS the
+    Jaccard) next to the exact shingle Jaccard and the absolute error.
+    The per-round audit a production dedup pipeline runs before
+    trusting new banding parameters (completes the accuracy-audit
+    family: quantization_recall_audit, heavy_hitters_cms,
+    approx_sketches). Agreement counts and intersections are exact
+    integers; only the final ratios round.
+
+    Scale shape: signatures and shingle sets come from the SAME
+    one-explode partial-agg pass; agreement joins are pair-bounded
+    (8 rows per pair), and the exact-Jaccard leg intersects hashed
+    shingle ARRAYS per candidate pair — candidate-scale work, the
+    corpus is never re-scanned per pair."""
+    docs = _tw(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=3, num_hashes=8)
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=8, bands=2
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    sets = dedup.shingle_docs(docs, "doc_id", "text", 3).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("ss")
+    )
+    pa = sets.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ssa"))
+    pb = sets.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ssb"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_match", n_match.cast("long"))
+        .select("id_a", "id_b", "n_match")
+        .join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("ni", F.size(F.array_intersect("ssa", "ssb")))
+        .withColumn(
+            "jac",
+            F.col("ni")
+            / (F.size("ssa") + F.size("ssb") - F.col("ni")).cast("double"),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_match",
+        F.round("jac", 6).alias("jaccard"),
+        F.round(F.abs(F.col("n_match") / F.lit(8.0) - F.col("jac")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+@q(
+    "diff_in_differences",
+    """
+    WITH cut AS (SELECT min(ts) + INTERVAL 14 DAY AS c FROM events),
+    cells AS (
+      SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '80'
+                  THEN 'control' ELSE 'treatment' END AS grp,
+             CASE WHEN ts < cut.c THEN 'pre' ELSE 'post' END AS period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events, cut GROUP BY 1, 2),
+    w AS (
+      SELECT
+        max(CASE WHEN grp='control'   AND period='pre'  THEN CAST(cents AS DOUBLE)/n END) AS c_pre,
+        max(CASE WHEN grp='control'   AND period='post' THEN CAST(cents AS DOUBLE)/n END) AS c_post,
+        max(CASE WHEN grp='treatment' AND period='pre'  THEN CAST(cents AS DOUBLE)/n END) AS t_pre,
+        max(CASE WHEN grp='treatment' AND period='post' THEN CAST(cents AS DOUBLE)/n END) AS t_post
+      FROM cells)
+    SELECT round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+           round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_cents
+    FROM w
+    """,
+)
+def diff_in_differences(spark, sf_dir):
+    """Difference-in-differences — the quasi-experimental readout when
+    assignment isn't randomized per-exposure: mean value per
+    (group, pre/post) cell with the treatment effect estimated as the
+    difference of the two within-group changes. Groups assign by the
+    deterministic md5 threshold (as ab_test_proportions_ztest); the
+    period cutoff derives from min(ts) + 14 days — never a wall clock,
+    so the query survives testdata regeneration. Cell sums are integer
+    cents; the four means and the DiD combine in the identical IEEE
+    order on both engines, rounded to 6.
+
+    Scale shape: one partial-agg shuffle collapses the log to 4 cells
+    (the 1-row min(ts) probe broadcasts); the estimator itself is
+    O(1). The same plan serves any (cohort x period) grid."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 14 DAYS")).alias("c")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.md5(F.col("user_id").cast("string")) < "80", "control")
+            .otherwise("treatment")
+            .alias("grp"),
+            F.when(F.col("ts") < F.col("c"), "pre").otherwise("post").alias(
+                "period"
+            ),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    mean = F.col("cents").cast("double") / F.col("n")
+    w = cells.agg(
+        F.max(
+            F.when((F.col("grp") == "control") & (F.col("period") == "pre"), mean)
+        ).alias("c_pre"),
+        F.max(
+            F.when((F.col("grp") == "control") & (F.col("period") == "post"), mean)
+        ).alias("c_post"),
+        F.max(
+            F.when((F.col("grp") == "treatment") & (F.col("period") == "pre"), mean)
+        ).alias("t_pre"),
+        F.max(
+            F.when(
+                (F.col("grp") == "treatment") & (F.col("period") == "post"), mean
+            )
+        ).alias("t_post"),
+    )
+    return w.select(
+        F.round("c_pre", 6).alias("c_pre"),
+        F.round("c_post", 6).alias("c_post"),
+        F.round("t_pre", 6).alias("t_pre"),
+        F.round("t_post", 6).alias("t_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_cents"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
