@@ -11784,7 +11784,8 @@ _FIRST50: list[str] = [
 # twostage_rerank_retrieval, ohlc_resample, streaming_session_window,
 # quantile_transform_uniform, pareto_frontier_2d, weighted_median_groups,
 # ab_test_proportions_ztest, period_over_period_growth,
-# embedding_dimension_stats, rfm_segmentation, exact_auc_ranksum.
+# embedding_dimension_stats, rfm_segmentation, exact_auc_ranksum,
+# minhash_estimate_audit, diff_in_differences.
 
 
 def _ordered_names() -> list[str]:
