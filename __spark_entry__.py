@@ -11647,6 +11647,117 @@ def diff_in_differences(spark, sf_dir):
     )
 
 
+@q(
+    "survival_hazard_table",
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN fv ON fv.user_id = e.user_id AND e.ts > fv.t0
+      WHERE e.event_type = 'purchase' GROUP BY 1),
+    horizon AS (SELECT max(ts) AS tmax FROM events),
+    subj AS (
+      SELECT fv.user_id,
+             CASE WHEN fp.t1 IS NULL THEN 0 ELSE 1 END AS event,
+             CASE WHEN fp.t1 IS NULL
+                  THEN datediff('day', fv.t0, horizon.tmax)
+                  ELSE datediff('day', fv.t0, fp.t1) END AS dur
+      FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id, horizon),
+    days AS (
+      SELECT dur AS day,
+             CAST(SUM(event) AS BIGINT) AS n_event,
+             CAST(SUM(1 - event) AS BIGINT) AS n_censor
+      FROM subj GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM subj),
+    risk AS (
+      SELECT d.day, d.n_event, d.n_censor,
+             tot.n - CAST(coalesce(SUM(d2.n_event + d2.n_censor), 0)
+                          AS BIGINT) AS n_risk
+      FROM days d LEFT JOIN days d2 ON d2.day < d.day, tot
+      GROUP BY d.day, d.n_event, d.n_censor, tot.n)
+    SELECT day, n_risk, n_event, n_censor,
+           round(CAST(n_event AS DOUBLE) / n_risk, 6) AS hazard
+    FROM risk
+    """,
+)
+def survival_hazard_table(spark, sf_dir):
+    """Survival analysis / time-to-event: the Kaplan-Meier life table
+    for view -> purchase conversion. Each user's duration is first
+    purchase AFTER first view (event) or the corpus horizon
+    (right-censored — the users a naive "average days to convert"
+    silently drops); per whole-day bucket the table reports the risk
+    set, events, censorings, and the discrete hazard d/n. The KM
+    survival curve is the running product of (1 - hazard) — left to
+    the reader because a float product accumulates order-dependently;
+    every column here is integer-exact with one rounded division.
+
+    Scale shape: two per-user partial-agg shuffles (first-view,
+    first-purchase-after) collapse the log to user grain; the day
+    histogram is bounded-domain, so the risk-set suffix sums run as a
+    triangular join over <= horizon-days rows (the pareto/AUC bucket
+    posture) — nothing row-scale sorts globally."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = ev.agg(F.max("ts").alias("tmax"))
+    subj = (
+        fv.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("t1").isNull(), 0).otherwise(1).alias("event"),
+            F.when(
+                F.col("t1").isNull(),
+                F.datediff(F.to_date("tmax"), F.to_date("t0")),
+            )
+            .otherwise(F.datediff(F.to_date("t1"), F.to_date("t0")))
+            .cast("long")
+            .alias("dur"),
+        )
+    )
+    days = subj.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("event").cast("long").alias("n_event"),
+        F.sum(1 - F.col("event")).cast("long").alias("n_censor"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d2 = days.select(
+        F.col("day").alias("day2"),
+        (F.col("n_event") + F.col("n_censor")).alias("out2"),
+    )
+    risk = (
+        days.join(F.broadcast(d2), F.col("day2") < F.col("day"), "left")
+        .groupBy("day", "n_event", "n_censor")
+        .agg(F.coalesce(F.sum("out2"), F.lit(0)).alias("gone"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            (F.col("n") - F.col("gone")).cast("long").alias("n_risk"),
+            "n_event",
+            "n_censor",
+        )
+    )
+    return risk.select(
+        "day",
+        "n_risk",
+        "n_event",
+        "n_censor",
+        F.round(F.col("n_event").cast("double") / F.col("n_risk"), 6).alias(
+            "hazard"
+        ),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
