@@ -11896,7 +11896,7 @@ _FIRST50: list[str] = [
 # quantile_transform_uniform, pareto_frontier_2d, weighted_median_groups,
 # ab_test_proportions_ztest, period_over_period_growth,
 # embedding_dimension_stats, rfm_segmentation, exact_auc_ranksum,
-# minhash_estimate_audit, diff_in_differences.
+# minhash_estimate_audit, diff_in_differences, survival_hazard_table.
 
 
 def _ordered_names() -> list[str]:
