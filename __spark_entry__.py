@@ -11730,7 +11730,14 @@ def survival_hazard_table(spark, sf_dir):
         F.sum("event").cast("long").alias("n_event"),
         F.sum(1 - F.col("event")).cast("long").alias("n_censor"),
     )
-    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # total subjects derived from the bounded day histogram (every subject
+    # lands in exactly one bucket) — a count(*) over subj plans as an
+    # empty-output global aggregate whose SinglePartition exchange moves
+    # row-scale (zero-column) rows; summing the <= horizon-days histogram
+    # keeps the only global exchange fed by a partial_sum over bounded input
+    tot = days.agg(
+        F.sum(F.col("n_event") + F.col("n_censor")).cast("long").alias("n")
+    )
     d2 = days.select(
         F.col("day").alias("day2"),
         (F.col("n_event") + F.col("n_censor")).alias("out2"),
