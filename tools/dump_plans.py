@@ -89,6 +89,9 @@ HEADLINE = [
     "embedding_dimension_stats",
     "rfm_segmentation",
     "exact_auc_ranksum",
+    "minhash_estimate_audit",
+    "diff_in_differences",
+    "survival_hazard_table",
 ]
 
 
