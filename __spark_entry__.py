@@ -12035,6 +12035,197 @@ def event_path_trigrams(spark, sf_dir):
     )
 
 
+@q(
+    "item_item_cosine_topk",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, COUNT(*) AS n_ord FROM b GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS pk1, c.l_partkey AS pk2, COUNT(*) AS co_orders
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    m AS (
+      SELECT pk1, pk2, co_orders FROM co
+      UNION ALL
+      SELECT pk2 AS pk1, pk1 AS pk2, co_orders FROM co),
+    s AS (
+      SELECT m.pk1 AS item, m.pk2 AS neighbor, m.co_orders,
+             n1.n_ord AS n_ord_item, n2.n_ord AS n_ord_neighbor,
+             m.co_orders * m.co_orders * 1000000
+               // (n1.n_ord * n2.n_ord) AS cosine_sq_ppm
+      FROM m JOIN n n1 ON m.pk1 = n1.l_partkey
+             JOIN n n2 ON m.pk2 = n2.l_partkey),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY item
+               ORDER BY cosine_sq_ppm DESC, neighbor) AS rn
+      FROM s)
+    SELECT item, neighbor, co_orders, n_ord_item, n_ord_neighbor,
+           cosine_sq_ppm, rn AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+def item_item_cosine_topk(spark, sf_dir):
+    """Item-item collaborative-filtering kNN — for every part, the 3
+    most-cosine-similar parts by co-purchase (cos²(i,j) = co²/(nᵢ·nⱼ)
+    over order-basket occurrence vectors). The recommender-system
+    primitive ("customers who bought X also bought Y"), distinct from
+    `market_basket_pairs` (global support/lift list): this one
+    NORMALIZES by item popularity and ranks neighbors PER ITEM.
+    INTEGER-EXACT: cosine² in ppm via bigint `div` — no sqrt, no float,
+    so ranking ties are impossible to get wrong across engines (ties
+    broken by neighbor id).
+
+    Scale shape: candidate pairs are generated ARRAY-SIDE from each
+    order's sorted item set (TPC-H ≤7 items/order → ≤21 pairs; never an
+    |items|² self-join), one groupBy shuffle to count pairs, then the
+    mirror union doubles only the SURVIVING ≥2-support pairs. Item
+    counts join as a plain shuffle join (scales with |parts|; AQE
+    broadcasts where it fits). The per-item top-3 window runs on pair
+    rows — co-pair cardinality, already collapsed — partitioned by item,
+    no SinglePartition anywhere. cos²·1e6 ≤ 1e6·co² fits bigint while
+    co ≤ |orders| ≤ 3e12 would overflow only past co ~ 3e6 shared
+    orders per pair — cap co at 3e6 upstream if a corpus ever gets
+    there."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    item = (
+        grouped.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("pk1"), y.alias("pk2")),
+            ),
+        )
+    )
+    co = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.pk1", "p.pk2")
+        .groupBy("pk1", "pk2")
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= 2)
+    )
+    mirrored = co.unionByName(
+        co.select(
+            F.col("pk2").alias("pk1"), F.col("pk1").alias("pk2"), "co_orders"
+        )
+    )
+    n1 = item.select(F.col("l_partkey").alias("pk1"), F.col("n_ord").alias("n_ord_item"))
+    n2 = item.select(
+        F.col("l_partkey").alias("pk2"), F.col("n_ord").alias("n_ord_neighbor")
+    )
+    scored = (
+        mirrored.join(n1, "pk1")
+        .join(n2, "pk2")
+        .select(
+            F.col("pk1").alias("item"),
+            F.col("pk2").alias("neighbor"),
+            "co_orders",
+            "n_ord_item",
+            "n_ord_neighbor",
+            F.expr(
+                "co_orders * co_orders * 1000000 div (n_ord_item * n_ord_neighbor)"
+            ).alias("cosine_sq_ppm"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_sq_ppm").desc(), "neighbor"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+    )
+
+
+@q(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, date_diff('day', DATE '1970-01-01', day) AS di, n
+      FROM daily),
+    p AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / (b.di - a.di) AS slope,
+             a.di AS di1, b.di AS di2
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.di < b.di),
+    r AS (
+      SELECT event_type, slope,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY slope, di1, di2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM p)
+    SELECT event_type, MAX(cnt) AS n_pairs,
+           round(AVG(CASE WHEN rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+                          THEN slope END), 6) AS slope_median
+    FROM r GROUP BY event_type
+    """,
+)
+def theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend estimator per event_type over the daily
+    event-count series: the median of all pairwise slopes
+    (nⱼ−nᵢ)/(dⱼ−dᵢ), the breakdown-point-29% alternative to OLS that a
+    monitoring pipeline uses when outlier days (incidents, backfills)
+    would wreck a least-squares slope.
+
+    Scale shape: the daily rollup is the ONLY row-scale pass (partial-agg
+    groupBy to ~types×days rows); the O(days²)-per-type pairwise join
+    runs on that bounded series — its size is set by the calendar span,
+    not the data volume, so it is scale-INVARIANT at 100 TB. Median via
+    rank-and-pick: slopes are IEEE-identical double divisions in both
+    engines, ordered with (slope, di1, di2) tie-breaks, middle element(s)
+    averaged — deterministic, no approx-percentile. Both windows
+    partition BY TYPE; no SinglePartition exchange."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("di"),
+        "n",
+    )
+    a = d.select("event_type", F.col("di").alias("di1"), F.col("n").alias("n1"))
+    b = d.select("event_type", F.col("di").alias("di2"), F.col("n").alias("n2"))
+    p = a.join(b, "event_type").filter(F.col("di1") < F.col("di2")).select(
+        "event_type",
+        ((F.col("n2") - F.col("n1")).cast("double") / (F.col("di2") - F.col("di1"))).alias(
+            "slope"
+        ),
+        "di1",
+        "di2",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "di1", "di2")
+    wc = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mid = (F.col("rn") == F.expr("(cnt + 1) div 2")) | (
+        F.col("rn") == F.expr("cnt div 2 + 1")
+    )
+    return r.groupBy("event_type").agg(
+        F.max("cnt").alias("n_pairs"),
+        F.round(F.avg(F.when(mid, F.col("slope"))), 6).alias("slope_median"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -12174,7 +12365,8 @@ _FIRST50: list[str] = [
 # ab_test_proportions_ztest, period_over_period_growth,
 # embedding_dimension_stats, rfm_segmentation, exact_auc_ranksum,
 # minhash_estimate_audit, diff_in_differences, survival_hazard_table,
-# poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams.
+# poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
+# item_item_cosine_topk, theil_sen_trend.
 
 
 def _ordered_names() -> list[str]:
