@@ -12226,6 +12226,200 @@ def theil_sen_trend(spark, sf_dir):
     )
 
 
+@q(
+    "neyman_allocation_sample",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1),
+    v AS (
+      SELECT event_type, n_rows,
+             sqrt((sxx - sx * sx / n_rows) / (n_rows - 1)) AS s_h
+      FROM s),
+    tot AS (SELECT SUM(n_rows * s_h) AS w_all FROM v),
+    a AS (
+      SELECT event_type, n_rows, s_h,
+             LEAST(CAST(1 AS DOUBLE),
+                   CAST(2000 AS DOUBLE) * (n_rows * s_h) / w_all / n_rows)
+               AS rate,
+             printf('%08x',
+                    CAST(FLOOR(LEAST(CAST(1 AS DOUBLE),
+                                     CAST(2000 AS DOUBLE) * (n_rows * s_h)
+                                       / w_all / n_rows)
+                               * CAST(4294967296 AS DOUBLE)) AS BIGINT)) AS thr
+      FROM v CROSS JOIN tot),
+    p AS (
+      SELECT e.event_type, e.value, a.n_rows, a.s_h, a.rate
+      FROM events e JOIN a USING (event_type)
+      WHERE a.rate >= CAST(1 AS DOUBLE)
+         OR substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8) < a.thr)
+    SELECT event_type, MAX(n_rows) AS n_rows, round(MAX(s_h), 6) AS s_value,
+           CAST(FLOOR(MAX(rate) * 1000000) AS BIGINT) AS rate_ppm,
+           COUNT(*) AS n_sampled,
+           round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_sampled
+    FROM p GROUP BY event_type
+    """,
+)
+def neyman_allocation_sample(spark, sf_dir):
+    """Two-phase ADAPTIVE stratified sampling with Neyman allocation: a
+    2000-row budget is split across strata (event_type) proportional to
+    N_h·S_h — more samples where the stratum is big AND noisy, the
+    variance-minimizing allocation for survey estimates. Unlike
+    `stratified_sample_hash` (fixed a-priori rates), the rates here are
+    DATA-DEPENDENT: phase 1 computes per-stratum stddev from exact
+    decimal co-moments, phase 2 samples by md5-threshold at the derived
+    rate. Membership stays deterministic and engine-portable: the rate
+    becomes an 8-hex-digit threshold (floor(rate·2³²) as %08x — same
+    lexicographic==numeric trick as the Poisson bootstrap), compared
+    against the first 8 hex chars of md5(event_id); rate≥1 strata are
+    taken whole.
+
+    Scale shape: phase 1 is one partial-agg groupBy (row-scale); the
+    5-row allocation table derives WITHOUT a driver collect (1-row total
+    via crossJoin-broadcast) and joins back as a broadcast; phase 2 is a
+    pure filter riding the second scan; the readout is another
+    partial-agg groupBy. No SinglePartition on row-scale data, no rand()
+    anywhere — the same row is in the sample on every engine, run, and
+    cluster size."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    v = s.select(
+        "event_type",
+        "n_rows",
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_rows"))
+            / (F.col("n_rows") - 1)
+        ).alias("s_h"),
+    )
+    tot = v.agg(F.sum(F.col("n_rows") * F.col("s_h")).alias("w_all"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(2000.0) * (F.col("n_rows") * F.col("s_h")) / F.col("w_all")
+        / F.col("n_rows"),
+    )
+    a = v.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_rows",
+        "s_h",
+        rate.alias("rate"),
+        F.lower(
+            F.lpad(
+                F.hex(F.floor(rate * F.lit(4294967296.0)).cast("bigint")), 8, "0"
+            )
+        ).alias("thr"),
+    )
+    u = F.substring(F.md5(F.col("event_id").cast("string")), 1, 8)
+    p = ev.join(F.broadcast(a), "event_type").filter(
+        (F.col("rate") >= 1.0) | (u < F.col("thr"))
+    )
+    return p.groupBy("event_type").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.round(F.max("s_h"), 6).alias("s_value"),
+        F.floor(F.max("rate") * 1000000).cast("bigint").alias("rate_ppm"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m"),
+    ).select(
+        "event_type", "n_rows", "s_value", "rate_ppm", "n_sampled",
+        F.round("_m", 6).alias("mean_sampled"),
+    )
+
+
+@q(
+    "khop_reachability",
+    """
+    WITH edge AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    seed AS (
+      SELECT c_custkey AS c FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'GERMANY'),
+    h1 AS (SELECT DISTINCT e.s FROM edge e JOIN seed ON e.c = seed.c),
+    h2 AS (
+      SELECT DISTINCT e.c FROM edge e JOIN h1 ON e.s = h1.s
+      EXCEPT SELECT c FROM seed),
+    h3 AS (
+      SELECT DISTINCT e.s FROM edge e JOIN h2 ON e.c = h2.c
+      EXCEPT SELECT s FROM h1)
+    SELECT 0 AS hop, 'customer' AS node_type, COUNT(*) AS n_new FROM seed
+    UNION ALL SELECT 1, 'supplier', COUNT(*) FROM h1
+    UNION ALL SELECT 2, 'customer', COUNT(*) FROM h2
+    UNION ALL SELECT 3, 'supplier', COUNT(*) FROM h3
+    """,
+)
+def khop_reachability(spark, sf_dir):
+    """k-hop BFS over the bipartite customer–supplier trade graph (edge =
+    "this customer ordered from this supplier"), seeded from one
+    nation's customers: how far does influence/exposure propagate in 3
+    hops? The frontier-expansion primitive under fraud rings, blast-
+    radius analysis, and graph feature engineering.
+
+    Scale shape: the edge list is the ONE row-scale pass (join + distinct
+    = two shuffles, reused by every hop via a lazy common subplan). Each
+    hop is the canonical Spark BFS round: frontier ⋈ edges (hash join on
+    the frontier key), distinct (dedup the expansion), LEFT ANTI against
+    the visited side (so saturated graphs terminate instead of
+    re-expanding — the mistake that makes naive BFS quadratic). Hop
+    count is fixed (k=3), so the DAG is static — no driver loop state,
+    no collect. The readout is four 1-row counts unioned (bounded
+    SinglePartition by construction). Frontier sizes are data-dependent;
+    at 100 TB the anti-joins keep each round O(|frontier ⋈ edge|), never
+    O(visited²)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    edge = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    seed = (
+        customer.join(
+            F.broadcast(nation.filter(F.col("n_name") == "GERMANY")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select(F.col("c_custkey").alias("c"))
+    )
+    h1 = edge.join(seed, "c").select("s").distinct()
+    h2 = (
+        edge.join(h1, "s")
+        .select("c")
+        .distinct()
+        .join(seed, "c", "left_anti")
+    )
+    h3 = (
+        edge.join(h2, "c")
+        .select("s")
+        .distinct()
+        .join(h1, "s", "left_anti")
+    )
+    def _cnt(df, hop, node_type):
+        return df.agg(F.count(F.lit(1)).alias("n_new")).select(
+            F.lit(hop).cast("int").alias("hop"),
+            F.lit(node_type).alias("node_type"),
+            "n_new",
+        )
+    return (
+        _cnt(seed, 0, "customer")
+        .unionByName(_cnt(h1, 1, "supplier"))
+        .unionByName(_cnt(h2, 2, "customer"))
+        .unionByName(_cnt(h3, 3, "supplier"))
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -12366,7 +12560,8 @@ _FIRST50: list[str] = [
 # embedding_dimension_stats, rfm_segmentation, exact_auc_ranksum,
 # minhash_estimate_audit, diff_in_differences, survival_hazard_table,
 # poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
-# item_item_cosine_topk, theil_sen_trend.
+# item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
+# khop_reachability.
 
 
 def _ordered_names() -> list[str]:
