@@ -12420,6 +12420,188 @@ def khop_reachability(spark, sf_dir):
     )
 
 
+@q(
+    "grid_density_clusters",
+    """
+    WITH RECURSIVE
+    pts AS (
+      SELECT CAST(floor(embedding[1] / CAST(0.05 AS DOUBLE)) AS BIGINT) AS cx,
+             CAST(floor(embedding[2] / CAST(0.05 AS DOUBLE)) AS BIGINT) AS cy
+      FROM embeddings),
+    cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS total FROM cells),
+    core AS (
+      SELECT (cx + 50) * 1000 + (cy + 50) AS cid, cx, cy, n
+      FROM cells CROSS JOIN tot
+      WHERE n >= greatest(5, total // 100)),
+    off AS (
+      SELECT dx, dy
+      FROM (SELECT unnest(range(-1, 2)) AS dx) a,
+           (SELECT unnest(range(-1, 2)) AS dy) b),
+    edges AS (
+      SELECT a.cid AS ida, b.cid AS idb
+      FROM core a CROSS JOIN off
+      JOIN core b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+      WHERE a.cid < b.cid),
+    sym AS (SELECT ida AS a, idb AS b FROM edges
+            UNION SELECT idb, ida FROM edges),
+    reach(id, comp) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.id),
+    lab AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+    SELECT COALESCE(l.comp, c.cid) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n) AS BIGINT) AS n_points
+    FROM core c LEFT JOIN lab l ON c.cid = l.id
+    GROUP BY 1
+    """,
+)
+def grid_density_clusters(spark, sf_dir):
+    """DBSCAN-lite density clustering of the embedding space, projected
+    to its first two dimensions: bucket points into a 0.05-wide grid,
+    mark CORE cells (count ≥ max(5, 1% of points) — a data-relative
+    minPts, so the same query is meaningful at every scale), and merge
+    8-adjacent core cells into clusters via connected components
+    (cluster id = min cell id). This is how density clustering actually
+    runs at 100 TB: the full DBSCAN ε-graph over points is quadratic,
+    but grid-density + cell-CC approximates it with ONE row-scale pass.
+
+    Scale shape: the only row-scale stage is the cell-assignment
+    partial-agg groupBy (pure map + 1 shuffle); everything after —
+    threshold broadcast, 9-offset adjacency self-join, pointer-doubling
+    CC (O(log diameter) rounds, localCheckpointed) — operates on the
+    BOUNDED cell table (grid extent / 0.05², independent of row count).
+    The float path is engine-portable: float→double widening, one IEEE
+    division, floor — identical buckets everywhere. Cell ids encode
+    (cx+50)·1000+(cy+50), injective for |cx|,|cy| < 50 — embeddings are
+    unit-normalized so coordinates stay ≪ 1. Oracle: identical grid, CC
+    as a DuckDB WITH RECURSIVE min-label closure (feasible at fixture
+    scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.floor(F.get(F.col("embedding"), 0).cast("double") / F.lit(0.05))
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(F.get(F.col("embedding"), 1).cast("double") / F.lit(0.05))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") >= F.greatest(F.lit(5), F.expr("total div 100")))
+        .select(
+            ((F.col("cx") + 50) * 1000 + (F.col("cy") + 50)).alias("cid"),
+            "cx",
+            "cy",
+            "n",
+        )
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = core.select(
+        "cid", "cx", "cy", F.explode(offsets).alias("o")
+    ).select(
+        "cid",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    other = core.select(
+        F.col("cid").alias("cid2"), F.col("cx").alias("nx"), F.col("cy").alias("ny")
+    )
+    pairs = (
+        probe.join(other, ["nx", "ny"])
+        .filter(F.col("cid") < F.col("cid2"))
+        .select(F.col("cid").alias("id_a"), F.col("cid2").alias("id_b"))
+    )
+    labels = dedup.connected_components(pairs, "id_a", "id_b", max_iterations=10)
+    clustered = core.join(
+        labels, core.cid == labels.id, "left"
+    ).select(F.coalesce("component", "cid").alias("cluster_id"), "n")
+    return clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_points"),
+    )
+
+
+@q(
+    "kmv_distinct_sketch",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS u
+      FROM du),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY u, user_id) AS rn
+      FROM h),
+    kth AS (SELECT event_type, u AS u_k FROM r WHERE rn = 64),
+    ex AS (SELECT event_type, COUNT(*) AS exact_distinct FROM du GROUP BY 1)
+    SELECT e.event_type, e.exact_distinct,
+           COALESCE(63 * 4294967296 // k.u_k, e.exact_distinct) AS kmv_estimate,
+           COALESCE(abs(63 * 4294967296 // k.u_k - e.exact_distinct)
+                    * 1000000 // e.exact_distinct, 0) AS err_ppm
+    FROM ex e LEFT JOIN kth k USING (event_type)
+    """,
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (k=64) with an exact audit —
+    the third mergeable-sketch family next to HLL (`hll_partial_rollup`)
+    and CMS (`heavy_hitters_cms`): keep the k smallest hash values of the
+    distinct set; estimate = (k−1)/h₍ₖ₎ where hashes are uniform on
+    [0,2³²). Everything is INTEGER-EXACT and engine-portable: md5-derived
+    32-bit hash, estimate = 63·2³² div u₍ₖ₎ (no float division), error in
+    ppm against the exact per-type distinct computed side-by-side. Types
+    with <64 distinct users fall back to the exact count (COALESCE) —
+    the sketch is only ever approximate past its buffer.
+
+    Scale shape: one distinct shuffle is the row-scale pass; the k-th
+    order statistic is found with a TWO-STAGE top-k (per-(type, salt=u%16)
+    row_number keeps ≤64 rows per salt IN PARALLEL, then the ≤1024
+    survivors per type are ranked exactly) — the naive single window
+    would sort every distinct user per type through one task per type;
+    the salted pre-pass bounds that to 16×64 rows. Same result, provably:
+    the global 64 smallest are each within their salt's 64 smallest."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = du.select("event_type", "user_id", u.alias("u")).withColumn(
+        "salt", F.pmod(F.col("u"), F.lit(16))
+    )
+    w1 = Window.partitionBy("event_type", "salt").orderBy("u", "user_id")
+    s1 = h.withColumn("rn1", F.row_number().over(w1)).filter(F.col("rn1") <= 64)
+    w2 = Window.partitionBy("event_type").orderBy("u", "user_id")
+    kth = (
+        s1.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 64)
+        .select("event_type", F.col("u").alias("u_k"))
+    )
+    ex = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return ex.join(kth, "event_type", "left").selectExpr(
+        "event_type",
+        "exact_distinct",
+        "COALESCE(63 * 4294967296 div u_k, exact_distinct) AS kmv_estimate",
+        "COALESCE(abs(63 * 4294967296 div u_k - exact_distinct)"
+        " * 1000000 div exact_distinct, 0) AS err_ppm",
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -12456,6 +12638,7 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "stream_stream_join_equiv",
     "streaming_session_window",
     "dedup_cluster_assignment",
+    "grid_density_clusters",
     "dedup_canonical_selection",
     "shard_packing",
     "kmeans_assign",
@@ -12561,7 +12744,7 @@ _FIRST50: list[str] = [
 # minhash_estimate_audit, diff_in_differences, survival_hazard_table,
 # poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
 # item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
-# khop_reachability.
+# khop_reachability, grid_density_clusters, kmv_distinct_sketch.
 
 
 def _ordered_names() -> list[str]:
