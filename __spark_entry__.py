@@ -12602,6 +12602,218 @@ def kmv_distinct_sketch(spark, sf_dir):
     )
 
 
+@q(
+    "ivm_join_delta",
+    """
+    WITH bo AS (SELECT * FROM orders   WHERE o_orderkey % 10 <> 0),
+    do_ AS (SELECT * FROM orders   WHERE o_orderkey % 10 = 0),
+    bc AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+    dc AS (SELECT * FROM customer WHERE c_custkey % 7 = 0),
+    term AS (
+      SELECT c_nationkey, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM bo JOIN bc ON o_custkey = c_custkey GROUP BY 1
+      UNION ALL
+      SELECT c_nationkey, COUNT(*),
+             SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+      FROM do_ JOIN bc ON o_custkey = c_custkey GROUP BY 1
+      UNION ALL
+      SELECT c_nationkey, COUNT(*),
+             SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+      FROM bo JOIN dc ON o_custkey = c_custkey GROUP BY 1
+      UNION ALL
+      SELECT c_nationkey, COUNT(*),
+             SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+      FROM do_ JOIN dc ON o_custkey = c_custkey GROUP BY 1),
+    merged AS (
+      SELECT c_nationkey, SUM(n) AS n_view,
+             SUM(rev) AS rev_view
+      FROM term GROUP BY 1),
+    full_v AS (
+      SELECT c_nationkey, COUNT(*) AS n_full,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev_full
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+    SELECT m.c_nationkey, m.n_view,
+           CAST(ROUND(m.rev_view, 2) AS DOUBLE) AS rev_view,
+           f.n_full, CAST(ROUND(f.rev_full, 2) AS DOUBLE) AS rev_full,
+           (m.n_view = f.n_full AND m.rev_view = f.rev_full) AS ok
+    FROM merged m JOIN full_v f USING (c_nationkey)
+    """,
+)
+def ivm_join_delta(spark, sf_dir):
+    """Incremental view maintenance of a JOIN-aggregate — the delta
+    algebra every streaming lakehouse materialized view runs on. For
+    view V = γ(A ⋈ B), an insert batch (ΔA, ΔB) updates V WITHOUT
+    re-joining the base tables: ΔV = γ(ΔA⋈B) ⊎ γ(A⋈ΔB) ⊎ γ(ΔA⋈ΔB),
+    merged into the old aggregate by summing partial states (COUNT and
+    SUM are self-mergeable; AVG would carry (sum, count)). The query
+    splits orders/customers into base+delta by key hash, maintains the
+    revenue-by-nation view through the three delta terms, AND recomputes
+    the view from scratch — emitting per-group equality as an in-query
+    proof that the algebra is exact (decimal sums, so ⊎ is genuinely
+    associative; float sums would not verify).
+
+    Scale shape: at 100 TB the point IS the plan — the delta terms join
+    |Δ|-scale inputs (two of the three are Δ⋈Δ and Δ⋈base with the
+    delta side small enough for AQE to broadcast), so maintenance cost
+    is O(|Δ|), not O(|A|+|B|); only the verification leg (which a
+    production pipeline would not run per batch) touches the full
+    tables. All aggregates are partial-agg groupBys; the final merge
+    operates on group-cardinality rows."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    bo = orders.filter(F.col("o_orderkey") % 10 != 0)
+    do = orders.filter(F.col("o_orderkey") % 10 == 0)
+    bc = customer.filter(F.col("c_custkey") % 7 != 0)
+    dc = customer.filter(F.col("c_custkey") % 7 == 0)
+
+    def _term(o, c):
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"),
+            )
+        )
+
+    terms = (
+        _term(bo, bc)
+        .unionByName(_term(do, bc))
+        .unionByName(_term(bo, dc))
+        .unionByName(_term(do, dc))
+    )
+    merged = terms.groupBy("c_nationkey").agg(
+        F.sum("n").alias("n_view"), F.sum("rev").alias("rev_view")
+    )
+    full_v = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev_full"),
+        )
+    )
+    return merged.join(full_v, "c_nationkey").select(
+        "c_nationkey",
+        "n_view",
+        F.round("rev_view", 2).cast("double").alias("rev_view"),
+        "n_full",
+        F.round("rev_full", 2).cast("double").alias("rev_full"),
+        (
+            (F.col("n_view") == F.col("n_full"))
+            & (F.col("rev_view") == F.col("rev_full"))
+        ).alias("ok"),
+    )
+
+
+@q(
+    "rrf_rank_fusion",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 8),
+    exact_s AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             round(
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    ra AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank_a
+      FROM exact_s QUALIFY rank_a <= 20),
+    int8_s AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_sum(list_transform(range(1, len(qe) + 1),
+               i -> CAST(round(CAST(qe[i] AS DOUBLE) * 127) AS BIGINT)
+                    * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 127) AS BIGINT)))
+               AS dot_q
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    rb AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id) AS rank_b
+      FROM int8_s QUALIFY rank_b <= 20),
+    fused AS (
+      SELECT COALESCE(ra.q_id, rb.q_id) AS q_id,
+             COALESCE(ra.n_id, rb.n_id) AS n_id,
+             COALESCE(1000000 // (60 + ra.rank_a), 0)
+           + COALESCE(1000000 // (60 + rb.rank_b), 0) AS rrf_micro
+      FROM ra FULL OUTER JOIN rb
+        ON ra.q_id = rb.q_id AND ra.n_id = rb.n_id)
+    SELECT q_id, n_id, rrf_micro, fused_rank FROM (
+      SELECT q_id, n_id, rrf_micro,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf_micro DESC, n_id) AS fused_rank
+      FROM fused)
+    WHERE fused_rank <= 10
+    """,
+)
+def rrf_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    hybrid-search merge (RRF, Cormack et al.): for each query vector,
+    ranker A is exact cosine top-20, ranker B is int8-QUANTIZED dot-
+    product top-20 (a cheaper scorer that disagrees just enough to make
+    fusion meaningful); fused score = Σ 1/(60+rank) over the rankers
+    that returned the candidate, kept INTEGER-EXACT in micro-units
+    (1000000 div (60+rank)) so cross-engine ordering can't drift. The
+    int8 path is fully integer arithmetic — quantize once, 64-lane
+    integer dot — the same trick `quantization_recall_audit` audits.
+
+    Scale shape: both rankers broadcast the bounded query set against
+    the corpus (one pass each over row-scale data, no corpus×corpus
+    pair explosion); per-query top-20 via windows partitioned by q_id;
+    the fusion join and final top-10 operate on ≤40 rows per query.
+    At 100 TB the corpus scans dominate and parallelize embarrassingly;
+    a production system would swap ranker inputs for the IVF/LSH
+    variants (`similarity_topk_ivf`, `similarity_topk_lsh`) without
+    touching the fusion algebra."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    ra = similarity.cosine_topk_bruteforce(
+        qs, emb, "vec_id", "vec_id", k=20
+    ).select("q_id", "n_id", F.col("rank").alias("rank_a"))
+    qv = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 127, 0) as bigint))"
+    )
+    qemb = F.broadcast(
+        qs.select(F.col("vec_id").alias("q_id"), qv.alias("q_q"))
+    )
+    cemb = emb.select(F.col("vec_id").alias("n_id"), qv.alias("n_q"))
+    dot = F.expr(
+        "aggregate(zip_with(q_q, n_q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.col("dot_q").desc(), "n_id")
+    rb = (
+        cemb.join(qemb, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot.alias("dot_q"))
+        .withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= 20)
+        .select("q_id", "n_id", "rank_b")
+    )
+    fused = (
+        ra.join(rb, ["q_id", "n_id"], "full_outer")
+        .select(
+            "q_id",
+            "n_id",
+            (
+                F.coalesce(F.expr("1000000 div (60 + rank_a)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 div (60 + rank_b)"), F.lit(0))
+            ).alias("rrf_micro"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "n_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .withColumn("fused_rank", F.col("fused_rank").cast("bigint"))
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -12744,7 +12956,8 @@ _FIRST50: list[str] = [
 # minhash_estimate_audit, diff_in_differences, survival_hazard_table,
 # poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
 # item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
-# khop_reachability, grid_density_clusters, kmv_distinct_sketch.
+# khop_reachability, grid_density_clusters, kmv_distinct_sketch,
+# ivm_join_delta, rrf_rank_fusion.
 
 
 def _ordered_names() -> list[str]:
