@@ -12345,7 +12345,7 @@ def neyman_allocation_sample(spark, sf_dir):
     seed AS (
       SELECT c_custkey AS c FROM customer
       JOIN nation ON c_nationkey = n_nationkey
-      WHERE n_name = 'GERMANY'),
+      WHERE n_name = 'NATION_7'),
     h1 AS (SELECT DISTINCT e.s FROM edge e JOIN seed ON e.c = seed.c),
     h2 AS (
       SELECT DISTINCT e.c FROM edge e JOIN h1 ON e.s = h1.s
@@ -12388,7 +12388,7 @@ def khop_reachability(spark, sf_dir):
     )
     seed = (
         customer.join(
-            F.broadcast(nation.filter(F.col("n_name") == "GERMANY")),
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
             customer.c_nationkey == nation.n_nationkey,
         )
         .select(F.col("c_custkey").alias("c"))

@@ -727,3 +727,246 @@ def test_exact_auc_matches_tie_averaged_rank_reference(spark):
     row = entrymod.queries()["exact_auc_ranksum"](spark, sf).collect()[0]
     assert row["n_pos"] == n1 and row["n_neg"] == n0
     assert abs(row["auc"] - expect) < 1e-9, (row["auc"], expect)
+
+
+def test_theil_sen_matches_python_bruteforce(spark):
+    """Theil-Sen output must equal the brute-force median of all pairwise
+    slopes computed directly in Python with the same rank-and-average
+    rule — independent of the SQL window formulation."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.floor("D")
+    daily = ev.groupby(["event_type", "day"]).size().reset_index(name="n")
+    epoch = pd.Timestamp("1970-01-01")
+    daily["di"] = (daily.day - epoch).dt.days
+    expect = {}
+    for t, g in daily.groupby("event_type"):
+        rows = sorted(zip(g.di, g.n))
+        slopes = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d1, n1 = rows[i]
+                d2, n2 = rows[j]
+                slopes.append((float(n2 - n1) / (d2 - d1), d1, d2))
+        slopes.sort()
+        cnt = len(slopes)
+        picks = {(cnt + 1) // 2, cnt // 2 + 1}
+        med = sum(slopes[p - 1][0] for p in picks) / len(picks)
+        expect[t] = (cnt, med)
+    got = {
+        r["event_type"]: (r["n_pairs"], r["slope_median"])
+        for r in entrymod.queries()["theil_sen_trend"](spark, sf).collect()
+    }
+    assert set(got) == set(expect) and len(got) > 0
+    for t in expect:
+        assert got[t][0] == expect[t][0]
+        assert abs(got[t][1] - expect[t][1]) < 1e-6, (t, got[t], expect[t])
+
+
+def test_khop_bfs_matches_python_reference(spark):
+    """3-hop frontier counts must equal a plain Python BFS over the same
+    bipartite edge set with explicit visited-set subtraction."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    nation = pd.read_parquet(f"{sf}/nation.parquet")
+    e = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    edges = set(zip(e.o_custkey, e.l_suppkey))
+    c2s, s2c = {}, {}
+    for c, s in edges:
+        c2s.setdefault(c, set()).add(s)
+        s2c.setdefault(s, set()).add(c)
+    de = nation[nation.n_name == "NATION_7"].n_nationkey.iloc[0]
+    seed = set(cust[cust.c_nationkey == de].c_custkey)
+    h1 = set().union(*(c2s.get(c, set()) for c in seed)) if seed else set()
+    h2 = (set().union(*(s2c.get(s, set()) for s in h1)) if h1 else set()) - seed
+    h3 = (set().union(*(c2s.get(c, set()) for c in h2)) if h2 else set()) - h1
+    expect = {(0, "customer", len(seed)), (1, "supplier", len(h1)),
+              (2, "customer", len(h2)), (3, "supplier", len(h3))}
+    got = {
+        (r["hop"], r["node_type"], r["n_new"])
+        for r in entrymod.queries()["khop_reachability"](spark, sf).collect()
+    }
+    assert got == expect
+
+
+def test_grid_density_clusters_match_union_find(spark):
+    """Cluster assignment must equal a Python union-find over the same
+    core cells with 8-adjacency — independent of the pointer-doubling
+    implementation and the recursive-CTE oracle."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    cells = {}
+    for v in emb.embedding:
+        key = (math.floor(float(v[0]) / 0.05), math.floor(float(v[1]) / 0.05))
+        cells[key] = cells.get(key, 0) + 1
+    total = sum(cells.values())
+    thr = max(5, total // 100)
+    core = {k: n for k, n in cells.items() if n >= thr}
+    cid = {k: (k[0] + 50) * 1000 + (k[1] + 50) for k in core}
+    parent = {c: c for c in cid.values()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy) in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in core:
+                    ra, rb = find(cid[(cx, cy)]), find(cid[nb])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for k in core:
+        comp.setdefault(find(cid[k]), []).append(k)
+    # min cell id labels the cluster (find() already roots at the min
+    # because unions always point the larger root at the smaller)
+    expect = {
+        (root, len(ks), sum(core[k] for k in ks)) for root, ks in comp.items()
+    }
+    got = {
+        (r["cluster_id"], r["n_cells"], r["n_points"])
+        for r in entrymod.queries()["grid_density_clusters"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_kmv_estimate_matches_python_reference(spark):
+    """The KMV estimate must equal 63·2³² div (64th smallest md5-derived
+    hash of the distinct user set), recomputed directly in Python — this
+    also re-proves the salted two-stage top-k equals the global top-k."""
+    import hashlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    expect = {}
+    for t, g in ev.groupby("event_type"):
+        users = sorted(set(int(u) for u in g.user_id))
+        hs = sorted(
+            (int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:8], 16), u)
+            for u in users
+        )
+        exact = len(users)
+        est = 63 * 4294967296 // hs[63][0] if exact >= 64 else exact
+        expect[t] = (exact, est, abs(est - exact) * 1000000 // exact)
+    got = {
+        r["event_type"]: (r["exact_distinct"], r["kmv_estimate"], r["err_ppm"])
+        for r in entrymod.queries()["kmv_distinct_sketch"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_item_item_cosine_matches_python_bruteforce(spark):
+    """Per-item top-3 neighbors must equal the Python brute force over
+    the same baskets (integer cos²-ppm, same tie-breaks)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    baskets = {}
+    for r in li.itertuples():
+        baskets.setdefault(int(r.l_orderkey), set()).add(int(r.l_partkey))
+    n_ord, co = {}, {}
+    for parts in baskets.values():
+        sp = sorted(parts)
+        for p in sp:
+            n_ord[p] = n_ord.get(p, 0) + 1
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                co[(sp[i], sp[j])] = co.get((sp[i], sp[j]), 0) + 1
+    neigh = {}
+    for (a, b), c in co.items():
+        if c < 2:
+            continue
+        for item, nb in ((a, b), (b, a)):
+            ppm = c * c * 1000000 // (n_ord[item] * n_ord[nb])
+            neigh.setdefault(item, []).append((-ppm, nb, c))
+    expect = set()
+    for item, lst in neigh.items():
+        lst.sort()
+        for rank, (negppm, nb, c) in enumerate(lst[:3], start=1):
+            expect.add((item, nb, c, n_ord[item], n_ord[nb], -negppm, rank))
+    got = {
+        (r["item"], r["neighbor"], r["co_orders"], r["n_ord_item"],
+         r["n_ord_neighbor"], r["cosine_sq_ppm"], r["rank"])
+        for r in entrymod.queries()["item_item_cosine_topk"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_cusum_changepoint_matches_python_bruteforce(spark):
+    """The CUSUM argmax day must equal the Python brute force over the
+    same integer-scaled deviations (earliest-day tie-break)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    daily = ev.groupby(["event_type", "day"]).size().reset_index(name="n")
+    expect = {}
+    for t, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        total, n_days = int(g.n.sum()), len(g)
+        cum, best = 0, None
+        for r in g.itertuples():
+            cum += int(r.n) * n_days - total
+            if best is None or abs(cum) > abs(best[1]):
+                best = (str(r.day), cum)
+        expect[t] = (best[0], best[1], n_days, total)
+    got = {
+        r["event_type"]: (r["changepoint_day"], r["cusum_at_cp"],
+                          r["n_days"], r["total"])
+        for r in entrymod.queries()["cusum_changepoint"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_ivm_delta_algebra_proof_and_neyman_budget(spark):
+    """ivm_join_delta's in-query equality column must be all-true (the
+    delta algebra is exact); Neyman sampling must stay within stratum
+    bounds and land near the 2000-row budget at sf0.01 scale."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["ivm_join_delta"](spark, sf).collect()
+    assert rows and all(r["ok"] for r in rows)
+    ney = entrymod.queries()["neyman_allocation_sample"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert ney
+    for r in ney:
+        assert 0 < r["n_sampled"] <= r["n_rows"]
+        assert 0 < r["rate_ppm"] <= 1000000
+    total_sampled = sum(r["n_sampled"] for r in ney)
+    budget = 2000
+    capped = all(r["rate_ppm"] == 1000000 for r in ney)
+    if not capped:
+        # md5-threshold sampling is binomial around the allocated size
+        assert abs(total_sampled - budget) < budget * 0.2
