@@ -574,15 +574,21 @@ def set_intersect(spark, sf_dir):
 @q(
     "set_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT o_custkey AS custkey FROM orders
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000
     """,
 )
 def set_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)  # EXCEPT (set semantics, not exceptAll's bag)
+    # customers who ordered but never above 450k — both legs from the same
+    # fact table so the EXCEPT is non-degenerate at every SF (the old
+    # nationkey variant was always empty: both dimensions span all nations)
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)  # EXCEPT (set semantics, not exceptAll's bag)
 
 
 @q(
@@ -628,12 +634,20 @@ def semi_join_big_spenders(spark, sf_dir):
     "anti_join_no_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def anti_join_no_orders(spark, sf_dir):
+    # customers with no big-ticket (>300k) order — the filter keeps the
+    # result non-degenerate on the synthetic corpus (every customer has
+    # SOME order, so the unfiltered anti join would always be empty)
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return joins.anti_join(customer, orders, ["c_custkey"]).select("c_custkey", "c_name")
 
 

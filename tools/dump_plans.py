@@ -92,6 +92,17 @@ HEADLINE = [
     "minhash_estimate_audit",
     "diff_in_differences",
     "survival_hazard_table",
+    # round 6, batches 21-25
+    "poisson_bootstrap_ci",
+    "cusum_changepoint",
+    "event_path_trigrams",
+    "item_item_cosine_topk",
+    "theil_sen_trend",
+    "neyman_allocation_sample",
+    "khop_reachability",
+    "kmv_distinct_sketch",
+    "ivm_join_delta",
+    "rrf_rank_fusion",
 ]
 
 
