@@ -12828,6 +12828,162 @@ def rrf_rank_fusion(spark, sf_dir):
     )
 
 
+@q(
+    "islands_consecutive_runs",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+      FROM events WHERE value > 300),
+    r AS (
+      SELECT event_type, day,
+             date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY event_type ORDER BY day) AS grp
+      FROM d),
+    i AS (SELECT event_type, grp, COUNT(*) AS run_len FROM r GROUP BY 1, 2)
+    SELECT event_type, COUNT(*) AS n_islands, MAX(run_len) AS longest_run,
+           SUM(run_len) AS active_days
+    FROM i GROUP BY event_type
+    """,
+)
+def islands_consecutive_runs(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    event_type (active = a day with any high-value event, value > 300 —
+    the threshold keeps the day series sparse enough to have real gaps).
+    The classic `dayindex − row_number()` trick: consecutive days share
+    the difference, so one window + one groupBy turns runs into groups —
+    no self-join, no recursive scan. Streaks, uptime windows, and
+    consecutive-login features all reduce to this.
+
+    Scale shape: the filter + DISTINCT (type, day) partial-agg is the
+    only row-scale pass, collapsing to ~types×days rows; the run-number
+    window and both rollups operate on that bounded series, partitioned
+    by type — no SinglePartition. Integer-exact throughout."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("value") > 300)
+        .select("event_type", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = d.select(
+        "event_type",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    i = r.groupBy("event_type", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return i.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("active_days"),
+    )
+
+
+@q(
+    "cuped_variance_reduction",
+    """
+    WITH per AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT * FROM per WHERE x IS NOT NULL AND y IS NOT NULL),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+      FROM b),
+    th AS (
+      SELECT n, sx / n AS mean_x,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta
+      FROM mom),
+    adj AS (
+      SELECT variant, y, y - theta * (x - mean_x) AS y_adj, theta
+      FROM b CROSS JOIN th)
+    SELECT variant, COUNT(*) AS n_users,
+           round(CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_post,
+           round(CAST(SUM(CAST(ROUND(y_adj, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cuped,
+           round(MAX(theta), 6) AS theta
+    FROM adj GROUP BY variant
+    """,
+)
+def cuped_variance_reduction(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Existing Data, Deng et al.
+    2013) — the variance-reduction workhorse of every experimentation
+    platform: adjust each unit's experiment-period metric y by its
+    PRE-period covariate x, y′ = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+    pooled across arms, shrinking metric variance by ρ² without biasing
+    the treatment contrast (θ and x̄ are variant-independent). Variants
+    are a deterministic user_id hash split; the period boundary is the
+    corpus midpoint (Jan 16).
+
+    Cross-engine exactness: per-user period sums via decimal (exactly
+    representable as doubles at this scale); the co-moment matrix reuses
+    the `corr_exact_sums` rounded-product decimal pattern; the adjusted
+    metric is rounded to 6dp BEFORE the final decimal mean so the last
+    aggregation is order-insensitive too. Scale shape: one row-scale
+    partial-agg groupBy(user, variant); the θ/x̄ stage is a 1-row
+    aggregate broadcast back (no collect); the readout groups ~users
+    rows by variant. All shuffles carry pre-aggregated data."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value").cast("decimal(30,6)")))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value").cast("decimal(30,6)")))
+        .cast("double")
+        .alias("y"),
+    )
+    b = per.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    mom = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    th = mom.select(
+        (F.col("sx") / F.col("n")).alias("mean_x"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+    )
+    adj = b.crossJoin(F.broadcast(th)).select(
+        "variant",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x"))).alias("y_adj"),
+        "theta",
+    )
+    return adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum(F.col("y").cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_post"),
+        F.round(
+            F.sum(F.round(F.col("y_adj"), 6).cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cuped"),
+        F.round(F.max("theta"), 6).alias("theta"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -12971,7 +13127,8 @@ _FIRST50: list[str] = [
 # poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
 # item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
 # khop_reachability, grid_density_clusters, kmv_distinct_sketch,
-# ivm_join_delta, rrf_rank_fusion.
+# ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
+# cuped_variance_reduction.
 
 
 def _ordered_names() -> list[str]:
