@@ -12984,6 +12984,140 @@ def cuped_variance_reduction(spark, sf_dir):
     )
 
 
+@q(
+    "mutual_nn_pairs",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+    scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round(
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+               6) AS sim
+      FROM sub a, sub b WHERE a.vec_id <> b.vec_id),
+    nn AS (
+      SELECT q_id, n_id, sim FROM (
+        SELECT q_id, n_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT a.q_id AS id_a, a.n_id AS id_b, a.sim
+    FROM nn a JOIN nn b ON a.n_id = b.q_id AND b.n_id = a.q_id
+    WHERE a.q_id < a.n_id
+    """,
+)
+def mutual_nn_pairs(spark, sf_dir):
+    """Mutual nearest-neighbor pairs — the high-precision near-duplicate
+    signal: (a, b) is kept iff b is a's #1 cosine neighbor AND a is b's.
+    Mutual-NN is the standard pair filter in embedding dedup and
+    bitext mining (e.g. CCMatrix margin-based mining) because one-sided
+    nearest neighbors are dominated by hub vectors; mutuality kills
+    hubs. Computed over a bounded id-window of the corpus (vec_id<256;
+    at 100 TB the all-pairs stage is replaced by LSH/IVF candidates —
+    `similarity_topk_lsh` — with the same mutuality join on top).
+
+    Scale shape: the scoring stage broadcasts the bounded query block
+    (BroadcastNestedLoop over the subset, never a shuffle cartesian);
+    #1-neighbor via per-q_id window; the mutuality test is a self-join
+    of the tiny (one row per vector) NN table on the REVERSED key pair —
+    an equi-join, one shuffle of n rows. sim is rounded to 6dp before
+    ranking (cross-engine IEEE determinism) and is symmetric, so both
+    directions agree by construction."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 256)
+    nn = similarity.cosine_topk_bruteforce(sub, sub, "vec_id", "vec_id", k=1).select(
+        "q_id", "n_id", "sim"
+    )
+    rev = nn.select(
+        F.col("q_id").alias("r_q"), F.col("n_id").alias("r_n")
+    )
+    return (
+        nn.join(
+            rev,
+            (F.col("n_id") == F.col("r_q")) & (F.col("r_n") == F.col("q_id")),
+        )
+        .filter(F.col("q_id") < F.col("n_id"))
+        .select(F.col("q_id").alias("id_a"), F.col("n_id").alias("id_b"), "sim")
+    )
+
+
+@q(
+    "feature_hashing_collisions",
+    """
+    WITH toks AS (
+      SELECT DISTINCT lower(tok) AS feature
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    hashed AS (
+      SELECT feature,
+             CAST(('0x' || substr(md5('fh:' || feature), 1, 8)) AS BIGINT)
+               % 16 AS bucket
+      FROM toks),
+    loads AS (SELECT bucket, COUNT(*) AS load FROM hashed GROUP BY 1)
+    SELECT load, COUNT(*) AS n_buckets,
+           SUM(load) AS n_features,
+           CAST(SUM(load) * 1000000 AS BIGINT)
+             // (SELECT COUNT(*) FROM toks) AS feature_share_ppm
+    FROM loads GROUP BY load
+    """,
+)
+def feature_hashing_collisions(spark, sf_dir):
+    """Hashing-trick collision audit: hash the document vocabulary into
+    a deliberately narrow 16-bucket space (V/B ≈ 2 on this corpus — the
+    same load factor a 1M-word vocab hits at 2^19 buckets) and report
+    the bucket-load histogram —
+    how many buckets hold 1 feature, 2 features, ... — the concrete
+    collision cost of choosing that width. Load k follows Poisson(V/B)
+    at uniformity, so the histogram doubles as a hash-quality check.
+    md5-derived buckets keep assignment engine-portable (no xxhash in
+    the oracle engine); feature share per load class in integer ppm.
+
+    Scale shape: tokenize + DISTINCT is the row-scale pass (partial-agg
+    dedup of the vocabulary); the bucket groupBy runs on |V| rows and
+    the histogram groupBy on ≤B — both partial-agg; the single-row
+    vocabulary count joins in as a 1-row scalar subquery (bounded
+    SinglePartition after a partial count)."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(F.lower(F.col("tok")).alias("feature"))
+        .distinct()
+    )
+    hashed = toks.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fh:"), F.col("feature"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(16),
+        ).alias("bucket")
+    )
+    loads = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("load"))
+    vocab = toks.agg(F.count(F.lit(1)).alias("v_total"))
+    return (
+        loads.groupBy("load")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("load").alias("n_features"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "load",
+            "n_buckets",
+            "n_features",
+            F.expr("n_features * 1000000 div v_total").alias("feature_share_ppm"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -13128,7 +13262,7 @@ _FIRST50: list[str] = [
 # item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
 # khop_reachability, grid_density_clusters, kmv_distinct_sketch,
 # ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
-# cuped_variance_reduction.
+# cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions.
 
 
 def _ordered_names() -> list[str]:
