@@ -970,3 +970,195 @@ def test_ivm_delta_algebra_proof_and_neyman_budget(spark):
     if not capped:
         # md5-threshold sampling is binomial around the allocated size
         assert abs(total_sampled - budget) < budget * 0.2
+
+
+def test_islands_matches_python_bruteforce(spark):
+    """Island counts must equal a direct Python scan for consecutive-day
+    runs over the same thresholded day set."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev = ev[ev.value > 300]
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    expect = {}
+    for t, g in ev.groupby("event_type"):
+        days = sorted(set(g.day))
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expect[t] = (len(runs), max(runs), sum(runs))
+    got = {
+        r["event_type"]: (r["n_islands"], r["longest_run"], r["active_days"])
+        for r in entrymod.queries()["islands_consecutive_runs"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_cuped_matches_python_reference(spark):
+    """theta and the adjusted means must match a Python recomputation of
+    the same exact-decimal co-moment formulas (and CUPED must not change
+    the between-variant ordering direction of the metric)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    def d6(x):
+        return Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev.ts)
+    cut = pd.Timestamp("2024-01-16")
+    per = {}
+    for r in ev.itertuples():
+        u = int(r.user_id)
+        pre = r.ts < cut
+        acc = per.setdefault(u, [Decimal(0), Decimal(0), False, False])
+        v6 = Decimal(repr(r.value)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        if pre:
+            acc[0] += v6
+            acc[2] = True
+        else:
+            acc[1] += v6
+            acc[3] = True
+    both = {u: (float(a[0]), float(a[1])) for u, a in per.items() if a[2] and a[3]}
+    n = len(both)
+    sx = float(sum(Decimal(repr(x)).quantize(Decimal("0.000001")) for x, _ in both.values()))
+    sy = float(sum(Decimal(repr(y)).quantize(Decimal("0.000001")) for _, y in both.values()))
+    sxy = float(sum(Decimal(repr(round(x * y, 4))).quantize(Decimal("0.0001")) for x, y in both.values()))
+    sxx = float(sum(Decimal(repr(round(x * x, 4))).quantize(Decimal("0.0001")) for x, _ in both.values()))
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mean_x = sx / n
+    rows = entrymod.queries()["cuped_variance_reduction"](spark, sf).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert abs(r["theta"] - theta) < 1e-5, (r["theta"], theta)
+        us = [u for u in both if u % 2 == r["variant"]]
+        assert r["n_users"] == len(us)
+        mean_post = sum(both[u][1] for u in us) / len(us)
+        mean_cuped = sum(
+            both[u][1] - theta * (both[u][0] - mean_x) for u in us
+        ) / len(us)
+        assert abs(r["mean_post"] - mean_post) < 1e-4
+        assert abs(r["mean_cuped"] - mean_cuped) < 1e-4
+
+
+def test_mutual_nn_pairs_are_truly_mutual(spark):
+    """Every emitted pair must be reciprocal #1 neighbors under a Python
+    recomputation of the rounded cosine ranking (same sequential-fold
+    dot product and half-up rounding as the engine)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    emb = emb[emb.vec_id < 256]
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    def sim6(a, b):
+        s = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        return float(Decimal(repr(s)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    nn = {}
+    ids = sorted(vecs)
+    for q in ids:
+        best = max(
+            ((sim6(vecs[q], vecs[c]), -c) for c in ids if c != q),
+        )
+        nn[q] = (-best[1], best[0])
+    expect = {
+        (a, nn[a][0], nn[a][1])
+        for a in ids
+        if nn[nn[a][0]][0] == a and a < nn[a][0]
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in entrymod.queries()["mutual_nn_pairs"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_feature_hashing_histogram_matches_python(spark):
+    """The bucket-load histogram must equal a direct Python md5 % 16
+    recomputation over the same lowercased vocabulary."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    vocab = set()
+    for t in docs.text:
+        for tok in re.split(r"\s+", t.strip()):
+            if tok:
+                vocab.add(tok.lower())
+    loads = {}
+    for f in vocab:
+        b = int(hashlib.md5(f"fh:{f}".encode()).hexdigest()[:8], 16) % 16
+        loads[b] = loads.get(b, 0) + 1
+    hist = {}
+    for b, l in loads.items():
+        hist[l] = hist.get(l, 0) + 1
+    expect = {
+        (l, nb, l * nb, l * nb * 1000000 // len(vocab)) for l, nb in hist.items()
+    }
+    got = {
+        (r["load"], r["n_buckets"], r["n_features"], r["feature_share_ppm"])
+        for r in entrymod.queries()["feature_hashing_collisions"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_poisson_bootstrap_weight_calibration(spark):
+    """The md5-threshold Poisson(1) weights must empirically hit the
+    Poisson pmf: the fraction of (row, rep) draws with weight 0 must be
+    within 2% of e^-1, and the mean weight within 2% of 1."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    import __spark_entry__ as entrymod
+
+    thresholds = entrymod._POIS1_HEX
+    n0 = total = wsum = 0
+    for eid in ev.event_id:
+        for rep in range(8):  # 8 reps is plenty for calibration
+            u = hashlib.md5(f"{eid}:{rep}".encode()).hexdigest()[:8]
+            w = 7
+            for k, t in enumerate(thresholds):
+                if u < t:
+                    w = k
+                    break
+            total += 1
+            wsum += w
+            if w == 0:
+                n0 += 1
+    assert abs(n0 / total - math.exp(-1)) < 0.02
+    assert abs(wsum / total - 1.0) < 0.02
