@@ -13118,6 +13118,198 @@ def feature_hashing_collisions(spark, sf_dir):
     )
 
 
+_ABSORB_STEPS_SQL = "".join(
+    f""",
+    h{i} AS (
+      SELECT t.s AS state,
+             CASE WHEN t.s = 'purchase' THEN 1000000
+                  ELSE SUM(t.p_micro * h.h) // 1000000 END AS h
+      FROM tr t JOIN h{i - 1} h ON t.t = h.state
+      GROUP BY t.s)"""
+    for i in range(1, 11)
+)
+
+
+@q(
+    "markov_absorption_iter",
+    f"""
+    WITH pairs AS (
+      SELECT event_type AS s,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events),
+    cnt AS (
+      SELECT s, t, COUNT(*) AS n FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2),
+    tr AS (
+      SELECT s, t, n * 1000000 // SUM(n) OVER (PARTITION BY s) AS p_micro
+      FROM cnt),
+    h0 AS (
+      SELECT DISTINCT s AS state,
+             CASE WHEN s = 'purchase' THEN 1000000 ELSE 0 END AS h
+      FROM cnt){_ABSORB_STEPS_SQL}
+    SELECT state, h AS p_absorb_micro FROM h10
+    """,
+)
+def markov_absorption_iter(spark, sf_dir):
+    """Absorbing-state hitting probability by ITERATED matrix-vector
+    products: P(reach 'purchase' within 10 steps | current state), from
+    the user-stream Markov transition matrix with 'purchase' made
+    absorbing. h₀ = 1{purchase}; hₖ₊₁(s) = Σₜ T(s,t)·hₖ(t) — the
+    fixed-horizon analogue of solving (I−Q)h = R, done as 10 bounded
+    linear-algebra rounds instead of a matrix inverse (which doesn't
+    distribute). Everything is INTEGER micro-probability arithmetic
+    (products // 1e6 after the sum), so both engines iterate to the
+    same exact vector — no float drift compounding over rounds.
+
+    Scale shape: ONE row-scale pass (the lead() window per user — the
+    irreducible per-user-sequence shuffle, shared shape with
+    `event_markov_transitions`); the transition matrix is |types|² ≤ 25
+    rows, and each of the 10 iterations is a join+groupBy on that
+    bounded table (broadcast, sub-millisecond at any corpus size). The
+    oracle chains the identical 10 steps as generated CTEs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("s"), F.lead("event_type").over(w).alias("t")
+    ).filter(F.col("t").isNotNull())
+    cnt = pairs.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("s")
+    tr = cnt.select(
+        "s", "t", F.expr("n * 1000000").alias("n6"), F.sum("n").over(ws).alias("tot")
+    ).select("s", "t", F.expr("n6 div tot").alias("p_micro"))
+    h = (
+        cnt.select("s")
+        .distinct()
+        .select(
+            F.col("s").alias("state"),
+            F.when(F.col("s") == "purchase", F.lit(1000000))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    for _ in range(10):
+        h = (
+            tr.join(F.broadcast(h), tr.t == h.state)
+            .groupBy("s")
+            .agg(F.sum(F.col("p_micro") * F.col("h")).alias("acc"))
+            .select(
+                F.col("s").alias("state"),
+                F.when(F.col("s") == "purchase", F.lit(1000000).cast("bigint"))
+                .otherwise(F.expr("acc div 1000000"))
+                .alias("h"),
+            )
+        )
+    return h.select("state", F.col("h").alias("p_absorb_micro"))
+
+
+@q(
+    "split_conformal_coverage",
+    """
+    WITH mu AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+             COUNT(*) AS n_calib
+      FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+    calib AS (
+      SELECT e.event_type,
+             CAST(FLOOR(abs(e.value - m.mean_v) * 1000) AS BIGINT) AS r_milli
+      FROM events e JOIN mu m USING (event_type)
+      WHERE e.ts < TIMESTAMP '2024-01-16'),
+    hist AS (
+      SELECT event_type, r_milli, COUNT(*) AS n
+      FROM calib GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, r_milli,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY r_milli) AS cum_n
+      FROM hist),
+    qh AS (
+      SELECT c.event_type, MIN(c.r_milli) AS qhat_milli
+      FROM cum c JOIN mu m USING (event_type)
+      WHERE c.cum_n >= (9 * (m.n_calib + 1) + 9) // 10
+      GROUP BY 1),
+    test AS (
+      SELECT e.event_type,
+             CASE WHEN CAST(FLOOR(abs(e.value - m.mean_v) * 1000) AS BIGINT)
+                       <= q.qhat_milli
+                  THEN 1 ELSE 0 END AS hit
+      FROM events e JOIN mu m USING (event_type) JOIN qh q USING (event_type)
+      WHERE e.ts >= TIMESTAMP '2024-01-16')
+    SELECT t.event_type, MAX(m.n_calib) AS n_calib, COUNT(*) AS n_test,
+           MAX(q.qhat_milli) AS qhat_milli,
+           SUM(t.hit) * 1000000 // COUNT(*) AS coverage_ppm
+    FROM test t JOIN mu m ON t.event_type = m.event_type
+                JOIN qh q ON t.event_type = q.event_type
+    GROUP BY t.event_type
+    """,
+)
+def split_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction interval with empirical coverage audit:
+    calibrate on the pre-Jan-16 half (residual = |value − per-type
+    calibration mean|, discretized to milli-units), take the conformal
+    quantile q̂ = the ⌈0.9(n+1)⌉-th smallest calibration residual, then
+    measure what fraction of the HELD-OUT half falls within ±q̂ —
+    distribution-free ~90% coverage, the standard way to put honest
+    error bars on any point predictor. Coverage is reported in ppm;
+    the finite-sample guarantee says ≥ 900000 in expectation.
+
+    Scale shape: the conformal quantile is found by HISTOGRAM RANK, not
+    a per-type sort — residuals collapse to a milli-unit histogram
+    (partial-agg groupBy, bounded by the value range × 1000), the
+    cumulative window runs over bins (not rows) per type, and q̂ is the
+    first bin reaching rank k. The same trick `exact_median_groups`
+    uses: order statistics at 100 TB are histogram lookups, never
+    row-scale sorts through one task. Calibration means broadcast back;
+    every row-scale stage is a map or a partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    mu = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_v"),
+            F.count(F.lit(1)).alias("n_calib"),
+        )
+    )
+    r_milli = F.floor(F.abs(F.col("value") - F.col("mean_v")) * 1000).cast("bigint")
+    calib = (
+        ev.filter(F.col("ts") < cut)
+        .join(F.broadcast(mu), "event_type")
+        .select("event_type", r_milli.alias("r_milli"))
+    )
+    hist = calib.groupBy("event_type", "r_milli").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("r_milli")
+    cum = hist.select(
+        "event_type", "r_milli", F.sum("n").over(wc).alias("cum_n")
+    )
+    qh = (
+        cum.join(F.broadcast(mu.select("event_type", "n_calib")), "event_type")
+        .filter(F.col("cum_n") >= F.expr("(9 * (n_calib + 1) + 9) div 10"))
+        .groupBy("event_type")
+        .agg(F.min("r_milli").alias("qhat_milli"))
+    )
+    test = (
+        ev.filter(F.col("ts") >= cut)
+        .join(F.broadcast(mu), "event_type")
+        .join(F.broadcast(qh), "event_type")
+        .select(
+            "event_type",
+            "n_calib",
+            F.when(r_milli <= F.col("qhat_milli"), 1).otherwise(0).alias("hit"),
+            "qhat_milli",
+        )
+    )
+    return test.groupBy("event_type").agg(
+        F.max("n_calib").alias("n_calib"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.max("qhat_milli").alias("qhat_milli"),
+        F.expr("sum(hit) * 1000000 div count(1)").alias("coverage_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -13262,7 +13454,8 @@ _FIRST50: list[str] = [
 # item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
 # khop_reachability, grid_density_clusters, kmv_distinct_sketch,
 # ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
-# cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions.
+# cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
+# markov_absorption_iter, split_conformal_coverage.
 
 
 def _ordered_names() -> list[str]:
