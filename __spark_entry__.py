@@ -13310,6 +13310,151 @@ def split_conformal_coverage(spark, sf_dir):
     )
 
 
+@q(
+    "higher_moment_stats",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(value * value * value, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(ROUND(value * value * value * value, 2) AS DECIMAL(38,2))) AS DOUBLE) AS s4
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT event_type, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s)
+    SELECT event_type, n, round(mu, 6) AS mean_v,
+           round(m2, 6) AS var_pop,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def higher_moment_stats(spark, sf_dir):
+    """Skewness and excess kurtosis from EXACT raw moments — the
+    distribution-shape profile a feature store attaches to every numeric
+    column (tail risk, normality screening), computed the only way that
+    hash-matches across engines and cluster sizes: Σx, Σx², Σx³, Σx⁴ as
+    order-insensitive decimal sums (power products rounded at a fixed
+    scale first, so every engine sums identical decimals), then the
+    central-moment algebra m₂,m₃,m₄ in deterministic double arithmetic;
+    sqrt is IEEE-exact. NEVER the engine's streaming skewness()/
+    kurtosis(), whose float accumulation is partition-order dependent.
+
+    Scale shape: one partial-agg groupBy over the scan — the co-moment
+    vector is 4 numbers per group, map-side combined; the shape algebra
+    runs on |groups| rows. Extends `variance_stats` (2nd moment) and
+    `corr_exact_sums` (co-moments) to the full 4-moment profile."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum(F.round(v * v, 6).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum(F.round(v * v * v, 4).cast("decimal(38,4)")).cast("double").alias("s3"),
+        F.sum(F.round(v * v * v * v, 2).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean_v"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+@q(
+    "trending_items_decay",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS d_max FROM orders),
+    recent AS (
+      SELECT l.l_partkey,
+             date_diff('day', o.o_orderdate, mx.d_max) // 7 AS weeks_ago,
+             CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS qty_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      CROSS JOIN mx
+      WHERE o.o_orderdate >= mx.d_max - INTERVAL 84 DAY),
+    wk AS (
+      SELECT l_partkey, weeks_ago, SUM(qty_c) AS qty_week
+      FROM recent GROUP BY 1, 2),
+    sc AS (
+      SELECT l_partkey,
+             SUM(qty_week * 1000000 // (1 << weeks_ago)) AS trend_score,
+             SUM(qty_week) AS qty_total
+      FROM wk GROUP BY 1)
+    SELECT l_partkey, trend_score, qty_total, rnk FROM (
+      SELECT l_partkey, trend_score, qty_total,
+             row_number() OVER (ORDER BY trend_score DESC, l_partkey) AS rnk
+      FROM sc)
+    WHERE rnk <= 20
+    """,
+)
+def trending_items_decay(spark, sf_dir):
+    """Trending-items leaderboard with exponential time decay — the
+    realtime-analytics primitive behind 'hot right now' rankings: each
+    part's recent order quantity is weighted by 2^(−weeks_ago) (half-
+    life = one week over a 12-week lookback), so a small recent burst
+    outranks a large stale total. The decay is EXACT integer
+    arithmetic: quantities in cents, weight = bigint shift (1 <<
+    weeks_ago), per-week term = qty·1e6 div 2ʷ — no pow(), no float,
+    identical on every engine (transcendental decay weights are the
+    classic cross-engine drift source this avoids).
+
+    Scale shape: the lookback filter prunes the scan FIRST (at 100 TB,
+    partition pruning on order date makes this the difference between
+    scanning 12 weeks and 4 years); the anchor date is a 1-row partial
+    agg broadcast; per-(part, week) partial agg collapses row scale
+    before the decay weighting; the leaderboard is TakeOrdered top-20
+    (local heaps + driver merge, no global sort, no SinglePartition
+    window)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    mx = orders.agg(F.max("o_orderdate").alias("d_max"))
+    recent = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("o_orderdate") >= F.expr("d_max - INTERVAL 84 DAY"))
+        .select(
+            "l_partkey",
+            F.expr("datediff(d_max, o_orderdate) div 7").alias("weeks_ago"),
+            F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        )
+    )
+    wk = recent.groupBy("l_partkey", "weeks_ago").agg(
+        F.sum("qty_c").alias("qty_week")
+    )
+    sc = wk.groupBy("l_partkey").agg(
+        F.sum(F.expr("qty_week * 1000000 div shiftleft(1L, cast(weeks_ago as int))"))
+        .alias("trend_score"),
+        F.sum("qty_week").alias("qty_total"),
+    )
+    top = sc.orderBy(F.col("trend_score").desc(), "l_partkey").limit(20)
+    w = Window.orderBy(F.col("trend_score").desc(), "l_partkey")
+    return top.select(
+        "l_partkey",
+        "trend_score",
+        "qty_total",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -13455,7 +13600,8 @@ _FIRST50: list[str] = [
 # khop_reachability, grid_density_clusters, kmv_distinct_sketch,
 # ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
 # cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
-# markov_absorption_iter, split_conformal_coverage.
+# markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
+# trending_items_decay.
 
 
 def _ordered_names() -> list[str]:
