@@ -13455,6 +13455,194 @@ def trending_items_decay(spark, sf_dir):
     )
 
 
+@q(
+    "scd2_asof_enrich",
+    """
+    WITH dim AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) // 25 AS tier
+      FROM events WHERE event_type = 'signup'),
+    fact AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'),
+    unioned AS (
+      SELECT user_id, ts, 0 AS src, event_id, tier,
+             CAST(NULL AS DOUBLE) AS value
+      FROM dim
+      UNION ALL
+      SELECT user_id, ts, 1 AS src, event_id, CAST(NULL AS BIGINT) AS tier, value
+      FROM fact),
+    carried AS (
+      SELECT user_id, ts, src, event_id, value,
+             last_value(tier IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, src, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tier_asof
+      FROM unioned)
+    SELECT COALESCE(CAST(tier_asof AS VARCHAR), 'unknown') AS tier,
+           COUNT(*) AS n_purchases,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+    FROM carried WHERE src = 1
+    GROUP BY 1
+    """,
+)
+def scd2_asof_enrich(spark, sf_dir):
+    """Dimension-at-event-time — the lakehouse pattern that composes this
+    repo's CDC→SCD2 machinery with its as-of join: a slowly-changing
+    user TIER (props.k div 25, restated at every signup event) enriches
+    each purchase with the tier that was valid WHEN THE PURCHASE
+    HAPPENED — never the current tier (the classic type-1 reporting
+    bug this pattern exists to prevent). Purchases before any signup
+    roll up as 'unknown'.
+
+    Scale shape: the as-of semantics use the UNION-WINDOW trick (same
+    single-shuffle shape as `asof_join_events`, reference
+    etl/transform parity notes): dimension rows and fact rows union
+    into one stream, one hash shuffle on user_id, and
+    last_value(IGNORE NULLS) carries the dimension forward — an as-of
+    join with NO range join, NO per-fact binary search, no skew
+    explosion. Tie discipline: at equal ts the dimension row sorts
+    first (src 0 < 1), so a same-instant signup applies to the
+    purchase — identical in both engines. The rollup is one
+    partial agg on ≤5 tiers."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        "event_id",
+        F.expr("cast(get_json_object(props, '$.k') as bigint) div 25").alias("tier"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("src"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("tier"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = dim.unionByName(fact).select(
+        "user_id",
+        "src",
+        "value",
+        F.last("tier", ignorenulls=True).over(w).alias("tier_asof"),
+    )
+    return (
+        carried.filter(F.col("src") == 1)
+        .groupBy(
+            F.coalesce(F.col("tier_asof").cast("string"), F.lit("unknown")).alias(
+                "tier"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@q(
+    "clustering_coefficient",
+    """
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS a, c_custkey + d AS b
+      FROM customer, (SELECT unnest([1, 2, 3, 5, 8]) AS d), mx
+      WHERE c_custkey + d <= mx.m),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+    tri AS (
+      SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT va AS v FROM tri UNION ALL SELECT vb FROM tri
+            UNION ALL SELECT vc FROM tri)
+      GROUP BY 1)
+    SELECT d.v, d.d AS degree, COALESCE(pv.t, 0) AS n_triangles,
+           COALESCE(pv.t, 0) * 2 * 1000000 // (d.d * (d.d - 1)) AS cc_ppm
+    FROM deg d LEFT JOIN pv ON d.v = pv.v
+    WHERE d.d >= 2
+    ORDER BY cc_ppm DESC, d.v LIMIT 50
+    """,
+)
+def clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient — cc(v) = 2·t(v)/(d(v)·(d(v)−1)),
+    the fraction of a vertex's neighbor pairs that are themselves
+    connected: the community-structure signal under friend-of-friend
+    features and graph-quality audits. Extends `triangle_count_keys`
+    (same deterministic banded graph, so the oracle rebuilds it
+    exactly) with the degree normalization, in integer ppm (no float
+    ratio), LEFT-joined so triangle-free vertices report cc = 0 rather
+    than vanishing.
+
+    Scale shape: degrees are one partial agg over the edge list;
+    triangles use the oriented two-join wedge enumeration (fan-out
+    bounded by out-degree); the normalization join is |V|-scale with
+    the triangle side aggregated first. Top-50 via TakeOrdered —
+    deterministic (cc_ppm DESC, v) ordering, no global sort."""
+    customer = _t(spark, sf_dir, "customer")
+    mx = customer.agg(F.max("c_custkey").alias("m"))
+    e = (
+        customer.select("c_custkey")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_custkey").alias("a"),
+            F.explode(
+                F.array(*[F.col("c_custkey") + d for d in (1, 2, 3, 5, 8)])
+            ).alias("b"),
+            "m",
+        )
+        .filter(F.col("b") <= F.col("m"))
+        .select("a", "b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
+    e3 = e.select(F.col("a").alias("c3a"), F.col("b").alias("c3b"))
+    tri = (
+        e.join(e2, e.b == F.col("b2a"))
+        .join(e3, (e.a == F.col("c3a")) & (F.col("b2b") == F.col("c3b")))
+        .select(F.col("a").alias("va"), F.col("b").alias("vb"), F.col("b2b").alias("vc"))
+    )
+    pv = (
+        tri.select(F.col("va").alias("v"))
+        .unionByName(tri.select(F.col("vb").alias("v")))
+        .unionByName(tri.select(F.col("vc").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    out = (
+        deg.join(pv, "v", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "v",
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "coalesce(t, 0) * 2 * 1000000 div (d * (d - 1))"
+            ).alias("cc_ppm"),
+        )
+    )
+    top = out.orderBy(F.col("cc_ppm").desc(), "v").limit(50)
+    return top
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -13601,7 +13789,7 @@ _FIRST50: list[str] = [
 # ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
 # cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
 # markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
-# trending_items_decay.
+# trending_items_decay, scd2_asof_enrich, clustering_coefficient.
 
 
 def _ordered_names() -> list[str]:
