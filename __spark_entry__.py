@@ -13643,6 +13643,186 @@ def clustering_coefficient(spark, sf_dir):
     return top
 
 
+@q(
+    "point_in_time_features",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             event_id
+      FROM events),
+    feat AS (
+      SELECT user_id, event_type, value,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+               AS prior_cnt_7d,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(30,6)) END) OVER (
+               PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+               AS DOUBLE) AS prior_spend_7d
+      FROM ev),
+    pur AS (
+      SELECT CASE WHEN prior_cnt_7d = 0 THEN '0'
+                  WHEN prior_cnt_7d <= 2 THEN '1-2'
+                  WHEN prior_cnt_7d <= 5 THEN '3-5'
+                  ELSE '6+' END AS activity_bucket,
+             value, COALESCE(prior_spend_7d, 0) AS prior_spend
+      FROM feat WHERE event_type = 'purchase')
+    SELECT activity_bucket, COUNT(*) AS n_purchases,
+           round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_value,
+           round(CAST(SUM(CAST(ROUND(prior_spend, 6) AS DECIMAL(30,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_prior_spend
+    FROM pur GROUP BY 1
+    """,
+)
+def point_in_time_features(spark, sf_dir):
+    """Point-in-time-correct feature assembly — the feature-store
+    primitive that prevents label leakage: for every purchase (label
+    row), compute the user's activity count and purchase spend over the
+    7 days STRICTLY BEFORE that instant (RANGE window ending 1 µs
+    before current), never touching future events. Readout: purchase
+    value by prior-activity bucket — the 'do active users spend more'
+    training-set profile.
+
+    Scale shape: ONE hash shuffle on user_id feeds both RANGE-frame
+    features in a single Window operator (same spec → one sort, one
+    pass); the microsecond order key makes the 7-day frame an integer
+    range — identical row inclusion in both engines (equal-timestamp
+    rows are excluded by the 1-µs-preceding bound in both). Window sums
+    go through decimal (order-insensitive); the rollup is a partial agg
+    on 4 buckets. At 100 TB this is the canonical per-entity
+    time-travel scan: no self-join per label row, no point-in-time
+    lookup table explosion."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604800000000, -1)
+    )
+    feat = base.select(
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("prior_cnt_7d"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(30,6)")
+            )
+        )
+        .over(w)
+        .cast("double")
+        .alias("prior_spend_7d"),
+    )
+    pur = feat.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("prior_cnt_7d") == 0, "0")
+        .when(F.col("prior_cnt_7d") <= 2, "1-2")
+        .when(F.col("prior_cnt_7d") <= 5, "3-5")
+        .otherwise("6+")
+        .alias("activity_bucket"),
+        "value",
+        F.coalesce(F.col("prior_spend_7d"), F.lit(0.0)).alias("prior_spend"),
+    )
+    return pur.groupBy("activity_bucket").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_value"),
+        F.round(
+            F.sum(F.round(F.col("prior_spend"), 6).cast("decimal(30,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_prior_spend"),
+    )
+
+
+@q(
+    "abc_pareto_classes",
+    """
+    WITH pr AS (
+      SELECT p.p_brand, l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 2)
+                           AS DECIMAL(30,2))) * 100 AS BIGINT) AS rev_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT p_brand, l_partkey, rev_c,
+             SUM(rev_c) OVER (PARTITION BY p_brand
+                              ORDER BY rev_c DESC, l_partkey) AS cum_c,
+             SUM(rev_c) OVER (PARTITION BY p_brand) AS tot_c
+      FROM pr),
+    classed AS (
+      SELECT p_brand, rev_c,
+             CASE WHEN cum_c * 10 <= tot_c * 7 THEN 'A'
+                  WHEN cum_c * 10 <= tot_c * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked)
+    SELECT p_brand, abc_class, COUNT(*) AS n_parts,
+           SUM(rev_c) * 1000000 // MAX(tot_c) AS revenue_share_ppm
+    FROM (SELECT c.*, r.tot_c FROM classed c
+          JOIN (SELECT DISTINCT p_brand, tot_c FROM ranked) r USING (p_brand))
+    GROUP BY 1, 2
+    """,
+)
+def abc_pareto_classes(spark, sf_dir):
+    """ABC / Pareto classification — the 80/20 inventory-analytics
+    staple: within each brand, rank parts by revenue and split them at
+    70% / 90% cumulative share into A (head), B (torso), C (tail)
+    classes; report class sizes and exact revenue shares. All
+    arithmetic is integer cents and cross-multiplied comparisons
+    (cum·10 ≤ tot·7), so class boundaries are exact — no float
+    cumulative-share drift at the thresholds.
+
+    Scale shape: the row-scale pass is the (brand, part) revenue
+    partial agg; the ranking windows run over the PART dimension
+    (orders of magnitude smaller than the fact table), partitioned by
+    brand — the per-brand sort is dimension-scale, never fact-scale.
+    Ties at a class boundary are broken by (rev DESC, partkey), making
+    the cut deterministic in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 2)
+    pr = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            (F.sum(rev.cast("decimal(30,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    wo = Window.partitionBy("p_brand").orderBy(F.col("rev_c").desc(), "l_partkey")
+    wb = Window.partitionBy("p_brand")
+    ranked = pr.select(
+        "p_brand",
+        "rev_c",
+        F.sum("rev_c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_c"
+        ),
+        F.sum("rev_c").over(wb).alias("tot_c"),
+    )
+    classed = ranked.select(
+        "p_brand",
+        "rev_c",
+        "tot_c",
+        F.when(F.col("cum_c") * 10 <= F.col("tot_c") * 7, "A")
+        .when(F.col("cum_c") * 10 <= F.col("tot_c") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("p_brand", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr("sum(rev_c) * 1000000 div max(tot_c)").alias("revenue_share_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -13789,7 +13969,8 @@ _FIRST50: list[str] = [
 # ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
 # cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
 # markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
-# trending_items_decay, scd2_asof_enrich, clustering_coefficient.
+# trending_items_decay, scd2_asof_enrich, clustering_coefficient,
+# point_in_time_features, abc_pareto_classes.
 
 
 def _ordered_names() -> list[str]:
