@@ -1162,3 +1162,246 @@ def test_poisson_bootstrap_weight_calibration(spark):
                 n0 += 1
     assert abs(n0 / total - math.exp(-1)) < 0.02
     assert abs(wsum / total - 1.0) < 0.02
+
+
+def test_markov_absorption_matches_python_iteration(spark):
+    """The 10-step absorption vector must equal a Python recomputation of
+    the same integer micro iterations from the same transition counts."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    cnt = {}
+    for _, g in ev.groupby("user_id"):
+        types = list(g.event_type)
+        for a, b in zip(types, types[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    states = sorted({s for s, _ in cnt})
+    tot = {s: sum(n for (a, _), n in cnt.items() if a == s) for s in states}
+    p = {(s, t): n * 1000000 // tot[s] for (s, t), n in cnt.items()}
+    h = {s: 1000000 if s == "purchase" else 0 for s in states}
+    for _ in range(10):
+        nh = {}
+        for s in states:
+            if s == "purchase":
+                nh[s] = 1000000
+            else:
+                acc = sum(p.get((s, t), 0) * h.get(t, 0) for t in states)
+                nh[s] = acc // 1000000
+        h = nh
+    got = {
+        r["state"]: r["p_absorb_micro"]
+        for r in entrymod.queries()["markov_absorption_iter"](spark, sf).collect()
+    }
+    assert got == h and len(got) > 0
+
+
+def test_split_conformal_matches_python_reference(spark):
+    """qhat and coverage must equal the Python recomputation over the same
+    milli-discretized residuals and the same conformal rank."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev.ts)
+    cut = pd.Timestamp("2024-01-16")
+    expect = {}
+    for t, g in ev.groupby("event_type"):
+        cal = g[g.ts < cut]
+        tst = g[g.ts >= cut]
+        from decimal import Decimal
+
+        mean_v = float(
+            sum(Decimal(repr(v)).quantize(Decimal("0.000001")) for v in cal.value)
+        ) / len(cal)
+        r = sorted(math.floor(abs(v - mean_v) * 1000) for v in cal.value)
+        k = (9 * (len(cal) + 1) + 9) // 10
+        qhat = r[k - 1]
+        hits = sum(
+            1 for v in tst.value if math.floor(abs(v - mean_v) * 1000) <= qhat
+        )
+        expect[t] = (len(cal), len(tst), qhat, hits * 1000000 // len(tst))
+    got = {
+        r["event_type"]: (r["n_calib"], r["n_test"], r["qhat_milli"],
+                          r["coverage_ppm"])
+        for r in entrymod.queries()["split_conformal_coverage"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_higher_moments_match_numpy_shape(spark):
+    """Skewness/kurtosis must agree with numpy population-moment formulas
+    to ~1e-4 (the decimal pre-rounding bounds the gap)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    rows = entrymod.queries()["higher_moment_stats"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        v = ev[ev.event_type == r["event_type"]].value.values.astype(float)
+        mu = v.mean()
+        m2 = ((v - mu) ** 2).mean()
+        m3 = ((v - mu) ** 3).mean()
+        m4 = ((v - mu) ** 4).mean()
+        assert r["n"] == len(v)
+        assert abs(r["skewness"] - m3 / m2**1.5) < 1e-4
+        assert abs(r["excess_kurtosis"] - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_trending_decay_matches_python_reference(spark):
+    """Decay scores must equal the Python integer recomputation (weekly
+    rollup then per-week div), same top-20 and tie-breaks."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    dmax = j.o_orderdate.max()
+    j = j[j.o_orderdate >= dmax - pd.Timedelta(days=84)]
+    wk = {}
+    for r in j.itertuples():
+        w = (dmax - r.o_orderdate).days // 7
+        key = (int(r.l_partkey), w)
+        wk[key] = wk.get(key, 0) + int(round(r.l_quantity * 100))
+    sc = {}
+    for (pk, w), q in wk.items():
+        s, t = sc.get(pk, (0, 0))
+        sc[pk] = (s + q * 1000000 // (1 << w), t + q)
+    ordered = sorted(sc.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    expect = {
+        (pk, s, t, i + 1) for i, (pk, (s, t)) in enumerate(ordered)
+    }
+    got = {
+        (r["l_partkey"], r["trend_score"], r["qty_total"], r["rnk"])
+        for r in entrymod.queries()["trending_items_decay"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_scd2_asof_enrich_matches_python_carry(spark):
+    """The tier rollup must equal a Python forward-carry simulation over
+    each user's merged (signup, purchase) stream with the same tie rule
+    (dimension before fact at equal timestamps)."""
+    import json
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    agg = {}
+    from decimal import Decimal
+
+    for _, g in ev.groupby("user_id"):
+        rows = []
+        for r in g.itertuples():
+            if r.event_type == "signup":
+                rows.append((r.ts, 0, int(r.event_id),
+                             int(json.loads(r.props)["k"]) // 25, None))
+            elif r.event_type == "purchase":
+                rows.append((r.ts, 1, int(r.event_id), None, r.value))
+        rows.sort()
+        tier = None
+        for ts, src, eid, t, v in rows:
+            if src == 0:
+                tier = t
+            else:
+                key = str(tier) if tier is not None else "unknown"
+                n, users, rev = agg.get(key, (0, set(), Decimal(0)))
+                users = users | {int(g.user_id.iloc[0])}
+                agg[key] = (n + 1, users,
+                            rev + Decimal(repr(v)).quantize(Decimal("0.000001")))
+    expect = {
+        k: (n, len(u), float(rev.quantize(Decimal("0.01"))))
+        for k, (n, u, rev) in agg.items()
+    }
+    got = {
+        r["tier"]: (r["n_purchases"], r["n_users"], r["revenue"])
+        for r in entrymod.queries()["scd2_asof_enrich"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_point_in_time_features_no_leakage_bruteforce(spark):
+    """Bucket rollup must equal a per-purchase Python brute force that
+    only looks at STRICTLY earlier events within 7 days (microsecond
+    precision) — the no-leakage guarantee."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["us"] = pd.to_datetime(ev.ts).astype("datetime64[us]").astype("int64")
+    from decimal import Decimal
+
+    buckets = {}
+    for _, g in ev.groupby("user_id"):
+        rows = sorted(
+            zip(g.us, g.event_type, g.value), key=lambda x: x[0]
+        )
+        for i, (us, t, v) in enumerate(rows):
+            if t != "purchase":
+                continue
+            lo = us - 604800000000
+            prior = [r for r in rows if lo <= r[0] <= us - 1]
+            cnt = len(prior)
+            spend = sum(
+                (Decimal(repr(r[2])).quantize(Decimal("0.000001"))
+                 for r in prior if r[1] == "purchase"),
+                Decimal(0),
+            )
+            b = "0" if cnt == 0 else "1-2" if cnt <= 2 else "3-5" if cnt <= 5 else "6+"
+            n, sv, sp = buckets.get(b, (0, Decimal(0), Decimal(0)))
+            buckets[b] = (
+                n + 1,
+                sv + Decimal(repr(v)).quantize(Decimal("0.000001")),
+                sp + spend,
+            )
+    rows = entrymod.queries()["point_in_time_features"](spark, sf).collect()
+    got = {r["activity_bucket"]: (r["n_purchases"], r["mean_value"],
+                                  r["mean_prior_spend"]) for r in rows}
+    assert set(got) == set(buckets)
+    for b, (n, sv, sp) in buckets.items():
+        assert got[b][0] == n
+        assert abs(got[b][1] - float(sv) / n) < 1e-5
+        assert abs(got[b][2] - float(sp) / n) < 1e-5
+
+
+def test_abc_classes_partition_and_shares(spark):
+    """Per brand: classes partition the parts, shares sum to ~1e6 ppm, and
+    the A-class share is >= the B-class share per part (Pareto head)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["abc_pareto_classes"](spark, sf).collect()
+    assert rows
+    brands = {}
+    for r in rows:
+        brands.setdefault(r["p_brand"], {})[r["abc_class"]] = (
+            r["n_parts"], r["revenue_share_ppm"]
+        )
+    for b, cl in brands.items():
+        total_ppm = sum(v[1] for v in cl.values())
+        assert 999900 <= total_ppm <= 1000000, (b, total_ppm)
+        if "A" in cl and "C" in cl:
+            # head parts must out-earn tail parts on average
+            a_n, a_s = cl["A"]
+            c_n, c_s = cl["C"]
+            assert a_s * c_n > c_s * a_n, (b, cl)
