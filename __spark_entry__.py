@@ -13823,6 +13823,147 @@ def abc_pareto_classes(spark, sf_dir):
     )
 
 
+@q(
+    "wasserstein_drift_exact",
+    """
+    WITH a AS (
+      SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS bin, COUNT(*) AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    b AS (
+      SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS bin, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bins AS (
+      SELECT bin, COALESCE(a.n, 0) AS na_bin, COALESCE(b.n, 0) AS nb_bin
+      FROM a FULL OUTER JOIN b USING (bin)),
+    cum AS (
+      SELECT bin,
+             SUM(na_bin) OVER (ORDER BY bin) AS ca,
+             SUM(nb_bin) OVER (ORDER BY bin) AS cb,
+             LEAD(bin) OVER (ORDER BY bin) - bin AS gap,
+             SUM(na_bin) OVER () AS na,
+             SUM(nb_bin) OVER () AS nb
+      FROM bins)
+    SELECT MAX(na) AS n_view, MAX(nb) AS n_purchase,
+           SUM(abs(ca * nb - cb * na) * gap) * 1000 // (MAX(na) * MAX(nb))
+             AS w1_micro
+    FROM cum WHERE gap IS NOT NULL
+    """,
+)
+def wasserstein_drift_exact(spark, sf_dir):
+    """Exact 1-D Wasserstein (earth-mover) distance between the 'view'
+    and 'purchase' value distributions — the drift metric that, unlike
+    TVD (`distribution_drift_tvd`) and KS (`ks_drift_exact`), weights
+    HOW FAR mass moved, not just how much: W₁ = ∫|F_A − F_B| dx over
+    the milli-discretized support. INTEGER-EXACT: the CDF gap at each
+    bin is the cross-multiplied |c_A·n_B − c_B·n_A| (no per-bin float
+    division), times the integer bin gap, normalized once at the end —
+    byte-identical across engines. Completes the repo's drift suite
+    (TVD / KS / W₁ — the three standard axes).
+
+    Scale shape: ONE conditional-sum histogram (a single scan + single
+    shuffle — the `ks_drift_exact` trick), then cumulative windows over
+    the BOUNDED bin axis (value-range × 1000 bins, independent of row count). The
+    global ORDER BY bin windows run on bins, not rows — at 100 TB the
+    histogram is still thousands of entries. Cross-product magnitudes
+    cap at n_A·n_B·range; normalize cums to ppm first if counts ever
+    approach 2³¹."""
+    ev = _t(spark, sf_dir, "events")
+    # ONE conditional-sum histogram (the ks_drift_exact trick) instead of
+    # two filtered aggs + full-outer join: one scan, one shuffle, and the
+    # global bin window is fed by the aggregate itself
+    isv = (F.col("event_type") == "view").cast("long")
+    isp = (F.col("event_type") == "purchase").cast("long")
+    bins = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.floor(F.col("value") * 1000).cast("bigint").alias("bin"))
+        .agg(F.sum(isv).alias("na_bin"), F.sum(isp).alias("nb_bin"))
+    )
+    wc = Window.orderBy("bin")
+    wall = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        F.sum("na_bin").over(wc).alias("ca"),
+        F.sum("nb_bin").over(wc).alias("cb"),
+        (F.lead("bin").over(wc) - F.col("bin")).alias("gap"),
+        F.sum("na_bin").over(wall).alias("na"),
+        F.sum("nb_bin").over(wall).alias("nb"),
+    )
+    return cum.filter(F.col("gap").isNotNull()).agg(
+        F.max("na").alias("n_view"),
+        F.max("nb").alias("n_purchase"),
+        F.expr(
+            "sum(abs(ca * nb - cb * na) * gap) * 1000 div (max(na) * max(nb))"
+        ).alias("w1_micro"),
+    )
+
+
+@q(
+    "rle_sequence_compression",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM seq),
+    runs AS (
+      SELECT user_id, run_id, event_type, COUNT(*) AS run_len
+      FROM numbered GROUP BY 1, 2, 3)
+    SELECT event_type, SUM(run_len) AS n_events, COUNT(*) AS n_runs,
+           MAX(run_len) AS longest_run,
+           SUM(run_len) * 1000 // COUNT(*) AS mean_run_milli
+    FROM runs GROUP BY 1
+    """,
+)
+def rle_sequence_compression(spark, sf_dir):
+    """Run-length encoding audit of user event streams: collapse each
+    user's (ts-ordered) event-type sequence into maximal runs of the
+    same type and report, per type, how compressible behavior is —
+    n_events vs n_runs (the RLE dictionary size), the longest run, and
+    mean run length in milli-units. High compression = bursty/repetitive
+    behavior (bot signal, retry storms); it is also the exact size
+    model for run-length encoded storage of low-cardinality sorted
+    columns.
+
+    Scale shape: one hash shuffle on user_id feeds both the lag() run
+    detector and the running run-id sum in the SAME window spec (one
+    sort, one pass); run lengths come from a partial-agg groupBy on
+    (user, run_id) — run-cardinality rows — and the per-type rollup is
+    a second partial agg. Integer-exact throughout."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        "ts",
+        "event_id",
+    )
+    numbered = seq.select(
+        "user_id", "event_type", F.sum("is_new").over(wrun).alias("run_id")
+    )
+    runs = numbered.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.sum("run_len").alias("n_events"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.expr("sum(run_len) * 1000 div count(1)").alias("mean_run_milli"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -13970,7 +14111,8 @@ _FIRST50: list[str] = [
 # cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
 # markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
 # trending_items_decay, scd2_asof_enrich, clustering_coefficient,
-# point_in_time_features, abc_pareto_classes.
+# point_in_time_features, abc_pareto_classes, wasserstein_drift_exact,
+# rle_sequence_compression.
 
 
 def _ordered_names() -> list[str]:

@@ -374,13 +374,16 @@ def test_registry_wide_no_cartesian_no_python(spark):
 
 def test_registry_wide_single_partition_only_after_partial_agg(spark):
     """Global gate: an `Exchange SinglePartition` is allowed ONLY when its
-    input is a partial/merge aggregate — i.e. the exchange moves one
-    pre-combined row per map task (global sums, scalar subqueries, min/max
-    spines), never row-scale data. This is the structural property that
-    makes a global aggregate safe at 100 TB, and it permanently catches
-    the deterministic_shuffle class (a global row_number window that
-    funneled the whole corpus through one partition before r6's
-    TakeOrdered rewrite). Same job-running skips as the gate above."""
+    input is an AGGREGATE — either a partial/merge agg (one pre-combined
+    row per map task: global sums, scalar subqueries, min/max spines) or
+    a final grouped agg (one row per GROUP: a domain-bounded histogram
+    feeding a global cumulative window, e.g. wasserstein_drift_exact's
+    bin CDF). Either way the exchange moves combined rows, never raw
+    row-scale data. This permanently catches the deterministic_shuffle
+    class (a global row_number window that funneled the whole corpus
+    through one partition before r6's TakeOrdered rewrite) — a raw scan,
+    project, join, or window feeding a SinglePartition exchange still
+    fails. Same job-running skips as the gate above."""
     runs_jobs_at_build = entrymod.RUNS_JOBS_AT_BUILD
     bad = []
     for n in QS:
@@ -391,7 +394,11 @@ def test_registry_wide_single_partition_only_after_partial_agg(spark):
             if "Exchange SinglePartition" not in line:
                 continue
             feeder = lines[i + 1] if i + 1 < len(lines) else ""
-            if not ("partial_" in feeder or "merge_" in feeder):
+            if not (
+                "partial_" in feeder
+                or "merge_" in feeder
+                or "Aggregate(" in feeder
+            ):
                 bad.append((n, line.strip()[:80], feeder.strip()[:80]))
     assert not bad, f"row-scale SinglePartition exchanges: {bad}"
 
