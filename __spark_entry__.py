@@ -13964,6 +13964,183 @@ def rle_sequence_compression(spark, sf_dir):
     )
 
 
+@q(
+    "target_encoding_kfold",
+    """
+    WITH folded AS (
+      SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+             CAST(o_totalprice AS DECIMAL(30,2)) AS y
+      FROM orders),
+    per_fold AS (
+      SELECT cat, fold, COUNT(*) AS n_f,
+             SUM(y) AS s_f
+      FROM folded GROUP BY 1, 2),
+    per_cat AS (
+      SELECT cat, SUM(n_f) AS n_t, SUM(s_f) AS s_t FROM per_fold GROUP BY 1)
+    SELECT f.cat, f.fold, f.n_f AS n_rows,
+           round(CAST(c.s_t - f.s_f AS DOUBLE) / (c.n_t - f.n_f), 6)
+             AS oof_encoding,
+           round(CAST(c.s_t AS DOUBLE) / c.n_t, 6) AS naive_encoding
+    FROM per_fold f JOIN per_cat c USING (cat)
+    """,
+)
+def target_encoding_kfold(spark, sf_dir):
+    """K-fold out-of-fold target encoding — the leakage-safe way to turn
+    a categorical into a numeric feature: a row in fold k gets the
+    target mean of its category computed WITHOUT fold k
+    ((S_cat − S_fold)/(N_cat − N_fold)), so its own label never leaks
+    into its feature. The naive (all-data) encoding is emitted alongside
+    — the gap between them is the leakage a careless pipeline ships.
+    Folds are a deterministic key hash (o_orderkey % 5), categories are
+    order priorities, target is order value.
+
+    Scale shape: ONE row-scale partial-agg groupBy(cat, fold) — 25
+    combined rows — then pure algebra: the per-category totals are a
+    rollup OF THE FOLD AGGREGATE (no second scan), and the leave-one-
+    fold-out encoding is subtraction, not a re-aggregation per fold
+    (the naive implementation scans the data k times). Decimal sums →
+    exact doubles → deterministic division."""
+    orders = _t(spark, sf_dir, "orders")
+    folded = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.col("o_totalprice").cast("decimal(30,2)").alias("y"),
+    )
+    per_fold = folded.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("y").alias("s_f")
+    )
+    per_cat = per_fold.groupBy("cat").agg(
+        F.sum("n_f").alias("n_t"), F.sum("s_f").alias("s_t")
+    )
+    return per_fold.join(per_cat, "cat").select(
+        "cat",
+        "fold",
+        F.col("n_f").alias("n_rows"),
+        F.round(
+            (F.col("s_t") - F.col("s_f")).cast("double")
+            / (F.col("n_t") - F.col("n_f")),
+            6,
+        ).alias("oof_encoding"),
+        F.round(F.col("s_t").cast("double") / F.col("n_t"), 6).alias(
+            "naive_encoding"
+        ),
+    )
+
+
+@q(
+    "largest_remainder_allocation",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS w
+      FROM lineitem),
+    o AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders),
+    j AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.w, o.total_c,
+             SUM(li.w) OVER (PARTITION BY li.l_orderkey) AS w_tot
+      FROM li JOIN o ON li.l_orderkey = o.o_orderkey),
+    base AS (
+      SELECT l_orderkey, l_linenumber, total_c,
+             total_c * w // w_tot AS base_c,
+             total_c * w % w_tot AS rem
+      FROM j),
+    shortfall AS (
+      SELECT l_orderkey,
+             MAX(total_c) - SUM(base_c) AS r,
+             COUNT(*) AS n_lines
+      FROM base GROUP BY 1),
+    ranked AS (
+      SELECT b.l_orderkey, b.base_c, s.r,
+             row_number() OVER (
+               PARTITION BY b.l_orderkey
+               ORDER BY b.rem DESC, b.l_linenumber) AS rk
+      FROM base b JOIN shortfall s USING (l_orderkey)),
+    alloc AS (
+      SELECT l_orderkey,
+             SUM(base_c + CASE WHEN rk <= r THEN 1 ELSE 0 END) AS alloc_c
+      FROM ranked GROUP BY 1)
+    SELECT COUNT(*) AS n_orders,
+           SUM(CASE WHEN a.alloc_c = o.total_c THEN 1 ELSE 0 END)
+             AS n_orders_exact,
+           SUM(a.alloc_c) AS sum_alloc_c,
+           SUM(o.total_c) AS sum_total_c,
+           (SUM(CASE WHEN a.alloc_c = o.total_c THEN 1 ELSE 0 END) = COUNT(*))
+             AS all_exact
+    FROM alloc a JOIN o ON a.l_orderkey = o.o_orderkey
+    """,
+)
+def largest_remainder_allocation(spark, sf_dir):
+    """Largest-remainder (Hamilton) allocation — the billing/finance
+    primitive for splitting an order total across its line items
+    proportionally WITHOUT losing a cent: integer base shares
+    total·wᵢ div W, then the leftover cents go to the largest
+    fractional remainders (ties to the lowest line number). Float
+    pro-rata never reconciles; this is the method that makes per-order
+    sums EXACTLY equal the invoiced total, and the query proves it
+    in-line (n_orders_exact == n_orders, sums equal).
+
+    Scale shape: one fact⋈order equi-join (AQE-broadcast where orders
+    fit); per-order windows (weight total, remainder rank) are bounded
+    by ≤7 lines/order; the verification rollup is a partial agg to one
+    row. Everything is bigint — div/mod/cross-compare — deterministic
+    in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("w"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+    )
+    ww = Window.partitionBy("l_orderkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        "total_c",
+        F.sum("w").over(ww).alias("w_tot"),
+    )
+    base = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_c",
+        F.expr("total_c * w div w_tot").alias("base_c"),
+        F.expr("total_c * w % w_tot").alias("rem"),
+    )
+    shortfall = base.groupBy("l_orderkey").agg(
+        (F.max("total_c") - F.sum("base_c")).alias("r")
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), "l_linenumber"
+    )
+    ranked = (
+        base.join(shortfall, "l_orderkey")
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    alloc = ranked.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("base_c") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+        ).alias("alloc_c")
+    )
+    return alloc.join(o, alloc.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("alloc_c") == F.col("total_c"), 1).otherwise(0)).alias(
+            "n_orders_exact"
+        ),
+        F.sum("alloc_c").alias("sum_alloc_c"),
+        F.sum("total_c").alias("sum_total_c"),
+    ).select(
+        "n_orders",
+        "n_orders_exact",
+        "sum_alloc_c",
+        "sum_total_c",
+        (F.col("n_orders_exact") == F.col("n_orders")).alias("all_exact"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -14112,7 +14289,8 @@ _FIRST50: list[str] = [
 # markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
 # trending_items_decay, scd2_asof_enrich, clustering_coefficient,
 # point_in_time_features, abc_pareto_classes, wasserstein_drift_exact,
-# rle_sequence_compression.
+# rle_sequence_compression, target_encoding_kfold,
+# largest_remainder_allocation.
 
 
 def _ordered_names() -> list[str]:
