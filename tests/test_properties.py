@@ -1405,3 +1405,191 @@ def test_abc_classes_partition_and_shares(spark):
             a_n, a_s = cl["A"]
             c_n, c_s = cl["C"]
             assert a_s * c_n > c_s * a_n, (b, cl)
+
+
+def test_wasserstein_matches_python_integral(spark):
+    """W1 must equal an independently-coded Python CDF integral over the
+    same milli-discretized histograms."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    a = sorted(math.floor(v * 1000) for v in ev[ev.event_type == "view"].value)
+    b = sorted(math.floor(v * 1000) for v in ev[ev.event_type == "purchase"].value)
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    ca = cb = ia = ib = 0
+    acc = 0
+    for x, nxt in zip(support, support[1:]):
+        while ia < na and a[ia] == x:
+            ia += 1
+        while ib < nb and b[ib] == x:
+            ib += 1
+        ca, cb = ia, ib
+        acc += abs(ca * nb - cb * na) * (nxt - x)
+    expect = acc * 1000 // (na * nb)
+    row = entrymod.queries()["wasserstein_drift_exact"](spark, sf).collect()[0]
+    assert (row["n_view"], row["n_purchase"], row["w1_micro"]) == (na, nb, expect)
+
+
+def test_rle_matches_python_bruteforce(spark):
+    """Run statistics must equal a direct Python RLE over each user's
+    ordered stream."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    stats = {}
+    for _, g in ev.groupby("user_id"):
+        prev, run = None, 0
+        for t in g.event_type:
+            if t == prev:
+                run += 1
+            else:
+                if prev is not None:
+                    n, r, mx = stats.get(prev, (0, 0, 0))
+                    stats[prev] = (n + run, r + 1, max(mx, run))
+                prev, run = t, 1
+        if prev is not None:
+            n, r, mx = stats.get(prev, (0, 0, 0))
+            stats[prev] = (n + run, r + 1, max(mx, run))
+    expect = {
+        t: (n, r, mx, n * 1000 // r) for t, (n, r, mx) in stats.items()
+    }
+    got = {
+        r["event_type"]: (r["n_events"], r["n_runs"], r["longest_run"],
+                          r["mean_run_milli"])
+        for r in entrymod.queries()["rle_sequence_compression"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_target_encoding_is_leakage_free(spark):
+    """For every (cat, fold): the OOF encoding must equal the mean of the
+    OTHER folds' targets exactly, and differ from the naive encoding
+    whenever the fold's mean differs from the category mean."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    o["fold"] = o.o_orderkey % 5
+    sums = {}
+    for r in o.itertuples():
+        key = (r.o_orderpriority, int(r.fold))
+        n, s = sums.get(key, (0, Decimal(0)))
+        sums[key] = (n + 1, s + Decimal(repr(r.o_totalprice)).quantize(Decimal("0.01")))
+    cats = {}
+    for (c, f), (n, s) in sums.items():
+        cn, cs = cats.get(c, (0, Decimal(0)))
+        cats[c] = (cn + n, cs + s)
+    rows = entrymod.queries()["target_encoding_kfold"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        n_f, s_f = sums[(r["cat"], r["fold"])]
+        n_t, s_t = cats[r["cat"]]
+        assert r["n_rows"] == n_f
+        oof = float(s_t - s_f) / (n_t - n_f)
+        assert abs(r["oof_encoding"] - oof) < 1e-4
+        assert abs(r["naive_encoding"] - float(s_t) / n_t) < 1e-4
+
+
+def test_largest_remainder_properties(spark):
+    """The in-query proof must hold (every order reconciles) and a Python
+    recheck on a sample of orders must show each allocation within one
+    cent of exact float pro-rata."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    row = entrymod.queries()["largest_remainder_allocation"](spark, sf).collect()[0]
+    assert row["all_exact"] and row["n_orders"] == row["n_orders_exact"]
+    assert row["sum_alloc_c"] == row["sum_total_c"]
+    # python recheck of the rounding-fairness property on 50 orders
+    o = pd.read_parquet(f"{sf}/orders.parquet").head(50)
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    for r in o.itertuples():
+        lines = li[li.l_orderkey == r.o_orderkey]
+        if lines.empty:
+            continue
+        total_c = int(round(r.o_totalprice * 100))
+        ws = [int(round(q * 100)) for q in lines.l_quantity]
+        W = sum(ws)
+        base = [total_c * w // W for w in ws]
+        shortfall = total_c - sum(base)
+        assert 0 <= shortfall < len(ws)
+        rema = sorted(
+            range(len(ws)),
+            key=lambda i: (-(total_c * ws[i] % W), list(lines.l_linenumber)[i]),
+        )
+        alloc = base[:]
+        for i in rema[:shortfall]:
+            alloc[i] += 1
+        assert sum(alloc) == total_c
+        for i, a in enumerate(alloc):
+            assert abs(a - total_c * ws[i] / W) < 1.0
+
+
+def test_cohort_overlap_matches_python_sets(spark):
+    """Jaccard matrix must equal Python set arithmetic over the same
+    cohorts."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    cohorts = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+    types = sorted(cohorts)
+    expect = set()
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(cohorts[a] & cohorts[b])
+            if inter == 0:
+                continue
+            union = len(cohorts[a] | cohorts[b])
+            expect.add((a, b, len(cohorts[a]), len(cohorts[b]), inter,
+                        inter * 1000000 // union))
+    got = {
+        (r["type_a"], r["type_b"], r["n_a"], r["n_b"], r["n_both"],
+         r["jaccard_ppm"])
+        for r in entrymod.queries()["cohort_overlap_jaccard"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_daily_bands_match_python_rank(spark):
+    """p10/p50/p90 must equal the ceil(q*n)-th smallest milli value per
+    day, recomputed by direct sorting."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    expect = {}
+    for d, g in ev.groupby("day"):
+        ms = sorted(math.floor(v * 1000) for v in g.value)
+        n = len(ms)
+        pick = lambda q: ms[max(0, math.ceil(q * n) - 1)]
+        expect[str(d)] = (n, pick(0.1), pick(0.5), pick(0.9))
+    got = {
+        r["day"]: (r["n_rows"], r["p10_milli"], r["p50_milli"], r["p90_milli"])
+        for r in entrymod.queries()["daily_percentile_bands"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
