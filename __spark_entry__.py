@@ -14271,6 +14271,172 @@ def daily_percentile_bands(spark, sf_dir):
     )
 
 
+@q(
+    "attribution_time_decay",
+    """
+    WITH ev2 AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS src
+      FROM events),
+    carried AS (
+      SELECT user_id, event_type, us, src,
+             last_value(CASE WHEN src = 1 THEN us END IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY us DESC, src DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_pur_us
+      FROM ev2),
+    touches AS (
+      SELECT event_type,
+             CASE WHEN next_pur_us IS NOT NULL
+                       AND next_pur_us - us <= 604800000000
+                  THEN 1000000 // (1 << ((next_pur_us - us) // 86400000000))
+                  ELSE 0 END AS credit_micro
+      FROM carried WHERE src = 0),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_touches,
+             SUM(CASE WHEN credit_micro > 0 THEN 1 ELSE 0 END) AS n_credited,
+             SUM(credit_micro) AS total_credit_micro
+      FROM touches GROUP BY 1),
+    tot AS (SELECT SUM(total_credit_micro) AS all_credit FROM agg)
+    SELECT event_type, n_touches, n_credited, total_credit_micro,
+           total_credit_micro * 1000000 // all_credit AS credit_share_ppm
+    FROM agg CROSS JOIN tot
+    """,
+)
+def attribution_time_decay(spark, sf_dir):
+    """Time-decay marketing attribution — each non-purchase touch earns
+    credit 2^(−days-until-next-purchase) when a purchase follows within
+    7 days, so the touch an hour before conversion outweighs the one a
+    week earlier (the standard alternative to `attribution_first_last`'s
+    position rules). EXACT integer decay: 1e6 div (1 << days) — the
+    same power-of-two discipline as `trending_items_decay`; no pow().
+
+    Scale shape: next-purchase linkage is the REVERSED union-window
+    carry (one hash shuffle on user_id, one DESC-ordered pass with
+    last_value IGNORE NULLS ending 1 row before current) — no
+    touch×purchase self-join, no per-touch subquery; ties at the same
+    microsecond resolve purchase-after-touch in both engines via the
+    (us, src, event_id) composite order. Readout: per-type credit and
+    ppm share, with the grand total as a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("src"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), F.col("src").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = base.select(
+        "event_type",
+        "src",
+        "us",
+        F.last(F.when(F.col("src") == 1, F.col("us")), ignorenulls=True)
+        .over(w)
+        .alias("next_pur_us"),
+    )
+    credit = F.when(
+        F.col("next_pur_us").isNotNull()
+        & (F.col("next_pur_us") - F.col("us") <= 604800000000),
+        F.expr(
+            "1000000 div shiftleft(1L,"
+            " cast((next_pur_us - us) div 86400000000 as int))"
+        ),
+    ).otherwise(F.lit(0))
+    touches = carried.filter(F.col("src") == 0).select(
+        "event_type", credit.alias("credit_micro")
+    )
+    agg = touches.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.when(F.col("credit_micro") > 0, 1).otherwise(0)).alias(
+            "n_credited"
+        ),
+        F.sum("credit_micro").alias("total_credit_micro"),
+    )
+    tot = agg.agg(F.sum("total_credit_micro").alias("all_credit"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_touches",
+        "n_credited",
+        "total_credit_micro",
+        F.expr("total_credit_micro * 1000000 div all_credit").alias(
+            "credit_share_ppm"
+        ),
+    )
+
+
+@q(
+    "phonetic_blocking_audit",
+    """
+    WITH blocked AS (
+      SELECT regexp_replace(lower(p_name), '[aeiou ]', '', 'g') AS skeleton,
+             p_partkey
+      FROM part),
+    blocks AS (
+      SELECT skeleton, COUNT(*) AS n_items,
+             COUNT(*) * (COUNT(*) - 1) // 2 AS pairs_in_block
+      FROM blocked GROUP BY 1),
+    tot AS (
+      SELECT SUM(n_items) AS n_total,
+             SUM(n_items) * (SUM(n_items) - 1) // 2 AS pairs_all,
+             SUM(pairs_in_block) AS pairs_blocked
+      FROM blocks)
+    SELECT b.skeleton, b.n_items, b.pairs_in_block,
+           t.pairs_all,
+           (t.pairs_all - t.pairs_blocked) * 1000000 // t.pairs_all
+             AS reduction_ppm
+    FROM blocks b CROSS JOIN tot t
+    """,
+)
+def phonetic_blocking_audit(spark, sf_dir):
+    """Entity-resolution BLOCKING audit — the step before
+    `levenshtein_neighbors`'s candidate verification: block part names
+    by consonant skeleton (vowels and spaces stripped — a
+    Soundex-lite phonetic key that survives typos like 'widgit') and
+    measure the REDUCTION RATIO, the fraction of the all-pairs
+    comparison space the blocking eliminates (1 − Σ C(b,2) / C(N,2),
+    in ppm). This one number decides whether an ER pipeline is feasible:
+    at 100 TB, all-pairs is 10²³ comparisons and blocking is the only
+    reason record linkage terminates.
+
+    Scale shape: the blocking key is a pure map (regex on the
+    dimension scan); block sizes are one partial-agg groupBy; the
+    candidate-space arithmetic is exact bigint C(n,2) algebra on the
+    1-row rollup, broadcast back onto the block rows. No pair is ever
+    materialized — the audit costs O(|parts|), not O(pairs)."""
+    part = _t(spark, sf_dir, "part")
+    blocked = part.select(
+        F.regexp_replace(F.lower(F.col("p_name")), "[aeiou ]", "").alias(
+            "skeleton"
+        )
+    )
+    blocks = blocked.groupBy("skeleton").agg(F.count(F.lit(1)).alias("n_items"))
+    blocks = blocks.select(
+        "skeleton",
+        "n_items",
+        F.expr("n_items * (n_items - 1) div 2").alias("pairs_in_block"),
+    )
+    tot = blocks.agg(
+        F.sum("n_items").alias("n_total"),
+        F.expr("sum(n_items) * (sum(n_items) - 1) div 2").alias("pairs_all"),
+        F.sum("pairs_in_block").alias("pairs_blocked"),
+    )
+    return blocks.crossJoin(F.broadcast(tot)).select(
+        "skeleton",
+        "n_items",
+        "pairs_in_block",
+        "pairs_all",
+        F.expr(
+            "(pairs_all - pairs_blocked) * 1000000 div pairs_all"
+        ).alias("reduction_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -14421,7 +14587,7 @@ _FIRST50: list[str] = [
 # point_in_time_features, abc_pareto_classes, wasserstein_drift_exact,
 # rle_sequence_compression, target_encoding_kfold,
 # largest_remainder_allocation, cohort_overlap_jaccard,
-# daily_percentile_bands.
+# daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit.
 
 
 def _ordered_names() -> list[str]:
