@@ -14437,6 +14437,153 @@ def phonetic_blocking_audit(spark, sf_dir):
     )
 
 
+@q(
+    "interarrival_cv_audit",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) OVER (
+                   PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS gap_ms
+      FROM events),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(gap_ms AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(gap_ms AS DECIMAL(38,0)) * gap_ms) AS s2
+      FROM g WHERE gap_ms IS NOT NULL GROUP BY 1)
+    SELECT event_type, n,
+           CAST(s1 AS BIGINT) * 1000 // n AS mean_gap_us,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                        * CAST(s1 AS DOUBLE) / n) / (n - 1))
+                 / (CAST(s1 AS DOUBLE) / n), 6) AS cv
+    FROM s
+    """,
+)
+def interarrival_cv_audit(spark, sf_dir):
+    """Inter-arrival coefficient-of-variation audit — is each event type
+    a Poisson process? For exponential inter-arrivals CV = σ/μ ≈ 1;
+    CV ≫ 1 means bursting (retry storms, batch jobs masquerading as
+    organic traffic), CV ≪ 1 means scheduling. Gaps are per-(type, day)
+    ordered differences in integer milliseconds (day-partitioned so the
+    ordered pass parallelizes over type×day slices; midnight-straddling
+    gaps are intentionally dropped — at 100 TB that is how you shard an
+    ordered scan and the boundary loss is ~1/86400). Moments are exact
+    DECIMAL(38) sums (gap² exceeds bigint range, the decimal keeps the
+    sum exact); sqrt is IEEE; CV rounds to 6dp.
+
+    Scale shape: one hash shuffle on (type, day) feeds the lag window;
+    the moment rollup is a partial agg re-keyed to type; output is
+    |types| rows. Same exact-moment discipline as `variance_stats` /
+    `higher_moment_stats`."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    ms = F.expr("unix_micros(ts) div 1000")
+    g = ev.select(
+        "event_type",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap_ms").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("gap_ms").cast("decimal(38,0)") * F.col("gap_ms")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return s.select(
+        "event_type",
+        "n",
+        F.expr("cast(s1 as bigint) * 1000 div n").alias("mean_gap_us"),
+        F.round(F.sqrt(var) / mean, 6).alias("cv"),
+    )
+
+
+@q(
+    "temperature_sampling_mix",
+    """
+    WITH src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1),
+    wts AS (
+      SELECT source, n_docs, n_chars,
+             CAST(FLOOR(sqrt(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+               AS wi
+      FROM src),
+    tot AS (SELECT SUM(wi) AS w_all FROM wts),
+    base AS (
+      SELECT source, n_docs, n_chars, wi, w_all,
+             wi * 1000000 // w_all AS base_alloc,
+             wi * 1000000 % w_all AS rem
+      FROM wts CROSS JOIN tot),
+    short AS (SELECT CAST(1000000 - SUM(base_alloc) AS BIGINT) AS r FROM base),
+    ranked AS (
+      SELECT b.*, s.r,
+             row_number() OVER (ORDER BY b.rem DESC, b.source) AS rk
+      FROM base b CROSS JOIN short s)
+    SELECT source, n_docs, n_chars,
+           base_alloc + CASE WHEN rk <= r THEN 1 ELSE 0 END AS alloc_tokens,
+           base_alloc AS raw_share_ppm
+    FROM ranked
+    """,
+)
+def temperature_sampling_mix(spark, sf_dir):
+    """Temperature-scaled corpus mixing (the multilingual/multi-source
+    LLM training-mix rule, T=2 ⇒ weights ∝ size^0.5): small sources get
+    up-weighted relative to their share so the model still sees them,
+    and a 1M-token budget is split by the Hamilton largest-remainder
+    method (`largest_remainder_allocation`) so allocations are integers
+    that sum EXACTLY to the budget. Weights are floor(√n_chars·1e6)
+    micro-INTEGERS — the normalizing sum is then order-insensitive
+    bigint arithmetic (a raw float Σ√n would hash-differ across
+    partitionings), and div/mod keep the remainder ranking exact.
+
+    Scale shape: one partial-agg rollup to |sources| rows; everything
+    after (normalize, allocate, rank remainders) is dimension-scale.
+    The global remainder window runs over |sources| rows fed by the
+    aggregate — bounded by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    wts = src.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.floor(F.sqrt(F.col("n_chars").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("wi"),
+    )
+    tot = wts.agg(F.sum("wi").alias("w_all"))
+    base = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr("wi * 1000000 div w_all").alias("base_alloc"),
+        F.expr("wi * 1000000 % w_all").alias("rem"),
+    )
+    short = base.agg((F.lit(1000000) - F.sum("base_alloc")).cast("bigint").alias("r"))
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    ranked = base.crossJoin(F.broadcast(short)).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+        ).alias("alloc_tokens"),
+        F.col("base_alloc").alias("raw_share_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -14587,7 +14734,8 @@ _FIRST50: list[str] = [
 # point_in_time_features, abc_pareto_classes, wasserstein_drift_exact,
 # rle_sequence_compression, target_encoding_kfold,
 # largest_remainder_allocation, cohort_overlap_jaccard,
-# daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit.
+# daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
+# interarrival_cv_audit, temperature_sampling_mix.
 
 
 def _ordered_names() -> list[str]:

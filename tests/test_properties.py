@@ -1593,3 +1593,76 @@ def test_daily_bands_match_python_rank(spark):
         for r in entrymod.queries()["daily_percentile_bands"](spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_attribution_time_decay_matches_python(spark):
+    """Per-type credit must equal a Python per-user scan that links each
+    touch to its next purchase (purchase-after-touch at equal
+    microseconds) and applies the same integer 2^-days credit."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["us"] = pd.to_datetime(ev.ts).astype("datetime64[us]").astype("int64")
+    agg = {}
+    for _, g in ev.groupby("user_id"):
+        rows = sorted(
+            (int(r.us), 1 if r.event_type == "purchase" else 0,
+             int(r.event_id), r.event_type)
+            for r in g.itertuples()
+        )
+        nxt = None
+        out = []
+        for us, src, eid, t in reversed(rows):
+            if src == 1:
+                nxt = us
+            else:
+                out.append((t, nxt, us))
+        for t, nxt_us, us in out:
+            credit = 0
+            if nxt_us is not None and nxt_us - us <= 604800000000:
+                credit = 1000000 // (1 << ((nxt_us - us) // 86400000000))
+            n, c, s = agg.get(t, (0, 0, 0))
+            agg[t] = (n + 1, c + (1 if credit > 0 else 0), s + credit)
+    all_credit = sum(v[2] for v in agg.values())
+    expect = {
+        t: (n, c, s, s * 1000000 // all_credit) for t, (n, c, s) in agg.items()
+    }
+    got = {
+        r["event_type"]: (r["n_touches"], r["n_credited"],
+                          r["total_credit_micro"], r["credit_share_ppm"])
+        for r in entrymod.queries()["attribution_time_decay"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_phonetic_blocking_matches_python(spark):
+    """Block sizes and the reduction ratio must equal the Python regex
+    recomputation."""
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    blocks = {}
+    for name in part.p_name:
+        sk = re.sub(r"[aeiou ]", "", name.lower())
+        blocks[sk] = blocks.get(sk, 0) + 1
+    n_total = sum(blocks.values())
+    pairs_all = n_total * (n_total - 1) // 2
+    pairs_blocked = sum(b * (b - 1) // 2 for b in blocks.values())
+    red = (pairs_all - pairs_blocked) * 1000000 // pairs_all
+    expect = {
+        (sk, b, b * (b - 1) // 2, pairs_all, red) for sk, b in blocks.items()
+    }
+    got = {
+        (r["skeleton"], r["n_items"], r["pairs_in_block"], r["pairs_all"],
+         r["reduction_ppm"])
+        for r in entrymod.queries()["phonetic_blocking_audit"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0

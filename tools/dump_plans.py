@@ -103,6 +103,21 @@ HEADLINE = [
     "kmv_distinct_sketch",
     "ivm_join_delta",
     "rrf_rank_fusion",
+    # round 6, batches 26-35
+    "cuped_variance_reduction",
+    "mutual_nn_pairs",
+    "markov_absorption_iter",
+    "split_conformal_coverage",
+    "trending_items_decay",
+    "scd2_asof_enrich",
+    "point_in_time_features",
+    "abc_pareto_classes",
+    "wasserstein_drift_exact",
+    "target_encoding_kfold",
+    "largest_remainder_allocation",
+    "cohort_overlap_jaccard",
+    "attribution_time_decay",
+    "phonetic_blocking_audit",
 ]
 
 
