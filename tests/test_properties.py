@@ -1666,3 +1666,65 @@ def test_phonetic_blocking_matches_python(spark):
         for r in entrymod.queries()["phonetic_blocking_audit"](spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_interarrival_cv_matches_python(spark):
+    """Gap moments must equal a Python per-(type, day) recomputation with
+    the same integer-ms gaps and boundary-drop rule."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["us"] = pd.to_datetime(ev.ts).astype("datetime64[us]").astype("int64")
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    stats = {}
+    for (t, _), g in ev.groupby(["event_type", "day"]):
+        ks = sorted(zip(g.us, g.event_id))
+        ms = [u // 1000 for u, _ in ks]
+        for a, b in zip(ms, ms[1:]):
+            n, s1, s2 = stats.get(t, (0, 0, 0))
+            gap = b - a
+            stats[t] = (n + 1, s1 + gap, s2 + gap * gap)
+    rows = entrymod.queries()["interarrival_cv_audit"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        n, s1, s2 = stats[r["event_type"]]
+        assert r["n"] == n
+        assert r["mean_gap_us"] == s1 * 1000 // n
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        assert abs(r["cv"] - math.sqrt(var) / mean) < 1e-5
+
+
+def test_temperature_mix_allocates_exact_budget(spark):
+    """Allocations must equal the Python micro-integer Hamilton split and
+    sum exactly to the 1M budget; smaller sources must get a boosted
+    share (alloc/chars ratio decreasing in size)."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    agg = docs.groupby("source").agg(n_docs=("doc_id", "count"),
+                                     n_chars=("n_chars", "sum"))
+    wi = {s: math.floor(math.sqrt(float(r.n_chars)) * 1000000)
+          for s, r in agg.iterrows()}
+    w_all = sum(wi.values())
+    base = {s: w * 1000000 // w_all for s, w in wi.items()}
+    rem = {s: w * 1000000 % w_all for s, w in wi.items()}
+    r_short = 1000000 - sum(base.values())
+    order = sorted(wi, key=lambda s: (-rem[s], s))
+    alloc = dict(base)
+    for s in order[:r_short]:
+        alloc[s] += 1
+    rows = entrymod.queries()["temperature_sampling_mix"](spark, sf).collect()
+    got = {r["source"]: (r["alloc_tokens"], r["raw_share_ppm"]) for r in rows}
+    assert got == {s: (alloc[s], base[s]) for s in wi}
+    assert sum(a for a, _ in got.values()) == 1000000
