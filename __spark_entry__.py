@@ -14584,6 +14584,177 @@ def temperature_sampling_mix(spark, sf_dir):
     )
 
 
+@q(
+    "horvitz_thompson_estimate",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli,
+             substr(md5('ht:' || CAST(event_id AS VARCHAR)), 1, 8) AS u,
+             CASE event_type WHEN 'purchase' THEN '80000000'
+                  WHEN 'view' THEN '10000000' WHEN 'click' THEN '10000000'
+                  ELSE '04000000' END AS thr,
+             CASE event_type WHEN 'purchase' THEN 500000
+                  WHEN 'view' THEN 62500 WHEN 'click' THEN 62500
+                  ELSE 15625 END AS rate_ppm
+      FROM events)
+    SELECT event_type, MAX(rate_ppm) AS rate_ppm,
+           SUM(CASE WHEN u < thr THEN 1 ELSE 0 END) AS n_sampled,
+           COUNT(*) AS n_rows,
+           SUM(v_milli) AS exact_sum_milli,
+           SUM(CASE WHEN u < thr
+                    THEN v_milli * 1000000 // rate_ppm ELSE 0 END)
+             AS ht_est_milli,
+           abs(SUM(CASE WHEN u < thr
+                        THEN v_milli * 1000000 // rate_ppm ELSE 0 END)
+               - SUM(v_milli)) * 1000000 // SUM(v_milli) AS err_ppm
+    FROM base GROUP BY event_type
+    """,
+)
+def horvitz_thompson_estimate(spark, sf_dir):
+    """Horvitz–Thompson estimation from an unequal-probability sample —
+    the survey-statistics identity that makes biased sampling unbiased:
+    each sampled row is weighted by 1/π (its inclusion probability), so
+    the weighted sum estimates the population total even though
+    purchases are kept at 50% and tail types at 1.5625%. The audit runs
+    estimator and truth side-by-side and reports the error in ppm.
+    EVERYTHING is integer: inclusion is an md5-hex threshold whose
+    rates are exact binary fractions (0x80000000/2³² = exactly 0.5,
+    0x10000000 → 1/16, 0x04000000 → 1/64), so π in ppm is exact and the
+    HT weight is bigint `v·1e6 div rate_ppm` — no float weights, no
+    order-dependent sums.
+
+    Scale shape: ONE partial-agg pass computes sample, estimate, and
+    truth together (conditional aggregates — no second scan, no join);
+    output is |types| rows. The same md5-threshold determinism as
+    `stratified_sample_hash`, upgraded with the estimation theory that
+    makes the sample USABLE for totals."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.substring(F.md5(F.concat(F.lit("ht:"), F.col("event_id").cast("string"))), 1, 8)
+    thr = (
+        F.when(F.col("event_type") == "purchase", "80000000")
+        .when(F.col("event_type").isin("view", "click"), "10000000")
+        .otherwise("04000000")
+    )
+    rate = (
+        F.when(F.col("event_type") == "purchase", 500000)
+        .when(F.col("event_type").isin("view", "click"), 62500)
+        .otherwise(15625)
+    )
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+        u.alias("u"),
+        thr.alias("thr"),
+        rate.alias("rate_ppm"),
+    )
+    inc = F.col("u") < F.col("thr")
+    ht = F.sum(
+        F.when(inc, F.expr("v_milli * 1000000 div rate_ppm")).otherwise(F.lit(0))
+    )
+    return base.groupBy("event_type").agg(
+        F.max("rate_ppm").alias("rate_ppm"),
+        F.sum(F.when(inc, 1).otherwise(0)).alias("n_sampled"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v_milli").alias("exact_sum_milli"),
+        ht.alias("ht_est_milli"),
+        F.expr(
+            "abs(sum(case when u < thr then v_milli * 1000000 div rate_ppm"
+            " else 0 end) - sum(v_milli)) * 1000000 div sum(v_milli)"
+        ).alias("err_ppm"),
+    )
+
+
+@q(
+    "implicit_negative_sampling",
+    """
+    WITH inter AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    pop AS (
+      SELECT i, COUNT(*) AS n_users,
+             row_number() OVER (ORDER BY COUNT(*) DESC, i) AS pop_rank
+      FROM inter GROUP BY i
+      QUALIFY pop_rank <= 50),
+    cand AS (
+      SELECT u.u, p.i, p.pop_rank
+      FROM (SELECT DISTINCT u FROM inter) u CROSS JOIN pop p),
+    neg AS (
+      SELECT c.u, c.i, c.pop_rank
+      FROM cand c LEFT JOIN inter t ON c.u = t.u AND c.i = t.i
+      WHERE t.u IS NULL
+        AND substr(md5('neg:' || CAST(c.u AS VARCHAR) || ':'
+                       || CAST(c.i AS VARCHAR)), 1, 8) < '20000000')
+    SELECT CASE WHEN pop_rank <= 10 THEN 'top10'
+                WHEN pop_rank <= 25 THEN '11-25' ELSE '26-50' END AS pop_bucket,
+           COUNT(*) AS n_negatives,
+           COUNT(DISTINCT u) AS n_users,
+           COUNT(*) * 1000 // COUNT(DISTINCT u) AS neg_per_user_milli
+    FROM neg GROUP BY 1
+    """,
+)
+def implicit_negative_sampling(spark, sf_dir):
+    """Negative sampling for implicit-feedback recommenders — the
+    training-data op that turns 'purchases only' into (user, item,
+    label) pairs: candidate negatives are the TOP-50 popular items a
+    user did NOT buy (popularity-biased negatives are the standard
+    hard-negative scheme — random items are too easy), thinned to ~1/8
+    by a deterministic md5 threshold so the same negatives regenerate
+    on every run, engine, and cluster size. Readout: negatives per
+    popularity bucket.
+
+    Scale shape: interactions dedup is the row-scale pass; the
+    popularity top-50 is a partial-agg + TakeOrdered; candidates are
+    |users|×50 (bounded per user, broadcast the 50-item list — never
+    users×catalog); the not-bought check is a LEFT ANTI join keyed on
+    (user, item), and the hash thin-out is a pure map. Mirrors
+    `hard_negative_mining` (embedding-space negatives) with the
+    collaborative-filtering variant."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inter = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    pop = (
+        inter.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "i")
+        .limit(50)
+    )
+    wpop = Window.orderBy(F.col("n_users").desc(), "i")
+    pop = pop.withColumn("pop_rank", F.row_number().over(wpop))
+    users = inter.select("u").distinct()
+    cand = users.crossJoin(F.broadcast(pop.select("i", "pop_rank")))
+    neg = cand.join(inter, ["u", "i"], "left_anti").filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        < "20000000"
+    )
+    bucket = (
+        F.when(F.col("pop_rank") <= 10, "top10")
+        .when(F.col("pop_rank") <= 25, "11-25")
+        .otherwise("26-50")
+    )
+    return neg.groupBy(bucket.alias("pop_bucket")).agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.count_distinct("u").alias("n_users"),
+        F.expr("count(1) * 1000 div count(distinct u)").alias(
+            "neg_per_user_milli"
+        ),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -14735,7 +14906,8 @@ _FIRST50: list[str] = [
 # rle_sequence_compression, target_encoding_kfold,
 # largest_remainder_allocation, cohort_overlap_jaccard,
 # daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
-# interarrival_cv_audit, temperature_sampling_mix.
+# interarrival_cv_audit, temperature_sampling_mix,
+# horvitz_thompson_estimate, implicit_negative_sampling.
 
 
 def _ordered_names() -> list[str]:
