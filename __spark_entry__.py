@@ -14755,6 +14755,135 @@ def implicit_negative_sampling(spark, sf_dir):
     )
 
 
+@q(
+    "cohens_kappa_labelers",
+    """
+    WITH l AS (
+      SELECT CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                       * 1000
+                       // len(string_split_regex(trim(text), '\\s+')) >= 400
+                  THEN 1 ELSE 0 END AS b
+      FROM documents),
+    c AS (
+      SELECT COUNT(*) AS n,
+             SUM(a) AS a_pos, SUM(b) AS b_pos,
+             SUM(a * b) AS both_pos,
+             SUM((1 - a) * (1 - b)) AS both_neg
+      FROM l)
+    SELECT n, a_pos, b_pos, both_pos, both_neg,
+           (both_pos + both_neg) * 1000000 // n AS agreement_ppm,
+           CAST(FLOOR((n * (both_pos + both_neg)
+             - (a_pos * b_pos + (n - a_pos) * (n - b_pos))) * 1000000
+             / CAST(n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos))
+                    AS DOUBLE)) AS BIGINT) AS kappa_ppm
+    FROM c
+    """,
+)
+def cohens_kappa_labelers(spark, sf_dir):
+    """Cohen's kappa between two automated document labelers — the
+    inter-annotator-agreement statistic every labeling pipeline should
+    publish before trusting its quality gates. Labeler A: length rule
+    (n_chars ≥ 280); labeler B: lexical-diversity rule (distinct
+    tokens / tokens ≥ 0.40). κ corrects raw agreement for chance:
+    κ = (n·(agree) − Σ marginal products) / (n² − Σ marginal
+    products) — computed as INTEGER cross-multiplication (one float
+    division at the very end, floored to ppm). On this corpus the two
+    plausible rules turn out to ANTI-agree (negative κ: long docs have
+    LOW diversity) — precisely the pathology the audit exists to catch
+    before one rule silently overrides the other.
+
+    Scale shape: the labeling is a pure map over the scan; the
+    confusion-matrix counts are ONE partial agg to a single row; κ is
+    driver-free scalar algebra. Integer-exact marginals mean the
+    chance-correction can't drift."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    a = (F.col("n_chars") >= 280).cast("long")
+    b = (
+        F.size(F.array_distinct(toks)) * 1000 / F.size(toks) >= 400
+    ).cast("long")
+    l = docs.select(a.alias("a"), b.alias("b"))
+    c = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("a_pos"),
+        F.sum("b").alias("b_pos"),
+        F.sum(F.col("a") * F.col("b")).alias("both_pos"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("both_neg"),
+    )
+    pe_num = F.col("a_pos") * F.col("b_pos") + (F.col("n") - F.col("a_pos")) * (
+        F.col("n") - F.col("b_pos")
+    )
+    return c.select(
+        "n",
+        "a_pos",
+        "b_pos",
+        "both_pos",
+        "both_neg",
+        F.expr("(both_pos + both_neg) * 1000000 div n").alias("agreement_ppm"),
+        F.floor(
+            (F.col("n") * (F.col("both_pos") + F.col("both_neg")) - pe_num)
+            * 1000000
+            / (F.col("n") * F.col("n") - pe_num)
+        ).alias("kappa_ppm"),
+    )
+
+
+@q(
+    "churn_label_windows",
+    """
+    WITH act AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END)
+               AS n_obs,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END)
+               AS n_out
+      FROM events GROUP BY 1),
+    lab AS (
+      SELECT CASE WHEN n_obs <= 2 THEN '1-2' WHEN n_obs <= 5 THEN '3-5'
+                  WHEN n_obs <= 10 THEN '6-10' ELSE '11+' END AS activity_bucket,
+             CASE WHEN n_out = 0 THEN 1 ELSE 0 END AS churned
+      FROM act WHERE n_obs > 0)
+    SELECT activity_bucket, COUNT(*) AS n_users, SUM(churned) AS n_churned,
+           SUM(churned) * 1000000 // COUNT(*) AS churn_rate_ppm
+    FROM lab GROUP BY 1
+    """,
+)
+def churn_label_windows(spark, sf_dir):
+    """Churn label generation with disjoint observation/outcome windows —
+    the supervised-label discipline that prevents the most common churn-
+    model bug (defining the label from the same window as the
+    features): a user active in the 20-day observation window is
+    labeled churned iff they have ZERO events in the following 10-day
+    outcome window. Readout: churn rate by observation-activity bucket
+    (the monotone 'heavier users churn less' curve every retention team
+    checks first).
+
+    Scale shape: ONE partial-agg groupBy(user) computes both window
+    counts as conditional sums (no second scan, no join between
+    windows); labeling is a map on user-cardinality rows; the rollup is
+    a 4-bucket partial agg. Integer ppm rates."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-21").cast("timestamp")
+    act = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("n_obs"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("n_out"),
+    )
+    lab = act.filter(F.col("n_obs") > 0).select(
+        F.when(F.col("n_obs") <= 2, "1-2")
+        .when(F.col("n_obs") <= 5, "3-5")
+        .when(F.col("n_obs") <= 10, "6-10")
+        .otherwise("11+")
+        .alias("activity_bucket"),
+        F.when(F.col("n_out") == 0, 1).otherwise(0).alias("churned"),
+    )
+    return lab.groupBy("activity_bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("churned").alias("n_churned"),
+        F.expr("sum(churned) * 1000000 div count(1)").alias("churn_rate_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -14907,7 +15036,8 @@ _FIRST50: list[str] = [
 # largest_remainder_allocation, cohort_overlap_jaccard,
 # daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
 # interarrival_cv_audit, temperature_sampling_mix,
-# horvitz_thompson_estimate, implicit_negative_sampling.
+# horvitz_thompson_estimate, implicit_negative_sampling,
+# cohens_kappa_labelers, churn_label_windows.
 
 
 def _ordered_names() -> list[str]:
