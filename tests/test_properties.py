@@ -1728,3 +1728,127 @@ def test_temperature_mix_allocates_exact_budget(spark):
     got = {r["source"]: (r["alloc_tokens"], r["raw_share_ppm"]) for r in rows}
     assert got == {s: (alloc[s], base[s]) for s in wi}
     assert sum(a for a, _ in got.values()) == 1000000
+
+
+def test_horvitz_thompson_matches_python_and_is_calibrated(spark):
+    """The HT estimate must equal the Python integer recomputation, and
+    the 50%-rate stratum must land within 15% of the truth."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    rates = {"purchase": ("80000000", 500000), "view": ("10000000", 62500),
+             "click": ("10000000", 62500)}
+    expect = {}
+    for t, g in ev.groupby("event_type"):
+        thr, rp = rates.get(t, ("04000000", 15625))
+        n_s = exact = est = 0
+        for r in g.itertuples():
+            vm = math.floor(r.value * 1000)
+            exact += vm
+            u = hashlib.md5(f"ht:{r.event_id}".encode()).hexdigest()[:8]
+            if u < thr:
+                n_s += 1
+                est += vm * 1000000 // rp
+        expect[t] = (rp, n_s, len(g), exact, est,
+                     abs(est - exact) * 1000000 // exact)
+    got = {
+        r["event_type"]: (r["rate_ppm"], r["n_sampled"], r["n_rows"],
+                          r["exact_sum_milli"], r["ht_est_milli"], r["err_ppm"])
+        for r in entrymod.queries()["horvitz_thompson_estimate"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert got["purchase"][5] < 150000  # 50% sample within 15%
+
+
+def test_negative_sampling_excludes_positives(spark):
+    """Every sampled negative must be a (user, top-50 item) pair the user
+    never bought, thinned at the md5 threshold — verified by Python
+    set reconstruction."""
+    import hashlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    inter = set(zip(j.o_custkey, j.l_partkey))
+    cnt = {}
+    for u, i in inter:
+        cnt[i] = cnt.get(i, 0) + 1
+    pop = sorted(cnt, key=lambda i: (-cnt[i], i))[:50]
+    rank = {i: k + 1 for k, i in enumerate(pop)}
+    users = {u for u, _ in inter}
+    agg = {}
+    for u in users:
+        for i in pop:
+            if (u, i) in inter:
+                continue
+            h = hashlib.md5(f"neg:{u}:{i}".encode()).hexdigest()[:8]
+            if h < "20000000":
+                b = ("top10" if rank[i] <= 10 else
+                     "11-25" if rank[i] <= 25 else "26-50")
+                n, us = agg.get(b, (0, set()))
+                agg[b] = (n + 1, us | {u})
+    expect = {
+        b: (n, len(us), n * 1000 // len(us)) for b, (n, us) in agg.items()
+    }
+    got = {
+        r["pop_bucket"]: (r["n_negatives"], r["n_users"], r["neg_per_user_milli"])
+        for r in entrymod.queries()["implicit_negative_sampling"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_kappa_matches_sklearn_free_formula(spark):
+    """kappa_ppm must equal the chance-corrected formula recomputed in
+    Python from the confusion counts the query itself reports."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    r = entrymod.queries()["cohens_kappa_labelers"](spark, sf).collect()[0]
+    n, a, b = r["n"], r["a_pos"], r["b_pos"]
+    po_num = r["both_pos"] + r["both_neg"]
+    pe_num = a * b + (n - a) * (n - b)
+    kappa = math.floor((n * po_num - pe_num) * 1000000 / (n * n - pe_num))
+    assert r["kappa_ppm"] == kappa
+    assert r["agreement_ppm"] == po_num * 1000000 // n
+
+
+def test_churn_labels_match_python_windows(spark):
+    """Bucketed churn rates must equal the Python recomputation with the
+    same disjoint windows."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev.ts)
+    cut = pd.Timestamp("2024-01-21")
+    agg = {}
+    for u, g in ev.groupby("user_id"):
+        n_obs = int((g.ts < cut).sum())
+        n_out = int((g.ts >= cut).sum())
+        if n_obs == 0:
+            continue
+        b = ("1-2" if n_obs <= 2 else "3-5" if n_obs <= 5
+             else "6-10" if n_obs <= 10 else "11+")
+        n, c = agg.get(b, (0, 0))
+        agg[b] = (n + 1, c + (1 if n_out == 0 else 0))
+    expect = {b: (n, c, c * 1000000 // n) for b, (n, c) in agg.items()}
+    got = {
+        r["activity_bucket"]: (r["n_users"], r["n_churned"], r["churn_rate_ppm"])
+        for r in entrymod.queries()["churn_label_windows"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
