@@ -14884,6 +14884,205 @@ def churn_label_windows(spark, sf_dir):
     )
 
 
+@q(
+    "kendall_tau_rankers",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 8),
+    exact_s AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             round(
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    ra AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+               AS rank_a
+      FROM exact_s QUALIFY rank_a <= 20),
+    int8_s AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_sum(list_transform(range(1, len(qe) + 1),
+               i -> CAST(round(CAST(qe[i] AS DOUBLE) * 127) AS BIGINT)
+                    * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 127) AS BIGINT)))
+               AS dot_q
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    rb AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id)
+               AS rank_b
+      FROM int8_s QUALIFY rank_b <= 20),
+    common AS (
+      SELECT ra.q_id, ra.n_id, ra.rank_a, rb.rank_b
+      FROM ra JOIN rb ON ra.q_id = rb.q_id AND ra.n_id = rb.n_id),
+    pairs AS (
+      SELECT a.q_id,
+             CASE WHEN (a.rank_a - b.rank_a) * (a.rank_b - b.rank_b) > 0
+                  THEN 1 ELSE 0 END AS conc
+      FROM common a JOIN common b
+        ON a.q_id = b.q_id AND a.n_id < b.n_id)
+    SELECT q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+           (2 * SUM(conc) - COUNT(*)) * 1000000 // COUNT(*) AS tau_ppm
+    FROM pairs GROUP BY q_id
+    """,
+)
+def kendall_tau_rankers(spark, sf_dir):
+    """Kendall rank correlation between the exact-cosine and the
+    int8-quantized retrieval rankings — the complement to
+    `rrf_rank_fusion` (which merges the rankers) and
+    `quantization_recall_audit` (which checks set recall): τ measures
+    whether the cheap ranker preserves the ORDER of the survivors.
+    τ = (C − D)/(C + D) over all item pairs both rankers placed in
+    their top-20 — pure integer arithmetic end-to-end (both rankings
+    are strict by construction: deterministic tie-breaks), published
+    in floor-ppm.
+
+    Scale shape: the two scoring passes broadcast the bounded query
+    block (shared subplans with the fusion query); the pairwise stage
+    is a self-join of the ≤20-row-per-query common table — ≤190 pairs
+    per query, bounded by k², never by the corpus; the rollup is a
+    partial agg per query."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    ra = similarity.cosine_topk_bruteforce(
+        qs, emb, "vec_id", "vec_id", k=20
+    ).select("q_id", "n_id", F.col("rank").alias("rank_a"))
+    qv = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 127, 0) as bigint))"
+    )
+    qemb = F.broadcast(qs.select(F.col("vec_id").alias("q_id"), qv.alias("q_q")))
+    cemb = emb.select(F.col("vec_id").alias("n_id"), qv.alias("n_q"))
+    dot = F.expr(
+        "aggregate(zip_with(q_q, n_q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.col("dot_q").desc(), "n_id")
+    rb = (
+        cemb.join(qemb, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot.alias("dot_q"))
+        .withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= 20)
+        .select("q_id", "n_id", "rank_b")
+    )
+    common = ra.join(rb, ["q_id", "n_id"])
+    c2 = common.select(
+        "q_id",
+        F.col("n_id").alias("n_id2"),
+        F.col("rank_a").alias("rank_a2"),
+        F.col("rank_b").alias("rank_b2"),
+    )
+    pairs = common.join(c2, "q_id").filter(F.col("n_id") < F.col("n_id2")).select(
+        "q_id",
+        F.when(
+            (F.col("rank_a") - F.col("rank_a2"))
+            * (F.col("rank_b") - F.col("rank_b2"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+    )
+    return pairs.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        (F.count(F.lit(1)) - F.sum("conc")).alias("discordant"),
+        F.expr("(2 * sum(conc) - count(1)) * 1000000 div count(1)").alias(
+            "tau_ppm"
+        ),
+    )
+
+
+@q(
+    "kfold_metric_stability",
+    """
+    WITH lab AS (
+      SELECT event_id % 5 AS fold,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    hist AS (
+      SELECT fold, cents,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg
+      FROM lab GROUP BY 1, 2),
+    pre AS (
+      SELECT fold, cents, n_pos, n_neg,
+             coalesce(SUM(n_neg) OVER (PARTITION BY fold ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM hist),
+    tot AS (
+      SELECT fold,
+             CAST(SUM(n_pos) AS BIGINT) AS np,
+             CAST(SUM(n_neg) AS BIGINT) AS nn,
+             CAST(SUM(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT) AS u2
+      FROM pre GROUP BY fold)
+    SELECT fold, np AS n_pos, nn AS n_neg,
+           round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+    FROM tot
+    """,
+)
+def kfold_metric_stability(spark, sf_dir):
+    """K-fold metric stability — the exact tie-averaged AUC
+    (`exact_auc_ranksum`) recomputed independently on 5 deterministic
+    folds (event_id % 5): the fold-to-fold spread is the honest error
+    bar on the headline metric, and a fold that deviates flags
+    train/serve skew or a hashing bug in the split. Same
+    histogram-rank-sum machinery, now partitioned BY FOLD so all five
+    metrics come from ONE pass — never five scans.
+
+    Scale shape: one partial-agg (fold, score) histogram is the only
+    row-scale stage; the neg-below prefix windows partition by fold
+    over the bounded score axis; the readout is 5 rows. Integer-exact
+    U statistic, one final division per fold."""
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        (F.col("event_id") % 5).alias("fold"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    hist = lab.groupBy("fold", "cents").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = hist.select(
+        "fold",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    tot = pre.groupBy("fold").agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum("n_neg").cast("long").alias("nn"),
+        F.sum(
+            2 * F.col("n_pos") * F.col("neg_below")
+            + F.col("n_pos") * F.col("n_neg")
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return tot.select(
+        "fold",
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            F.col("u2").cast("double") / (2.0 * F.col("np") * F.col("nn")), 6
+        ).alias("auc"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -15037,7 +15236,8 @@ _FIRST50: list[str] = [
 # daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
 # interarrival_cv_audit, temperature_sampling_mix,
 # horvitz_thompson_estimate, implicit_negative_sampling,
-# cohens_kappa_labelers, churn_label_windows.
+# cohens_kappa_labelers, churn_label_windows, kendall_tau_rankers,
+# kfold_metric_stability.
 
 
 def _ordered_names() -> list[str]:
