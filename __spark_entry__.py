@@ -15083,6 +15083,220 @@ def kfold_metric_stability(spark, sf_dir):
     )
 
 
+@q(
+    "selectivity_independence_audit",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS a1,
+             SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS b1,
+             SUM(CASE WHEN l_quantity > 25 AND l_discount > 0.05
+                      THEN 1 ELSE 0 END) AS ab1,
+             SUM(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END) AS a2,
+             SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS b2,
+             SUM(CASE WHEN l_extendedprice > 30000 AND l_quantity > 25
+                      THEN 1 ELSE 0 END) AS ab2,
+             SUM(CASE WHEN l_shipdate > TIMESTAMP '1997-01-01'
+                      THEN 1 ELSE 0 END) AS a3,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS b3,
+             SUM(CASE WHEN l_shipdate > TIMESTAMP '1997-01-01'
+                       AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS ab3
+      FROM lineitem),
+    u AS (
+      SELECT 'qty_x_discount' AS pair, n, a1 AS n_a, b1 AS n_b, ab1 AS n_ab
+      FROM s
+      UNION ALL
+      SELECT 'price_x_qty', n, a2, b2, ab2 FROM s
+      UNION ALL
+      SELECT 'shipdate_x_returnflag', n, a3, b3, ab3 FROM s)
+    SELECT pair, n, n_a, n_b, n_ab,
+           n_a * n_b // n AS est_independent,
+           abs(n_ab - n_a * n_b // n) * 1000000
+             // greatest(n_ab, 1) AS est_error_ppm
+    FROM u
+    """,
+)
+def selectivity_independence_audit(spark, sf_dir):
+    """Cardinality-estimation audit — why optimizers mis-plan: compare
+    the TRUE conjunctive selectivity |A∧B| against the independence
+    estimate n·sel(A)·sel(B) that every cost model defaults to, for
+    three predicate pairs: genuinely independent (quantity × discount),
+    strongly CORRELATED (extended price × quantity — price IS
+    quantity·unit-price, the classic correlated-predicate trap), and a
+    mixed date×flag pair. The error column is what AQE and CBO stats
+    exist to fix; a data platform publishes exactly this audit to
+    decide where to spend column-group statistics.
+
+    Scale shape: ONE conditional-sum pass over the fact scan computes
+    all nine counters (no per-pair scans, no joins); the 3-row unpivot
+    and the integer estimate algebra run on the single combined row.
+    Integer ppm errors."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    qy = F.col("l_quantity") > 25
+    dc = F.col("l_discount") > 0.05
+    pr = F.col("l_extendedprice") > 30000
+    sh = F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    rf = F.col("l_returnflag") == "R"
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        c(qy).alias("a1"),
+        c(dc).alias("b1"),
+        c(qy & dc).alias("ab1"),
+        c(pr).alias("a2"),
+        c(qy).alias("b2"),
+        c(pr & qy).alias("ab2"),
+        c(sh).alias("a3"),
+        c(rf).alias("b3"),
+        c(sh & rf).alias("ab3"),
+    )
+    rows = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty_x_discount").alias("pair"),
+                    F.col("n").alias("n"),
+                    F.col("a1").alias("n_a"),
+                    F.col("b1").alias("n_b"),
+                    F.col("ab1").alias("n_ab"),
+                ),
+                F.struct(
+                    F.lit("price_x_qty").alias("pair"),
+                    F.col("n"),
+                    F.col("a2").alias("n_a"),
+                    F.col("b2").alias("n_b"),
+                    F.col("ab2").alias("n_ab"),
+                ),
+                F.struct(
+                    F.lit("shipdate_x_returnflag").alias("pair"),
+                    F.col("n"),
+                    F.col("a3").alias("n_a"),
+                    F.col("b3").alias("n_b"),
+                    F.col("ab3").alias("n_ab"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "pair",
+        "n",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.expr("n_a * n_b div n").alias("est_independent"),
+        F.expr(
+            "abs(n_ab - n_a * n_b div n) * 1000000 div greatest(n_ab, 1)"
+        ).alias("est_error_ppm"),
+    )
+
+
+@q(
+    "encoding_size_model",
+    """
+    WITH cols AS (
+      SELECT 'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', l_linestatus FROM lineitem
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment FROM customer),
+    s AS (
+      SELECT col_name, COUNT(*) AS n, COUNT(DISTINCT v) AS ndv,
+             CAST(SUM(length(v)) AS BIGINT) AS plain_bytes
+      FROM cols GROUP BY 1),
+    d AS (
+      SELECT col_name, CAST(SUM(len_v) AS BIGINT) AS dict_entry_bytes
+      FROM (SELECT DISTINCT col_name, v, length(v) AS len_v FROM cols)
+      GROUP BY 1)
+    SELECT s.col_name, s.n, s.ndv, s.plain_bytes,
+           d.dict_entry_bytes
+             + (s.n * (CASE WHEN s.ndv <= 2 THEN 1 WHEN s.ndv <= 4 THEN 2
+                            WHEN s.ndv <= 8 THEN 3 WHEN s.ndv <= 16 THEN 4
+                            WHEN s.ndv <= 256 THEN 8
+                            WHEN s.ndv <= 65536 THEN 16 ELSE 32 END) + 7) // 8
+             AS dict_bytes_est,
+           (s.plain_bytes
+             - (d.dict_entry_bytes
+                + (s.n * (CASE WHEN s.ndv <= 2 THEN 1 WHEN s.ndv <= 4 THEN 2
+                               WHEN s.ndv <= 8 THEN 3 WHEN s.ndv <= 16 THEN 4
+                               WHEN s.ndv <= 256 THEN 8
+                               WHEN s.ndv <= 65536 THEN 16 ELSE 32 END) + 7) // 8))
+             * 1000000 // s.plain_bytes AS saving_ppm
+    FROM s JOIN d USING (col_name)
+    """,
+)
+def encoding_size_model(spark, sf_dir):
+    """Dictionary-encoding size model — the storage-engineering estimate
+    behind every columnar format's encoding choice: for each candidate
+    string column, project dictionary size (Σ distinct value bytes) +
+    bit-packed codes (n·⌈log₂ ndv⌉ bits) against the plain encoding
+    (Σ value bytes), and publish the saving in ppm. The bit width comes
+    from an explicit CASE ladder (1/2/3/4/8/16/32 bits), not log() —
+    integer-exact and engine-portable. This is the planning query a
+    lake compaction job (`small_file_compaction`, `zorder_clustered_scan`)
+    runs before choosing encodings.
+
+    Scale shape: per-column stats are partial-agg scans unioned into one
+    long relation (column-name keyed — the same shape a real ANALYZE
+    uses); the distinct-value byte sums run on ndv-cardinality rows.
+    Everything integer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cols = (
+        li.select(F.lit("l_returnflag").alias("col_name"), F.col("l_returnflag").alias("v"))
+        .unionByName(
+            li.select(F.lit("l_linestatus").alias("col_name"), F.col("l_linestatus").alias("v"))
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_orderpriority").alias("col_name"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.lit("c_mktsegment").alias("col_name"),
+                F.col("c_mktsegment").alias("v"),
+            )
+        )
+    )
+    s = cols.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("v").alias("ndv"),
+        F.sum(F.length("v")).cast("bigint").alias("plain_bytes"),
+    )
+    d = (
+        cols.select("col_name", "v")
+        .distinct()
+        .groupBy("col_name")
+        .agg(F.sum(F.length("v")).cast("bigint").alias("dict_entry_bytes"))
+    )
+    bits = (
+        "(CASE WHEN ndv <= 2 THEN 1 WHEN ndv <= 4 THEN 2"
+        " WHEN ndv <= 8 THEN 3 WHEN ndv <= 16 THEN 4"
+        " WHEN ndv <= 256 THEN 8 WHEN ndv <= 65536 THEN 16 ELSE 32 END)"
+    )
+    return (
+        s.join(d, "col_name")
+        .withColumn(
+            "dict_bytes_est",
+            F.expr(f"dict_entry_bytes + (n * {bits} + 7) div 8"),
+        )
+        .select(
+            "col_name",
+            "n",
+            "ndv",
+            "plain_bytes",
+            "dict_bytes_est",
+            F.expr(
+                "(plain_bytes - dict_bytes_est) * 1000000 div plain_bytes"
+            ).alias("saving_ppm"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -15237,7 +15451,7 @@ _FIRST50: list[str] = [
 # interarrival_cv_audit, temperature_sampling_mix,
 # horvitz_thompson_estimate, implicit_negative_sampling,
 # cohens_kappa_labelers, churn_label_windows, kendall_tau_rankers,
-# kfold_metric_stability.
+# kfold_metric_stability, selectivity_independence_audit, encoding_size_model.
 
 
 def _ordered_names() -> list[str]:
