@@ -1852,3 +1852,121 @@ def test_churn_labels_match_python_windows(spark):
         for r in entrymod.queries()["churn_label_windows"](spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_kendall_tau_bounds_and_symmetric_consistency(spark):
+    """tau must lie in [-1e6, 1e6], concordant+discordant == n_pairs, and
+    n_pairs must be C(n_common, 2) recomputed from the fusion inputs."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["kendall_tau_rankers"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert -1000000 <= r["tau_ppm"] <= 1000000
+        assert r["concordant"] + r["discordant"] == r["n_pairs"]
+        # n_pairs = C(m, 2) for some integer m (the common-item count)
+        m = int((1 + (1 + 8 * r["n_pairs"]) ** 0.5) / 2)
+        assert m * (m - 1) // 2 == r["n_pairs"]
+
+
+def test_kfold_auc_matches_single_fold_recompute(spark):
+    """Each fold's AUC must equal the tie-averaged rank AUC recomputed in
+    numpy on just that fold's rows."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    rows = entrymod.queries()["kfold_metric_stability"](spark, sf).collect()
+    assert len(rows) == 5
+    for r in rows:
+        g = ev[ev.event_id % 5 == r["fold"]]
+        y = (g.event_type == "purchase").astype(int).values
+        s = np.floor(g.value.values * 100)
+        order = np.argsort(s, kind="stable")
+        ss = s[order]
+        ranks = np.empty(len(s))
+        i = 0
+        while i < len(s):
+            j = i
+            while j + 1 < len(s) and ss[j + 1] == ss[i]:
+                j += 1
+            ranks[order[i: j + 1]] = (i + j + 2) / 2.0
+            i = j + 1
+        n1, n0 = int(y.sum()), int(len(y) - y.sum())
+        auc = (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+        assert r["n_pos"] == n1 and r["n_neg"] == n0
+        assert abs(r["auc"] - auc) < 1e-6
+
+
+def test_selectivity_audit_matches_pandas_counts(spark):
+    """All nine counters must equal pandas boolean recomputation."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    qy = li.l_quantity > 25
+    dc = li.l_discount > 0.05
+    pr = li.l_extendedprice > 30000
+    sh = pd.to_datetime(li.l_shipdate) > pd.Timestamp("1997-01-01")
+    rf = li.l_returnflag == "R"
+    n = len(li)
+    expect = {}
+    for name, a, b in [("qty_x_discount", qy, dc), ("price_x_qty", pr, qy),
+                       ("shipdate_x_returnflag", sh, rf)]:
+        na, nb, nab = int(a.sum()), int(b.sum()), int((a & b).sum())
+        est = na * nb // n
+        expect[name] = (n, na, nb, nab, est,
+                        abs(nab - est) * 1000000 // max(nab, 1))
+    got = {
+        r["pair"]: (r["n"], r["n_a"], r["n_b"], r["n_ab"],
+                    r["est_independent"], r["est_error_ppm"])
+        for r in entrymod.queries()["selectivity_independence_audit"](
+            spark, sf
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_encoding_model_matches_python_bytes(spark):
+    """Byte projections must equal Python recomputation over the same
+    columns, and dictionary encoding must always win on these
+    low-cardinality columns."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    series = {"l_returnflag": li.l_returnflag, "l_linestatus": li.l_linestatus,
+              "o_orderpriority": orders.o_orderpriority,
+              "c_mktsegment": cust.c_mktsegment}
+
+    def bits(ndv):
+        for b, cap in [(1, 2), (2, 4), (3, 8), (4, 16), (8, 256), (16, 65536)]:
+            if ndv <= cap:
+                return b
+        return 32
+
+    expect = {}
+    for name, s in series.items():
+        n = len(s)
+        vals = set(s)
+        plain = int(s.str.len().sum())
+        dict_bytes = sum(len(v) for v in vals) + (n * bits(len(vals)) + 7) // 8
+        expect[name] = (n, len(vals), plain, dict_bytes,
+                        (plain - dict_bytes) * 1000000 // plain)
+    got = {
+        r["col_name"]: (r["n"], r["ndv"], r["plain_bytes"], r["dict_bytes_est"],
+                        r["saving_ppm"])
+        for r in entrymod.queries()["encoding_size_model"](spark, sf).collect()
+    }
+    assert got == expect
+    assert all(v[4] > 0 for v in got.values())
