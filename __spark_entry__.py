@@ -15297,6 +15297,182 @@ def encoding_size_model(spark, sf_dir):
     )
 
 
+@q(
+    "leaderboard_churn",
+    """
+    WITH wk AS (
+      SELECT l.l_partkey,
+             date_diff('day', DATE '1995-01-01',
+                       CAST(o.o_orderdate AS DATE)) // 7 AS week,
+             CAST(ROUND(SUM(l.l_quantity * 100)) AS BIGINT) AS qty_c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    mx AS (SELECT MAX(week) AS w_max FROM wk),
+    top AS (
+      SELECT week, l_partkey,
+             row_number() OVER (PARTITION BY week
+                                ORDER BY qty_c DESC, l_partkey) AS rk
+      FROM wk CROSS JOIN mx WHERE week > w_max - 13
+      QUALIFY rk <= 20),
+    pairs AS (
+      SELECT cur.week, COUNT(prev.l_partkey) AS n_overlap
+      FROM top cur LEFT JOIN top prev
+        ON prev.week = cur.week - 1 AND prev.l_partkey = cur.l_partkey
+      GROUP BY cur.week)
+    SELECT week, n_overlap, 20 - n_overlap AS n_new,
+           n_overlap * 1000000 // (40 - n_overlap) AS jaccard_ppm
+    FROM pairs CROSS JOIN mx WHERE week > w_max - 12
+    """,
+)
+def leaderboard_churn(spark, sf_dir):
+    """Leaderboard stability over time — how much of each week's top-20
+    parts (by quantity) carries over from the previous week: overlap
+    count, new entries, and the week-over-week Jaccard of the two
+    top-20 sets (|∩|·1e6 // (40 − |∩|)). Ranking-drift is the canary
+    for demand shifts and for trending-algorithm churn (a leaderboard
+    that turns over completely every week is noise; one that never
+    changes is stale) — the longitudinal companion to
+    `trending_items_decay`'s single snapshot.
+
+    Scale shape: the (part, week) partial agg is the row-scale pass,
+    pruned to a 13-week tail before ranking; per-week top-20 via
+    windows PARTITIONED BY WEEK (dimension-scale sorts); the
+    week-to-week comparison is a self-join of the ≤20×13-row top table
+    on (week−1, part) — bounded by k·weeks. Ties break (qty DESC,
+    partkey) so the cut is deterministic in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    wk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "datediff(cast(o_orderdate as date), date'1995-01-01') div 7"
+            ).alias("week"),
+        )
+        .agg(F.round(F.sum(F.col("l_quantity") * 100)).cast("bigint").alias("qty_c"))
+    )
+    mx = wk.agg(F.max("week").alias("w_max"))
+    wr = Window.partitionBy("week").orderBy(F.col("qty_c").desc(), "l_partkey")
+    top = (
+        wk.crossJoin(F.broadcast(mx))
+        .filter(F.col("week") > F.col("w_max") - 13)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select("week", "l_partkey")
+    )
+    prev = top.select(
+        (F.col("week") + 1).alias("week"), F.col("l_partkey").alias("pk_prev")
+    )
+    pairs = (
+        top.join(
+            prev,
+            (top.week == prev.week) & (top.l_partkey == prev.pk_prev),
+            "left",
+        )
+        .groupBy(top.week)
+        .agg(F.count("pk_prev").alias("n_overlap"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(mx))
+        .filter(F.col("week") > F.col("w_max") - 12)
+        .select(
+            "week",
+            "n_overlap",
+            (F.lit(20) - F.col("n_overlap")).alias("n_new"),
+            F.expr("n_overlap * 1000000 div (40 - n_overlap)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+@q(
+    "recsys_exposure_coverage",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT l_partkey, COUNT(*) AS n_ord FROM b GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS pk1, c.l_partkey AS pk2, COUNT(*) AS co_orders
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    m AS (
+      SELECT pk1, pk2, co_orders FROM co
+      UNION ALL SELECT pk2, pk1, co_orders FROM co),
+    s AS (
+      SELECT m.pk1 AS item, m.pk2 AS neighbor,
+             m.co_orders * m.co_orders * 1000000
+               // (n1.n_ord * n2.n_ord) AS cs
+      FROM m JOIN n n1 ON m.pk1 = n1.l_partkey
+             JOIN n n2 ON m.pk2 = n2.l_partkey),
+    r AS (
+      SELECT neighbor FROM (
+        SELECT item, neighbor,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY cs DESC, neighbor) AS rn
+        FROM s) WHERE rn <= 3),
+    expo AS (SELECT neighbor, COUNT(*) AS x FROM r GROUP BY 1),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, neighbor) AS i,
+             COUNT(*) OVER () AS k, SUM(x) OVER () AS sx
+      FROM expo)
+    SELECT (SELECT COUNT(*) FROM n) AS catalog_n,
+           MAX(k) AS n_recommended_distinct,
+           MAX(k) * 1000000 // (SELECT COUNT(*) FROM n) AS coverage_ppm,
+           (2 * SUM(i * x) - (MAX(k) + 1) * MAX(sx)) * 1000000
+             // (MAX(k) * MAX(sx)) AS exposure_gini_ppm
+    FROM ranked
+    """,
+)
+def recsys_exposure_coverage(spark, sf_dir):
+    """Recommender EXPOSURE audit — the two serving-side health metrics
+    computed over the `item_item_cosine_topk` neighbor lists: catalog
+    COVERAGE (what fraction of items ever appear as a recommendation)
+    and exposure GINI (how concentrated impressions are on few items —
+    the popularity-feedback-loop number). Gini uses the integer
+    rank-sum identity G = (2Σi·xᵢ − (k+1)Σx)/(kΣx) over exposures
+    sorted ascending with (x, neighbor) tie-breaks — floor-ppm, no
+    float shares.
+
+    Scale shape: reuses the bounded array-side pair expansion and
+    per-item top-3 window of the kNN query; exposures are a partial agg
+    over neighbor ids; the Gini ranking window is global but runs over
+    the RECOMMENDED-item table (≤ catalog cardinality, fed by an
+    aggregate — the gate-legal bounded SinglePartition). Output is one
+    row."""
+    li = _t(spark, sf_dir, "lineitem")
+    knn = item_item_cosine_topk(spark, sf_dir)
+    catalog = (
+        li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("catalog_n"))
+    )
+    expo = knn.groupBy(F.col("neighbor")).agg(F.count(F.lit(1)).alias("x"))
+    wi = Window.orderBy("x", "neighbor")
+    wall = Window.partitionBy()
+    ranked = expo.select(
+        "x",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+        F.sum("x").over(wall).alias("sx"),
+    )
+    agg = ranked.agg(
+        F.max("k").alias("n_recommended_distinct"),
+        F.max("sx").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.crossJoin(F.broadcast(catalog)).select(
+        "catalog_n",
+        "n_recommended_distinct",
+        F.expr("n_recommended_distinct * 1000000 div catalog_n").alias(
+            "coverage_ppm"
+        ),
+        F.expr(
+            "(2 * six - (n_recommended_distinct + 1) * sx) * 1000000"
+            " div (n_recommended_distinct * sx)"
+        ).alias("exposure_gini_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -15451,7 +15627,8 @@ _FIRST50: list[str] = [
 # interarrival_cv_audit, temperature_sampling_mix,
 # horvitz_thompson_estimate, implicit_negative_sampling,
 # cohens_kappa_labelers, churn_label_windows, kendall_tau_rankers,
-# kfold_metric_stability, selectivity_independence_audit, encoding_size_model.
+# kfold_metric_stability, selectivity_independence_audit, encoding_size_model,
+# leaderboard_churn, recsys_exposure_coverage.
 
 
 def _ordered_names() -> list[str]:
