@@ -1970,3 +1970,65 @@ def test_encoding_model_matches_python_bytes(spark):
     }
     assert got == expect
     assert all(v[4] > 0 for v in got.values())
+
+
+def test_leaderboard_churn_matches_python(spark):
+    """Weekly top-20 overlap must equal the Python recomputation with the
+    same (qty DESC, partkey) tie-breaks and 12-week tail."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    epoch = pd.Timestamp("1995-01-01")
+    j["week"] = (pd.to_datetime(j.o_orderdate) - epoch).dt.days // 7
+    qty = {}
+    for r in j.itertuples():
+        key = (int(r.week), int(r.l_partkey))
+        qty[key] = qty.get(key, 0) + int(round(r.l_quantity * 100))
+    w_max = max(w for w, _ in qty)
+    tops = {}
+    for w in range(w_max - 12, w_max + 1):
+        items = sorted(
+            ((q, pk) for (ww, pk), q in qty.items() if ww == w),
+            key=lambda t: (-t[0], t[1]),
+        )[:20]
+        tops[w] = {pk for _, pk in items}
+    expect = {}
+    for w in range(w_max - 11, w_max + 1):
+        ov = len(tops[w] & tops.get(w - 1, set()))
+        expect[w] = (ov, 20 - ov, ov * 1000000 // (40 - ov))
+    got = {
+        r["week"]: (r["n_overlap"], r["n_new"], r["jaccard_ppm"])
+        for r in entrymod.queries()["leaderboard_churn"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_exposure_coverage_consistent_with_knn(spark):
+    """Coverage and Gini must be reproducible from the kNN query's own
+    output via Python set arithmetic and the rank-sum Gini identity."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    knn = entrymod.queries()["item_item_cosine_topk"](spark, sf).collect()
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    catalog = li.l_partkey.nunique()
+    expo = {}
+    for r in knn:
+        expo[r["neighbor"]] = expo.get(r["neighbor"], 0) + 1
+    xs = sorted((x, nb) for nb, x in expo.items())
+    k = len(xs)
+    sx = sum(x for x, _ in xs)
+    six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+    gini = (2 * six - (k + 1) * sx) * 1000000 // (k * sx)
+    row = entrymod.queries()["recsys_exposure_coverage"](spark, sf).collect()[0]
+    assert row["catalog_n"] == catalog
+    assert row["n_recommended_distinct"] == k
+    assert row["coverage_ppm"] == k * 1000000 // catalog
+    assert row["exposure_gini_ppm"] == gini
