@@ -15473,6 +15473,167 @@ def recsys_exposure_coverage(spark, sf_dir):
     )
 
 
+@q(
+    "pinball_loss_eval",
+    """
+    WITH calib AS (
+      SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS m
+      FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    hist AS (
+      SELECT event_type, m, COUNT(*) AS n FROM calib GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, m,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY m) AS c,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM hist),
+    qs AS (
+      SELECT event_type,
+             MIN(CASE WHEN c * 10 >= tot * 9 THEN m END) AS p90_milli,
+             MIN(CASE WHEN c * 2 >= tot THEN m END) AS p50_milli
+      FROM cum GROUP BY 1),
+    test AS (
+      SELECT e.event_type, q.p90_milli, q.p50_milli,
+             CAST(FLOOR(e.value * 1000) AS BIGINT) AS y
+      FROM events e JOIN qs q USING (event_type)
+      WHERE e.ts >= TIMESTAMP '2024-01-16')
+    SELECT event_type, MAX(p90_milli) AS p90_milli, COUNT(*) AS n_test,
+           SUM(CASE WHEN y > p90_milli THEN 9 * (y - p90_milli)
+                    ELSE p90_milli - y END) * 100 // COUNT(*)
+             AS pinball90_p90_micro,
+           SUM(CASE WHEN y > p50_milli THEN 9 * (y - p50_milli)
+                    ELSE p50_milli - y END) * 100 // COUNT(*)
+             AS pinball90_p50_micro
+    FROM test GROUP BY event_type
+    """,
+)
+def pinball_loss_eval(spark, sf_dir):
+    """Pinball (quantile) loss evaluation — the scoring rule for
+    quantile forecasts: L_q(y,ŷ) = q(y−ŷ)⁺ + (1−q)(ŷ−y)⁺, here q=0.9,
+    comparing two predictors fit on the calibration half (the exact
+    p90 — the RIGHT predictor for q=0.9 — and the median as the
+    strawman) on the held-out half. The p90 column must win (lower
+    loss) on every type: pinball loss is minimized by the true
+    quantile, so this query is a self-validating eval harness.
+    INTEGER-EXACT: y and ŷ in milli-units, loss terms 9·Δ or 1·Δ
+    summed as bigints, one final div (the /10 of the loss and the
+    /n of the mean fold into ·100 div n).
+
+    Scale shape: quantile fitting reuses the histogram-rank pattern
+    (bounded bin windows per type); evaluation is a broadcast join of
+    the 5-row predictor table onto the held-out scan with ONE
+    conditional-sum partial agg computing both losses — no second
+    pass per predictor."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    calib = ev.filter(F.col("ts") < cut).select(
+        "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("m")
+    )
+    hist = calib.groupBy("event_type", "m").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("m")
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "m",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    qs = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("c") * 10 >= F.col("tot") * 9, F.col("m"))).alias(
+            "p90_milli"
+        ),
+        F.min(F.when(F.col("c") * 2 >= F.col("tot"), F.col("m"))).alias(
+            "p50_milli"
+        ),
+    )
+    y = F.floor(F.col("value") * 1000).cast("bigint")
+    test = (
+        ev.filter(F.col("ts") >= cut)
+        .join(F.broadcast(qs), "event_type")
+        .select("event_type", "p90_milli", "p50_milli", y.alias("y"))
+    )
+    loss = lambda pred: F.sum(
+        F.when(
+            F.col("y") > F.col(pred), 9 * (F.col("y") - F.col(pred))
+        ).otherwise(F.col(pred) - F.col("y"))
+    )
+    return test.groupBy("event_type").agg(
+        F.max("p90_milli").alias("p90_milli"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.expr(
+            "sum(case when y > p90_milli then 9 * (y - p90_milli)"
+            " else p90_milli - y end) * 100 div count(1)"
+        ).alias("pinball90_p90_micro"),
+        F.expr(
+            "sum(case when y > p50_milli then 9 * (y - p50_milli)"
+            " else p50_milli - y end) * 100 div count(1)"
+        ).alias("pinball90_p50_micro"),
+    )
+
+
+@q(
+    "new_vs_returning_daily",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+    daily AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+             CASE WHEN CAST(e.ts AS DATE) = f.first_day THEN 1 ELSE 0 END
+               AS is_new
+      FROM events e JOIN firsts f USING (user_id)
+      GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT day, COUNT(*) AS n_active,
+             SUM(is_new) AS n_new
+      FROM daily GROUP BY 1)
+    SELECT CAST(day AS VARCHAR) AS day, n_active, n_new,
+           n_active - n_new AS n_returning,
+           SUM(n_new) OVER (ORDER BY day) AS cum_users,
+           n_new * 1000000 // n_active AS new_share_ppm
+    FROM agg
+    """,
+)
+def new_vs_returning_daily(spark, sf_dir):
+    """New-vs-returning daily active users — the growth-accounting
+    decomposition every product dashboard leads with: per day, how many
+    distinct users were active, how many were seen for the FIRST time,
+    the returning remainder, and the cumulative acquired-user curve.
+    First-seen is an exact per-user MIN (no approximate first-touch),
+    so a user is 'new' on exactly one day.
+
+    Scale shape: the per-user first-day MIN and the per-(day, user)
+    dedup are the two row-scale partial aggs (the join between them is
+    keyed on user — AQE-broadcast where the user dimension fits); the
+    daily rollup is day-cardinality; the cumulative window runs over
+    the bounded day axis (aggregate-fed — gate-legal). Integer ppm
+    shares."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .join(firsts, "user_id")
+        .select(
+            "day",
+            "user_id",
+            (F.col("day") == F.col("first_day")).cast("long").alias("is_new"),
+        )
+        .distinct()
+    )
+    agg = daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"), F.sum("is_new").alias("n_new")
+    )
+    wd = Window.orderBy("day")
+    return agg.select(
+        F.col("day").cast("string").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(wd).alias("cum_users"),
+        F.expr("n_new * 1000000 div n_active").alias("new_share_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -15628,7 +15789,8 @@ _FIRST50: list[str] = [
 # horvitz_thompson_estimate, implicit_negative_sampling,
 # cohens_kappa_labelers, churn_label_windows, kendall_tau_rankers,
 # kfold_metric_stability, selectivity_independence_audit, encoding_size_model,
-# leaderboard_churn, recsys_exposure_coverage.
+# leaderboard_churn, recsys_exposure_coverage, pinball_loss_eval,
+# new_vs_returning_daily.
 
 
 def _ordered_names() -> list[str]:
