@@ -2032,3 +2032,65 @@ def test_exposure_coverage_consistent_with_knn(spark):
     assert row["n_recommended_distinct"] == k
     assert row["coverage_ppm"] == k * 1000000 // catalog
     assert row["exposure_gini_ppm"] == gini
+
+
+def test_pinball_p90_beats_median_and_matches_python(spark):
+    """The p90 predictor must have strictly lower q=0.9 pinball loss than
+    the median on every type, and both losses must match the Python
+    integer recomputation."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev.ts)
+    cut = pd.Timestamp("2024-01-16")
+    rows = entrymod.queries()["pinball_loss_eval"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        g = ev[ev.event_type == r["event_type"]]
+        cal = sorted(math.floor(v * 1000) for v in g[g.ts < cut].value)
+        n = len(cal)
+        p90 = cal[min(n - 1, max(0, math.ceil(0.9 * n) - 1))]
+        p50 = cal[min(n - 1, max(0, math.ceil(0.5 * n) - 1))]
+        assert r["p90_milli"] == p90
+        tst = [math.floor(v * 1000) for v in g[g.ts >= cut].value]
+        s90 = sum(9 * (y - p90) if y > p90 else p90 - y for y in tst)
+        s50 = sum(9 * (y - p50) if y > p50 else p50 - y for y in tst)
+        assert r["n_test"] == len(tst)
+        assert r["pinball90_p90_micro"] == s90 * 100 // len(tst)
+        assert r["pinball90_p50_micro"] == s50 * 100 // len(tst)
+        assert r["pinball90_p90_micro"] < r["pinball90_p50_micro"]
+
+
+def test_new_vs_returning_accounting_identities(spark):
+    """Growth accounting must satisfy the exact identities: every user is
+    new exactly once, cum_users telescopes Σ n_new, and the final
+    cumulative equals the distinct user count."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    rows = sorted(
+        entrymod.queries()["new_vs_returning_daily"](spark, sf).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r["n_new"]
+        assert r["cum_users"] == cum
+        assert r["n_active"] == r["n_new"] + r["n_returning"]
+    assert cum == ev.user_id.nunique()
+    # python recompute of one day's split
+    ev["day"] = pd.to_datetime(ev.ts).dt.date.astype(str)
+    first = ev.groupby("user_id").day.min()
+    d0 = rows[1]["day"]
+    act = ev[ev.day == d0].user_id.unique()
+    n_new = sum(1 for u in act if first[u] == d0)
+    assert rows[1]["n_active"] == len(act) and rows[1]["n_new"] == n_new
