@@ -15634,6 +15634,133 @@ def new_vs_returning_daily(spark, sf_dir):
     )
 
 
+@q(
+    "heaps_law_curve",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    sh AS (
+      SELECT substr(text, i, 3) AS s, doc_id
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)),
+    firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+    bucketed AS (
+      SELECT LEAST(9, first_doc * 10 // (mid + 1)) AS bucket,
+             COUNT(*) AS n_new
+      FROM firsts CROSS JOIN mx GROUP BY 1)
+    SELECT bucket, n_new,
+           SUM(n_new) OVER (ORDER BY bucket) AS cum_distinct
+    FROM bucketed
+    """,
+)
+def heaps_law_curve(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve — how fast new 3-gram types
+    stop appearing as the corpus grows: each shingle is attributed to
+    the FIRST document (by id order) that contains it, documents are
+    cut into 10 ingestion deciles, and the curve of new-types-per-decile
+    falls off as the corpus saturates. This is the measurement behind
+    'is more data still adding vocabulary' — dedup planning, tokenizer
+    retraining triggers, and corpus-diversity tracking all read this
+    curve.
+
+    Scale shape: shingling is the row-scale expansion; the MIN(doc_id)
+    partial agg collapses it to the type universe (same shape as the
+    MinHash signature pass); the decile rollup is 10 rows and the
+    cumulative window runs over those 10 (aggregate-fed). Integer
+    throughout; first-occurrence attribution is exact, not sampled."""
+    docs = _tw(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("s"),
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    bucketed = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.least(F.lit(9), F.expr("first_doc * 10 div (mid + 1)")).alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wb = Window.orderBy("bucket")
+    return bucketed.select(
+        "bucket", "n_new", F.sum("n_new").over(wb).alias("cum_distinct")
+    )
+
+
+@q(
+    "token_mass_coverage",
+    """
+    WITH toks AS (
+      SELECT lower(tok) AS t
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''),
+    freq AS (SELECT t, COUNT(*) AS n FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rk,
+             SUM(n) OVER (ORDER BY n DESC, t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER () AS tot, COUNT(*) OVER () AS vocab_n
+      FROM freq)
+    SELECT MAX(vocab_n) AS vocab_n, MAX(tot) AS total_tokens,
+           MIN(CASE WHEN cum * 2 >= tot THEN rk END) AS k50,
+           MIN(CASE WHEN cum * 10 >= tot * 9 THEN rk END) AS k90,
+           MIN(CASE WHEN cum * 100 >= tot * 99 THEN rk END) AS k99
+    FROM ranked
+    """,
+)
+def token_mass_coverage(spark, sf_dir):
+    """Token-mass coverage curve — the vocabulary-size selection
+    measurement for tokenizer design: the smallest k such that the top-k
+    most frequent tokens cover 50% / 90% / 99% of all token occurrences
+    (Zipf mass concentration). A BPE/unigram tokenizer budget is chosen
+    by exactly this curve; it also quantifies how much of the long tail
+    an OOV bucket must absorb (`vocab_oov_rate`'s design input).
+    Cross-multiplied integer rank tests — no float shares.
+
+    Scale shape: tokenize + frequency count is the row-scale partial
+    agg; the ranking and cumulative windows run over the VOCABULARY
+    axis (aggregate-fed, bounded by distinct tokens — the thing being
+    measured); the readout is one row."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.lower(F.col("tok")).alias("t"))
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "t")
+    wall = Window.partitionBy()
+    ranked = freq.select(
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("vocab_n"),
+    )
+    return ranked.agg(
+        F.max("vocab_n").alias("vocab_n"),
+        F.max("tot").alias("total_tokens"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("rk"))).alias("k50"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("rk"))
+        ).alias("k90"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("tot") * 99, F.col("rk"))
+        ).alias("k99"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -15790,7 +15917,7 @@ _FIRST50: list[str] = [
 # cohens_kappa_labelers, churn_label_windows, kendall_tau_rankers,
 # kfold_metric_stability, selectivity_independence_audit, encoding_size_model,
 # leaderboard_churn, recsys_exposure_coverage, pinball_loss_eval,
-# new_vs_returning_daily.
+# new_vs_returning_daily, heaps_law_curve, token_mass_coverage.
 
 
 def _ordered_names() -> list[str]:
