@@ -15761,6 +15761,150 @@ def token_mass_coverage(spark, sf_dir):
     )
 
 
+@q(
+    "consistent_hash_resharding",
+    """
+    WITH users AS (
+      SELECT DISTINCT event_id AS u,
+             CAST(('0x' || substr(md5('u:' || CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS upos
+      FROM events),
+    nodes AS (
+      SELECT i,
+             CAST(('0x' || substr(md5('node:' || CAST(i AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS npos
+      FROM (SELECT unnest(range(0, 17)) AS i)),
+    ring AS (
+      SELECT u.u, u.upos,
+             COALESCE(MIN(CASE WHEN n.npos >= u.upos AND n.i < 16
+                               THEN n.npos END),
+                      MIN(CASE WHEN n.i < 16 THEN n.npos END)) AS r16pos,
+             COALESCE(MIN(CASE WHEN n.npos >= u.upos THEN n.npos END),
+                      MIN(n.npos)) AS r17pos
+      FROM users u CROSS JOIN nodes n GROUP BY u.u, u.upos),
+    assign AS (
+      SELECT u, u % 16 AS m16, u % 17 AS m17, r16pos, r17pos FROM ring),
+    moved AS (
+      SELECT 'mod_n' AS strategy, COUNT(*) AS n_users,
+             SUM(CASE WHEN m16 <> m17 THEN 1 ELSE 0 END) AS n_moved
+      FROM assign
+      UNION ALL
+      SELECT 'ring', COUNT(*),
+             SUM(CASE WHEN r16pos <> r17pos THEN 1 ELSE 0 END)
+      FROM assign),
+    bal AS (
+      SELECT 'mod_n' AS strategy, MAX(c) AS shard_max, MIN(c) AS shard_min
+      FROM (SELECT m17, COUNT(*) AS c FROM assign GROUP BY 1)
+      UNION ALL
+      SELECT 'ring', MAX(c), MIN(c)
+      FROM (SELECT r17pos, COUNT(*) AS c FROM assign GROUP BY 1))
+    SELECT m.strategy, m.n_users, m.n_moved,
+           m.n_moved * 1000000 // m.n_users AS moved_ppm,
+           b.shard_max, b.shard_min
+    FROM moved m JOIN bal b USING (strategy)
+    """,
+)
+def consistent_hash_resharding(spark, sf_dir):
+    """Consistent-hashing reshard audit — the distributed-systems
+    identity this engine's own shuffle relies on: when a 16-shard
+    cluster grows to 17, mod-N hashing moves ~16/17 ≈ 94% of keys
+    (every repartition is a full shuffle) while ring hashing moves only
+    ~1/17 ≈ 6% (keys between the new node and its predecessor). The
+    query assigns every user both ways from md5-derived positions,
+    counts actual movement, and reports the 17-shard balance (ring
+    hashing with one vnode per node balances WORSE — the classic
+    tradeoff the audit makes visible; real rings use many vnodes).
+
+    Scale shape: the distinct-key pass is row-scale; the ring lookup
+    is a broadcast of the 17-position node table with a conditional-MIN
+    group per key (never a sort per key); movement and balance are
+    partial aggs unioned into a 2-row readout. All arithmetic is bigint
+    hex/mod — deterministic everywhere."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("event_id").distinct().select(
+        F.col("event_id").alias("u"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("u:"), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("upos"),
+    )
+    nodes = spark.range(17).select(
+        F.col("id").alias("i"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("node:"), F.col("id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("npos"),
+    )
+    ring = (
+        users.crossJoin(F.broadcast(nodes))
+        .groupBy("u", "upos")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("npos") >= F.col("upos")) & (F.col("i") < 16),
+                        F.col("npos"),
+                    )
+                ),
+                F.min(F.when(F.col("i") < 16, F.col("npos"))),
+            ).alias("r16pos"),
+            F.coalesce(
+                F.min(F.when(F.col("npos") >= F.col("upos"), F.col("npos"))),
+                F.min("npos"),
+            ).alias("r17pos"),
+        )
+    )
+    assign = ring.select(
+        "u",
+        (F.col("u") % 16).alias("m16"),
+        (F.col("u") % 17).alias("m17"),
+        "r16pos",
+        "r17pos",
+    )
+    moved = assign.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("m16") != F.col("m17"), 1).otherwise(0)).alias(
+            "mv_mod"
+        ),
+        F.sum(F.when(F.col("r16pos") != F.col("r17pos"), 1).otherwise(0)).alias(
+            "mv_ring"
+        ),
+    )
+    bal_mod = assign.groupBy("m17").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.max("c").alias("shard_max"), F.min("c").alias("shard_min")
+    )
+    bal_ring = assign.groupBy("r17pos").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.max("c").alias("shard_max"), F.min("c").alias("shard_min")
+    )
+    mod_row = moved.crossJoin(F.broadcast(bal_mod)).select(
+        F.lit("mod_n").alias("strategy"),
+        "n_users",
+        F.col("mv_mod").alias("n_moved"),
+        F.expr("mv_mod * 1000000 div n_users").alias("moved_ppm"),
+        "shard_max",
+        "shard_min",
+    )
+    ring_row = moved.crossJoin(F.broadcast(bal_ring)).select(
+        F.lit("ring").alias("strategy"),
+        "n_users",
+        F.col("mv_ring").alias("n_moved"),
+        F.expr("mv_ring * 1000000 div n_users").alias("moved_ppm"),
+        "shard_max",
+        "shard_min",
+    )
+    return mod_row.unionByName(ring_row)
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -15917,7 +16061,8 @@ _FIRST50: list[str] = [
 # cohens_kappa_labelers, churn_label_windows, kendall_tau_rankers,
 # kfold_metric_stability, selectivity_independence_audit, encoding_size_model,
 # leaderboard_churn, recsys_exposure_coverage, pinball_loss_eval,
-# new_vs_returning_daily, heaps_law_curve, token_mass_coverage.
+# new_vs_returning_daily, heaps_law_curve, token_mass_coverage,
+# consistent_hash_resharding.
 
 
 def _ordered_names() -> list[str]:

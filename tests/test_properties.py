@@ -2094,3 +2094,100 @@ def test_new_vs_returning_accounting_identities(spark):
     act = ev[ev.day == d0].user_id.unique()
     n_new = sum(1 for u in act if first[u] == d0)
     assert rows[1]["n_active"] == len(act) and rows[1]["n_new"] == n_new
+
+
+def test_heaps_and_token_mass_match_python(spark):
+    """Vocabulary-growth buckets and Zipf coverage ranks must equal the
+    Python recomputation over the same shingles/tokens."""
+    import math
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    mid = int(docs.doc_id.max())
+    firsts = {}
+    for r in docs.itertuples():
+        for i in range(max(0, len(r.text) - 2)):
+            s = r.text[i: i + 3]
+            if s not in firsts or r.doc_id < firsts[s]:
+                firsts[s] = int(r.doc_id)
+    buckets = {}
+    for d in firsts.values():
+        b = min(9, d * 10 // (mid + 1))
+        buckets[b] = buckets.get(b, 0) + 1
+    cum = 0
+    expect_h = set()
+    for b in sorted(buckets):
+        cum += buckets[b]
+        expect_h.add((b, buckets[b], cum))
+    got_h = {
+        (r["bucket"], r["n_new"], r["cum_distinct"])
+        for r in entrymod.queries()["heaps_law_curve"](spark, sf).collect()
+    }
+    assert got_h == expect_h
+
+    freq = {}
+    for t in docs.text:
+        for tok in re.split(r"\s+", t.strip()):
+            if tok:
+                tok = tok.lower()
+                freq[tok] = freq.get(tok, 0) + 1
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(freq.values())
+    cum = 0
+    k50 = k90 = k99 = None
+    for rk, (_, n) in enumerate(ordered, start=1):
+        cum += n
+        if k50 is None and cum * 2 >= tot:
+            k50 = rk
+        if k90 is None and cum * 10 >= tot * 9:
+            k90 = rk
+        if k99 is None and cum * 100 >= tot * 99:
+            k99 = rk
+    row = entrymod.queries()["token_mass_coverage"](spark, sf).collect()[0]
+    assert (row["vocab_n"], row["total_tokens"], row["k50"], row["k90"],
+            row["k99"]) == (len(freq), tot, k50, k90, k99)
+
+
+def test_consistent_hashing_theory_holds(spark):
+    """Ring movement must be far below mod-N movement (the whole point),
+    mod-N must move ~16/17 of keys, ring ~1/17 (loose bands), and the
+    assignment must match a Python ring recomputation."""
+    import hashlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["strategy"]: r
+        for r in entrymod.queries()["consistent_hash_resharding"](
+            spark, sf
+        ).collect()
+    }
+    mod, ring = rows["mod_n"], rows["ring"]
+    assert mod["n_users"] == ring["n_users"] > 0
+    assert ring["moved_ppm"] < mod["moved_ppm"] / 3
+    assert 850000 < mod["moved_ppm"] <= 1000000     # ~16/17 = 941k
+    assert ring["moved_ppm"] < 300000               # ~1/17 = 59k, loose band
+    # python ring recompute of the movement count
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    users = sorted(set(int(u) for u in ev.event_id))
+    npos = [int(hashlib.md5(f"node:{i}".encode()).hexdigest()[:8], 16)
+            for i in range(17)]
+
+    def ring_assign(upos, nodes):
+        cand = [p for p in nodes if p >= upos]
+        return min(cand) if cand else min(nodes)
+
+    moved = 0
+    for u in users:
+        upos = int(hashlib.md5(f"u:{u}".encode()).hexdigest()[:8], 16)
+        if ring_assign(upos, npos[:16]) != ring_assign(upos, npos):
+            moved += 1
+    assert ring["n_moved"] == moved
