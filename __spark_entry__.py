@@ -14522,8 +14522,10 @@ def interarrival_cv_audit(spark, sf_dir):
       FROM wts CROSS JOIN tot),
     short AS (SELECT CAST(1000000 - SUM(base_alloc) AS BIGINT) AS r FROM base),
     ranked AS (
-      SELECT b.*, s.r,
-             row_number() OVER (ORDER BY b.rem DESC, b.source) AS rk
+      SELECT b.source, b.n_docs, b.n_chars, b.base_alloc, s.r,
+             1 + (SELECT COUNT(*) FROM base b2
+                  WHERE b2.rem > b.rem
+                     OR (b2.rem = b.rem AND b2.source < b.source)) AS rk
       FROM base b CROSS JOIN short s)
     SELECT source, n_docs, n_chars,
            base_alloc + CASE WHEN rk <= r THEN 1 ELSE 0 END AS alloc_tokens,
@@ -14568,10 +14570,20 @@ def temperature_sampling_mix(spark, sf_dir):
         F.expr("wi * 1000000 % w_all").alias("rem"),
     )
     short = base.agg((F.lit(1000000) - F.sum("base_alloc")).cast("bigint").alias("r"))
-    wr = Window.orderBy(F.col("rem").desc(), "source")
-    ranked = base.crossJoin(F.broadcast(short)).withColumn(
-        "rk", F.row_number().over(wr)
+    # rank-by-self-join instead of a global window: the remainder ranking
+    # runs on the |sources| dimension table, and this form keeps the plan
+    # free of ANY SinglePartition exchange (the window variant funnels the
+    # BNLJ output through one partition, which the plan gate flags)
+    b2 = base.select(F.col("rem").alias("rem2"), F.col("source").alias("source2"))
+    higher = (F.col("rem2") > F.col("rem")) | (
+        (F.col("rem2") == F.col("rem")) & (F.col("source2") < F.col("source"))
     )
+    rk = (
+        base.join(F.broadcast(b2), higher, "left")
+        .groupBy("source", "n_docs", "n_chars", "base_alloc")
+        .agg((1 + F.count("source2")).alias("rk"))
+    )
+    ranked = rk.crossJoin(F.broadcast(short))
     return ranked.select(
         "source",
         "n_docs",
