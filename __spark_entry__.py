@@ -15636,12 +15636,16 @@ def new_vs_returning_daily(spark, sf_dir):
         F.count(F.lit(1)).alias("n_active"), F.sum("is_new").alias("n_new")
     )
     wd = Window.orderBy("day")
-    return agg.select(
+    # window over the native date FIRST, cast after: keeps the bounded
+    # SinglePartition exchange fed directly by the daily aggregate (the
+    # gate-legal shape), not by an interposed cast Project
+    cum = agg.withColumn("cum_users", F.sum("n_new").over(wd))
+    return cum.select(
         F.col("day").cast("string").alias("day"),
         "n_active",
         "n_new",
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
-        F.sum("n_new").over(wd).alias("cum_users"),
+        "cum_users",
         F.expr("n_new * 1000000 div n_active").alias("new_share_ppm"),
     )
 

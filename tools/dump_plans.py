@@ -118,6 +118,22 @@ HEADLINE = [
     "cohort_overlap_jaccard",
     "attribution_time_decay",
     "phonetic_blocking_audit",
+    # round 6, batches 36-44
+    "interarrival_cv_audit",
+    "temperature_sampling_mix",
+    "horvitz_thompson_estimate",
+    "implicit_negative_sampling",
+    "cohens_kappa_labelers",
+    "kendall_tau_rankers",
+    "kfold_metric_stability",
+    "selectivity_independence_audit",
+    "encoding_size_model",
+    "leaderboard_churn",
+    "pinball_loss_eval",
+    "new_vs_returning_daily",
+    "heaps_law_curve",
+    "token_mass_coverage",
+    "consistent_hash_resharding",
 ]
 
 
