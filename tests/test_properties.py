@@ -2191,3 +2191,90 @@ def test_consistent_hashing_theory_holds(spark):
         if ring_assign(upos, npos[:16]) != ring_assign(upos, npos):
             moved += 1
     assert ring["n_moved"] == moved
+
+
+def test_leadlag_xcorr_matches_numpy(spark):
+    """Each lag's correlation must match numpy Pearson on the aligned
+    daily series."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    days = sorted(set(ev.day))
+    a = {d: int(((ev.day == d) & (ev.event_type == "view")).sum()) for d in days}
+    b = {d: int(((ev.day == d) & (ev.event_type == "purchase")).sum()) for d in days}
+    rows = entrymod.queries()["leadlag_crosscorrelation"](spark, sf).collect()
+    assert len(rows) == 7
+    import datetime
+
+    for r in rows:
+        lag = r["lag"]
+        pairs = [
+            (a[d], b[d + datetime.timedelta(days=lag)])
+            for d in days
+            if d + datetime.timedelta(days=lag) in b
+        ]
+        assert r["n"] == len(pairs)
+        x = np.array([p[0] for p in pairs], dtype=float)
+        y = np.array([p[1] for p in pairs], dtype=float)
+        expect = np.corrcoef(x, y)[0, 1]
+        assert abs(r["xcorr"] - expect) < 1e-5, (lag, r["xcorr"], expect)
+
+
+def test_window_value_functions_match_python(spark):
+    """The momentum rollup must equal a per-user Python scan of ordered
+    first/second/last values."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    n_up = n_down = n_single = n_users = 0
+    for _, g in ev.groupby("user_id"):
+        vs = list(g.value)
+        n_users += 1
+        if len(vs) < 2:
+            n_single += 1
+        if vs[-1] > vs[0]:
+            n_up += 1
+        elif vs[-1] < vs[0]:
+            n_down += 1
+    r = entrymod.queries()["window_value_functions"](spark, sf).collect()[0]
+    assert (r["n_users"], r["n_up"], r["n_down"], r["n_single_event"]) == (
+        n_users, n_up, n_down, n_single,
+    )
+
+
+def test_array_lambda_functions_match_python(spark):
+    """Per-language token stats must equal Python recomputation."""
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    expect = {}
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", r.text.strip())
+        n, tc, mx, lg = expect.get(r.lang, (0, 0, 0, 0))
+        expect[r.lang] = (
+            n + 1,
+            tc + sum(len(t) for t in toks),
+            max(mx, max(len(t) for t in toks)),
+            lg + sum(1 for t in toks if len(t) > 5),
+        )
+    got = {
+        r["lang"]: (r["n_docs"], r["total_chars"], r["max_token_len"],
+                    r["n_long_tokens"])
+        for r in entrymod.queries()["array_lambda_functions"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
