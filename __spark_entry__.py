@@ -16129,6 +16129,171 @@ def array_lambda_functions(spark, sf_dir):
     )
 
 
+@q(
+    "content_defined_chunking",
+    """
+    WITH marks AS (
+      SELECT doc_id, i + 2 AS cut
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+            FROM documents)
+      WHERE CAST(('0x' || substr(md5(substr(text, i, 3)), 1, 8)) AS BIGINT)
+            % 16 = 0
+        AND i + 2 < length(text)),
+    cuts AS (SELECT doc_id, list_sort(list(cut)) AS cs FROM marks GROUP BY 1),
+    base AS (
+      SELECT d.doc_id, d.text, length(d.text) AS L,
+             COALESCE(c.cs, []) AS cs
+      FROM documents d LEFT JOIN cuts c USING (doc_id)),
+    spans AS (
+      SELECT doc_id, text, L, cs,
+             unnest(range(1, len(cs) + 2)) AS k
+      FROM base),
+    chunks AS (
+      SELECT doc_id,
+             CASE WHEN k = 1 THEN 0 ELSE cs[k - 1] END AS s,
+             CASE WHEN k = CAST(len(cs) AS BIGINT) + 1 THEN L
+                  ELSE cs[k] END AS e,
+             text
+      FROM spans),
+    hashed AS (
+      SELECT doc_id, e - s AS chunk_len,
+             md5(substr(text, s + 1, e - s)) AS h
+      FROM chunks WHERE e > s)
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT h) AS n_distinct_chunks,
+           (COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*)
+             AS dedup_saving_ppm,
+           CAST(SUM(chunk_len) AS BIGINT) * 1000 // COUNT(*)
+             AS mean_chunk_len_milli
+    FROM hashed
+    """,
+)
+def content_defined_chunking(spark, sf_dir):
+    """Content-defined chunking (FastCDC/rsync-style) — the storage-dedup
+    primitive: split every document at positions where the rolling
+    3-gram fingerprint hits a hash condition (md5 % 16 == 0 →
+    expected chunk ≈ 16 chars), so IDENTICAL CONTENT CHUNKS ALIGN even
+    when documents insert/delete bytes (fixed-size blocks would shift
+    and never dedup). Cross-document chunk-hash dedup then measures how
+    much of the corpus is redundant at sub-document granularity —
+    between `dedup_exact` (whole doc) and `substring_span_dedup`
+    (token spans).
+
+    Scale shape: the position explode is the row-scale expansion (same
+    budget as the MinHash shingle pass); cut lists collapse per doc
+    (partial agg), spans re-explode to chunk granularity ARRAY-SIDE
+    (bounded by cuts-per-doc), and the readout is one distinct-count
+    agg. Every boundary decision is an md5 predicate — deterministic
+    across engines, runs, and partitionings."""
+    docs = _tw(spark, sf_dir, "documents")
+    marks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> named_struct('cut', i + 2, 'h',"
+                " cast(conv(substring(md5(substring(text, i, 3)), 1, 8), 16, 10)"
+                " as bigint) % 16, 'L', length(text))),"
+                " s -> s.h = 0 AND s.cut < s.L)"
+            )
+        ).alias("m"),
+    ).select("doc_id", F.col("m.cut").alias("cut"))
+    cuts = marks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("cut")).alias("cs")
+    )
+    base = docs.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.length("text").alias("L"),
+        F.coalesce(F.col("cs"), F.expr("cast(array() as array<int>)")).alias(
+            "cs"
+        ),
+    )
+    spans = base.select(
+        "doc_id",
+        "text",
+        "L",
+        "cs",
+        F.explode(F.expr("sequence(1, size(cs) + 1)")).alias("k"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.expr("CASE WHEN k = 1 THEN 0 ELSE element_at(cs, k - 1) END").alias(
+            "s"
+        ),
+        F.expr(
+            "CASE WHEN k = size(cs) + 1 THEN L ELSE element_at(cs, k) END"
+        ).alias("e"),
+        "text",
+    ).filter(F.col("e") > F.col("s"))
+    hashed = chunks.select(
+        "doc_id",
+        (F.col("e") - F.col("s")).alias("chunk_len"),
+        F.expr("md5(substring(text, s + 1, e - s))").alias("h"),
+    )
+    return hashed.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("h").alias("n_distinct_chunks"),
+        F.expr(
+            "(count(1) - count(distinct h)) * 1000000 div count(1)"
+        ).alias("dedup_saving_ppm"),
+        F.expr("cast(sum(chunk_len) as bigint) * 1000 div count(1)").alias(
+            "mean_chunk_len_milli"
+        ),
+    )
+
+
+@q(
+    "l_diversity_audit",
+    """
+    WITH g AS (
+      SELECT user_id // 10 AS cohort, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT event_type) AS l
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*) AS n_groups FROM g)
+    SELECT g.l, COUNT(*) AS n_groups,
+           COUNT(*) * 1000000 // MAX(t.n_groups) AS group_share_ppm,
+           SUM(CASE WHEN g.l >= 3 THEN 1 ELSE 0 END) * 1000000
+             // MAX(t.n_groups) AS compliant_contribution_ppm
+    FROM g CROSS JOIN tot t GROUP BY g.l
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit — the privacy check BEYOND k-anonymity
+    (`k_anonymity_generalize`): a quasi-identifier group is safe only
+    if its SENSITIVE attribute (event_type) takes ≥ l distinct values;
+    a k-large group where everyone purchased still leaks. Groups are
+    (user-cohort, day) cells; the histogram of per-group diversity l
+    and each class's share tells the release reviewer how much of the
+    table meets l ≥ 3.
+
+    Scale shape: one partial-agg distinct-count per group (row-scale
+    pass), a 1-row total broadcast, and an l-histogram rollup on
+    group-cardinality rows. Integer ppm shares."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr("user_id div 10").alias("cohort"), F.to_date("ts").alias("day")
+    ).agg(F.count_distinct("event_type").alias("l"))
+    tot = g.agg(F.count(F.lit(1)).alias("n_groups"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.expr("count(1) * 1000000 div max(n_groups)").alias(
+                "group_share_ppm"
+            ),
+            F.expr(
+                "sum(case when l >= 3 then 1 else 0 end) * 1000000"
+                " div max(n_groups)"
+            ).alias("compliant_contribution_ppm"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -16287,7 +16452,8 @@ _FIRST50: list[str] = [
 # leaderboard_churn, recsys_exposure_coverage, pinball_loss_eval,
 # new_vs_returning_daily, heaps_law_curve, token_mass_coverage,
 # consistent_hash_resharding, leadlag_crosscorrelation,
-# window_value_functions, array_lambda_functions.
+# window_value_functions, array_lambda_functions,
+# content_defined_chunking, l_diversity_audit.
 
 
 def _ordered_names() -> list[str]:
