@@ -2278,3 +2278,81 @@ def test_array_lambda_functions_match_python(spark):
         for r in entrymod.queries()["array_lambda_functions"](spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_cdc_chunking_matches_python_and_aligns_on_shift(spark):
+    """Chunk stats must equal the Python recomputation, and the
+    content-defined property must hold: chunking text and a shifted
+    copy ('X' + text) in Python yields mostly-identical chunk hashes
+    (boundaries realign after the edit)."""
+    import hashlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    def chunk(text):
+        L = len(text)
+        cuts = [
+            i + 2
+            for i in range(1, max(0, L - 2) + 1)
+            if int(hashlib.md5(text[i - 1: i + 2].encode()).hexdigest()[:8], 16)
+            % 16 == 0 and i + 2 < L
+        ]
+        bounds = [0] + cuts + [L]
+        return [
+            text[s:e] for s, e in zip(bounds, bounds[1:]) if e > s
+        ]
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    n_chunks = 0
+    lens = 0
+    hashes = set()
+    for t in docs.text:
+        cs = chunk(t)
+        n_chunks += len(cs)
+        lens += sum(len(c) for c in cs)
+        hashes |= {hashlib.md5(c.encode()).hexdigest() for c in cs}
+    r = entrymod.queries()["content_defined_chunking"](spark, sf).collect()[0]
+    assert r["n_docs"] == len(docs)
+    assert r["n_chunks"] == n_chunks
+    assert r["n_distinct_chunks"] == len(hashes)
+    assert r["dedup_saving_ppm"] == (n_chunks - len(hashes)) * 1000000 // n_chunks
+    assert r["mean_chunk_len_milli"] == lens * 1000 // n_chunks
+    # content-defined alignment: a 1-char prefix edit must preserve most
+    # chunk hashes (fixed-size blocks would preserve none)
+    t = max(docs.text, key=len)
+    orig = {hashlib.md5(c.encode()).hexdigest() for c in chunk(t)}
+    shifted = {hashlib.md5(c.encode()).hexdigest() for c in chunk("X" + t)}
+    assert len(orig & shifted) >= len(orig) // 2
+
+
+def test_l_diversity_histogram_matches_python(spark):
+    """The diversity histogram must equal Python set counting per
+    (cohort, day) group."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    ev["cohort"] = ev.user_id // 10
+    ls = ev.groupby(["cohort", "day"]).event_type.nunique()
+    n_groups = len(ls)
+    hist = ls.value_counts().to_dict()
+    expect = {
+        int(l): (
+            int(c),
+            int(c) * 1000000 // n_groups,
+            (int(c) if l >= 3 else 0) * 1000000 // n_groups,
+        )
+        for l, c in hist.items()
+    }
+    got = {
+        r["l"]: (r["n_groups"], r["group_share_ppm"],
+                 r["compliant_contribution_ppm"])
+        for r in entrymod.queries()["l_diversity_audit"](spark, sf).collect()
+    }
+    assert got == expect and len(got) > 0
