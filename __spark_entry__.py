@@ -16294,6 +16294,178 @@ def l_diversity_audit(spark, sf_dir):
     )
 
 
+@q(
+    "sampled_join_bias",
+    """
+    WITH exact AS (
+      SELECT c_nationkey, COUNT(*) AS n_exact,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) * 100 AS BIGINT)
+               AS rev_c_exact
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    osamp AS (
+      SELECT * FROM orders
+      WHERE substr(md5('sj:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+            < '19999999'),
+    est AS (
+      SELECT c_nationkey, COUNT(*) * 10 AS n_est,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) * 1000 AS BIGINT)
+               AS rev_c_est
+      FROM osamp JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT e.c_nationkey, e.n_exact, x.n_est, e.rev_c_exact, x.rev_c_est,
+           abs(x.rev_c_est - e.rev_c_exact) * 1000000 // e.rev_c_exact
+             AS rev_err_ppm
+    FROM exact e JOIN est x USING (c_nationkey)
+    """,
+)
+def sampled_join_bias(spark, sf_dir):
+    """Sample-then-join error audit — what approximate query processing
+    actually costs: join a deterministic 10% fact sample (md5 threshold
+    0x19999999/2³² ≈ 0.1) to the dimension, scale by 10, and compare
+    against the exact join-aggregate per nation. The per-group error in
+    ppm is the number an AQP layer must publish next to every
+    'approximate' dashboard — group-level errors are MUCH larger than
+    the global one (fewer sampled rows per group), which is exactly the
+    trap. Estimator scaling is integer (counts ×10, cent-sums ×10 via
+    the ×1000 decimal scale against ×100 exact).
+
+    Scale shape: both legs are plain join + partial aggs; the sample
+    leg's filter is pushed to the scan (the whole point at 100 TB —
+    read 10%, not 100%); comparison joins |nations| rows. The
+    deterministic sample means the audit itself is reproducible —
+    rand() sampling would give a different error every run."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    exact = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            (F.sum(F.col("o_totalprice").cast("decimal(30,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_c_exact"),
+        )
+    )
+    osamp = orders.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("sj:"), F.col("o_orderkey").cast("string"))), 1, 8
+        )
+        < "19999999"
+    )
+    est = (
+        osamp.join(customer, osamp.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            (F.count(F.lit(1)) * 10).alias("n_est"),
+            (F.sum(F.col("o_totalprice").cast("decimal(30,2)")) * 1000)
+            .cast("bigint")
+            .alias("rev_c_est"),
+        )
+    )
+    return exact.join(est, "c_nationkey").select(
+        "c_nationkey",
+        "n_exact",
+        "n_est",
+        "rev_c_exact",
+        "rev_c_est",
+        F.expr(
+            "abs(rev_c_est - rev_c_exact) * 1000000 div rev_c_exact"
+        ).alias("rev_err_ppm"),
+    )
+
+
+@q(
+    "session_definition_sensitivity",
+    """
+    WITH lagged AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    marks AS (
+      SELECT user_id,
+             CASE WHEN gap_us IS NULL OR gap_us > 900000000
+                  THEN 1 ELSE 0 END AS s15,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                  THEN 1 ELSE 0 END AS s30,
+             CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+                  THEN 1 ELSE 0 END AS s60
+      FROM lagged),
+    tot AS (
+      SELECT COUNT(*) AS n_events, SUM(s15) AS n15, SUM(s30) AS n30,
+             SUM(s60) AS n60
+      FROM marks)
+    SELECT gap_minutes, n_sessions,
+           n_events * 1000 // n_sessions AS events_per_session_milli
+    FROM (
+      SELECT 15 AS gap_minutes, n15 AS n_sessions, n_events FROM tot
+      UNION ALL SELECT 30, n30, n_events FROM tot
+      UNION ALL SELECT 60, n60, n_events FROM tot)
+    """,
+)
+def session_definition_sensitivity(spark, sf_dir):
+    """Session-definition sensitivity — how much the 'sessions' metric
+    depends on the arbitrary inactivity threshold: session counts under
+    15/30/60-minute gap rules, computed from ONE lag() pass (a session
+    start under threshold T is simply gap > T, so all three definitions
+    are conditional sums over the same gap column — never three
+    sessionization jobs). Every analytics team fights about this
+    number; this query quantifies the fight: the metric's sensitivity
+    to T is its real error bar, the methodology complement to
+    `sessionize_events` (which commits to 30 min).
+
+    Scale shape: one hash shuffle on user_id for the lag window; the
+    three-threshold readout is a 1-row conditional agg unpivoted to 3
+    rows. Integer microsecond gaps, integer milli events-per-session."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    lagged = ev.select(
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    mark = lambda t_us: F.sum(
+        F.when(F.col("gap_us").isNull() | (F.col("gap_us") > t_us), 1).otherwise(
+            0
+        )
+    )
+    tot = lagged.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        mark(900000000).alias("n15"),
+        mark(1800000000).alias("n30"),
+        mark(3600000000).alias("n60"),
+    )
+    rows = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(15).alias("gap_minutes"),
+                    F.col("n15").alias("n_sessions"),
+                    F.col("n_events").alias("n_events"),
+                ),
+                F.struct(
+                    F.lit(30).alias("gap_minutes"),
+                    F.col("n30").alias("n_sessions"),
+                    F.col("n_events").alias("n_events"),
+                ),
+                F.struct(
+                    F.lit(60).alias("gap_minutes"),
+                    F.col("n60").alias("n_sessions"),
+                    F.col("n_events").alias("n_events"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "gap_minutes",
+        "n_sessions",
+        F.expr("n_events * 1000 div n_sessions").alias(
+            "events_per_session_milli"
+        ),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -16453,7 +16625,8 @@ _FIRST50: list[str] = [
 # new_vs_returning_daily, heaps_law_curve, token_mass_coverage,
 # consistent_hash_resharding, leadlag_crosscorrelation,
 # window_value_functions, array_lambda_functions,
-# content_defined_chunking, l_diversity_audit.
+# content_defined_chunking, l_diversity_audit, sampled_join_bias,
+# session_definition_sensitivity.
 
 
 def _ordered_names() -> list[str]:
