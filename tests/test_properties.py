@@ -2356,3 +2356,68 @@ def test_l_diversity_histogram_matches_python(spark):
         for r in entrymod.queries()["l_diversity_audit"](spark, sf).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_sampled_join_bias_matches_python(spark):
+    """The estimator and exact legs must match a Python recomputation
+    with the same md5 sample membership."""
+    import hashlib
+    from decimal import Decimal
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    c = pd.read_parquet(f"{sf}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    exact, est = {}, {}
+    for r in j.itertuples():
+        cents = int(Decimal(repr(r.o_totalprice)).quantize(Decimal("0.01")) * 100)
+        n, s = exact.get(r.c_nationkey, (0, 0))
+        exact[r.c_nationkey] = (n + 1, s + cents)
+        if hashlib.md5(f"sj:{r.o_orderkey}".encode()).hexdigest()[:8] < "19999999":
+            n, s = est.get(r.c_nationkey, (0, 0))
+            est[r.c_nationkey] = (n + 1, s + cents)
+    rows = entrymod.queries()["sampled_join_bias"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        ne, se = exact[r["c_nationkey"]]
+        ns, ss = est.get(r["c_nationkey"], (0, 0))
+        assert r["n_exact"] == ne and r["rev_c_exact"] == se
+        assert r["n_est"] == ns * 10 and r["rev_c_est"] == ss * 10
+        assert r["rev_err_ppm"] == abs(ss * 10 - se) * 1000000 // se
+
+
+def test_session_sensitivity_monotone_and_matches_python(spark):
+    """Session counts must be monotonically non-increasing in the gap
+    threshold and equal the Python gap-scan recomputation."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["us"] = pd.to_datetime(ev.ts).astype("datetime64[us]").astype("int64")
+    counts = {15: 0, 30: 0, 60: 0}
+    n_events = 0
+    for _, g in ev.groupby("user_id"):
+        ks = sorted(zip(g.us, g.event_id))
+        n_events += len(ks)
+        prev = None
+        for us, _ in ks:
+            for t in counts:
+                if prev is None or us - prev > t * 60000000:
+                    counts[t] += 1
+            prev = us
+    got = {
+        r["gap_minutes"]: (r["n_sessions"], r["events_per_session_milli"])
+        for r in entrymod.queries()["session_definition_sensitivity"](
+            spark, sf
+        ).collect()
+    }
+    assert got == {
+        t: (c, n_events * 1000 // c) for t, c in counts.items()
+    }
+    assert got[15][0] >= got[30][0] >= got[60][0]
