@@ -16466,6 +16466,169 @@ def session_definition_sensitivity(spark, sf_dir):
     )
 
 
+@q(
+    "uplift_qini_points",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS treated,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS score,
+             MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1),
+    ranked AS (
+      SELECT treated, y,
+             (row_number() OVER (ORDER BY score DESC, user_id) - 1) * 10
+               // COUNT(*) OVER () AS decile
+      FROM per_user),
+    d AS (
+      SELECT decile,
+             SUM(treated) AS tn, SUM(treated * y) AS tpos,
+             SUM(1 - treated) AS cn, SUM((1 - treated) * y) AS cpos
+      FROM ranked GROUP BY 1),
+    cum AS (
+      SELECT decile,
+             SUM(tn) OVER w AS cum_tn, SUM(tpos) OVER w AS cum_tpos,
+             SUM(cn) OVER w AS cum_cn, SUM(cpos) OVER w AS cum_cpos
+      FROM d WINDOW w AS (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT decile, cum_tn, cum_tpos, cum_cn, cum_cpos,
+           cum_tpos - cum_tn * cum_cpos // cum_cn AS qini_incremental
+    FROM cum
+    """,
+)
+def uplift_qini_points(spark, sf_dir):
+    """Qini curve points — the uplift-modeling acceptance metric: rank
+    users by a targeting score (pre-period activity), and at each score
+    decile compare cumulative treated conversions against the expected
+    conversions had the treated cohort behaved like control
+    (cum_tpos − cum_tn·cum_cpos/cum_cn, integer-floored). A useful
+    targeting score makes the incremental column rise fastest in the
+    top deciles; a flat/noisy curve means the campaign targets nobody
+    in particular. Treatment is the deterministic user-hash split
+    shared with `cuped_variance_reduction`; outcome is any post-period
+    purchase.
+
+    Scale shape: one partial-agg per-user pass (score, treatment,
+    outcome together); ranking runs over the USER dimension (at fleet
+    scale swap the row_number decile for broadcast quantile bounds —
+    `quantile_bucket_global`'s pattern); per-decile sums and the
+    10-row cumulative window are bounded. Integer everywhere."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("user_id") % 2)).alias("treated"),
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "treated",
+        "y",
+        F.expr(
+            "(row_number() over (order by score desc, user_id) - 1) * 10"
+        ).alias("rn10"),
+        F.count(F.lit(1)).over(wall).alias("n_all"),
+    ).select(
+        "treated", "y", F.expr("rn10 div n_all").alias("decile")
+    )
+    d = ranked.groupBy("decile").agg(
+        F.sum("treated").alias("tn"),
+        F.sum(F.col("treated") * F.col("y")).alias("tpos"),
+        F.sum(1 - F.col("treated")).alias("cn"),
+        F.sum((1 - F.col("treated")) * F.col("y")).alias("cpos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "decile",
+        F.sum("tn").over(wc).alias("cum_tn"),
+        F.sum("tpos").over(wc).alias("cum_tpos"),
+        F.sum("cn").over(wc).alias("cum_cn"),
+        F.sum("cpos").over(wc).alias("cum_cpos"),
+    )
+    return cum.select(
+        "decile",
+        "cum_tn",
+        "cum_tpos",
+        "cum_cn",
+        "cum_cpos",
+        F.expr("cum_tpos - cum_tn * cum_cpos div cum_cn").alias(
+            "qini_incremental"
+        ),
+    )
+
+
+@q(
+    "equidepth_histogram_bounds",
+    """
+    WITH h AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT cents, n,
+             SUM(n) OVER (ORDER BY cents) AS cum,
+             SUM(n) OVER () AS tot
+      FROM h),
+    b AS (SELECT unnest(range(1, 9)) AS bucket)
+    SELECT b.bucket,
+           MIN(CASE WHEN c.cum * 8 >= c.tot * b.bucket THEN c.cents END)
+             AS upper_bound_cents,
+           MIN(CASE WHEN c.cum * 8 >= c.tot * b.bucket THEN c.cum END)
+             AS cum_rows
+    FROM c CROSS JOIN b GROUP BY b.bucket
+    """,
+)
+def equidepth_histogram_bounds(spark, sf_dir):
+    """Equi-depth histogram boundaries — the optimizer statistic behind
+    range-predicate selectivity estimates (`selectivity_independence_audit`
+    shows what happens without good stats): 8 buckets of equal row
+    count over order value, each boundary the exact smallest cent value
+    whose cumulative count reaches k/8 of the total (cross-multiplied
+    integer rank test, the `daily_percentile_bands` pattern at the
+    stats-collection layer). ANALYZE jobs persist exactly this table.
+
+    Scale shape: one partial-agg value histogram (row-scale pass), a
+    cumulative window over the bounded cent axis, and an 8-row bucket
+    probe joined against the cumulative table. Integer-exact
+    boundaries — two engines computing stats from the same data agree
+    byte-for-byte, which is how plan regressions stay reproducible."""
+    orders = _t(spark, sf_dir, "orders")
+    h = orders.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    c = h.select(
+        "cents",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    b = spark.range(1, 9).select(F.col("id").alias("bucket"))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .groupBy("bucket")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") * 8 >= F.col("tot") * F.col("bucket"),
+                    F.col("cents"),
+                )
+            ).alias("upper_bound_cents"),
+            F.min(
+                F.when(
+                    F.col("cum") * 8 >= F.col("tot") * F.col("bucket"),
+                    F.col("cum"),
+                )
+            ).alias("cum_rows"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -16626,7 +16789,8 @@ _FIRST50: list[str] = [
 # consistent_hash_resharding, leadlag_crosscorrelation,
 # window_value_functions, array_lambda_functions,
 # content_defined_chunking, l_diversity_audit, sampled_join_bias,
-# session_definition_sensitivity.
+# session_definition_sensitivity, uplift_qini_points,
+# equidepth_histogram_bounds.
 
 
 def _ordered_names() -> list[str]:

@@ -134,6 +134,14 @@ HEADLINE = [
     "heaps_law_curve",
     "token_mass_coverage",
     "consistent_hash_resharding",
+    # round 6, batches 45-47
+    "leadlag_crosscorrelation",
+    "window_value_functions",
+    "array_lambda_functions",
+    "content_defined_chunking",
+    "l_diversity_audit",
+    "sampled_join_bias",
+    "session_definition_sensitivity",
 ]
 
 
