@@ -16474,7 +16474,8 @@ def session_definition_sensitivity(spark, sf_dir):
              SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
                AS score,
              MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                       AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+                       AND event_type = 'purchase' AND value > 250
+                  THEN 1 ELSE 0 END) AS y
       FROM events GROUP BY 1),
     ranked AS (
       SELECT treated, y,
@@ -16506,8 +16507,9 @@ def uplift_qini_points(spark, sf_dir):
     targeting score makes the incremental column rise fastest in the
     top deciles; a flat/noisy curve means the campaign targets nobody
     in particular. Treatment is the deterministic user-hash split
-    shared with `cuped_variance_reduction`; outcome is any post-period
-    purchase.
+    shared with `cuped_variance_reduction`; outcome is a HIGH-VALUE
+    post-period purchase (value > 250 — rare enough that the curve has
+    room to discriminate).
 
     Scale shape: one partial-agg per-user pass (score, treatment,
     outcome together); ranking runs over the USER dimension (at fleet
@@ -16521,7 +16523,10 @@ def uplift_qini_points(spark, sf_dir):
         F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("score"),
         F.max(
             F.when(
-                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"), 1
+                (F.col("ts") >= cut)
+                & (F.col("event_type") == "purchase")
+                & (F.col("value") > 250),
+                1,
             ).otherwise(0)
         ).alias("y"),
     )
