@@ -2421,3 +2421,77 @@ def test_session_sensitivity_monotone_and_matches_python(spark):
         t: (c, n_events * 1000 // c) for t, c in counts.items()
     }
     assert got[15][0] >= got[30][0] >= got[60][0]
+
+
+def test_qini_points_match_python_and_telescope(spark):
+    """Qini cumulative columns must telescope correctly and match a
+    Python recomputation of the same decile assignment."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev.ts)
+    cut = pd.Timestamp("2024-01-16")
+    per = {}
+    for u, g in ev.groupby("user_id"):
+        score = int((g.ts < cut).sum())
+        y = int(((g.ts >= cut) & (g.event_type == "purchase")
+                 & (g.value > 250)).any())
+        per[int(u)] = (int(u) % 2, score, y)
+    users = sorted(per, key=lambda u: (-per[u][1], u))
+    n = len(users)
+    cum = {}
+    tn = tp = cn = cp = 0
+    rows = {}
+    for i, u in enumerate(users):
+        t, _, y = per[u]
+        if t:
+            tn += 1
+            tp += y
+        else:
+            cn += 1
+            cp += y
+        d = i * 10 // n
+        rows[d] = (tn, tp, cn, cp)
+    got = sorted(
+        entrymod.queries()["uplift_qini_points"](spark, sf).collect(),
+        key=lambda r: r["decile"],
+    )
+    for r in got:
+        etn, etp, ecn, ecp = rows[r["decile"]]
+        assert (r["cum_tn"], r["cum_tpos"], r["cum_cn"], r["cum_cpos"]) == (
+            etn, etp, ecn, ecp)
+        assert r["qini_incremental"] == etp - etn * ecp // ecn
+    # cumulative columns must be non-decreasing
+    for a, b in zip(got, got[1:]):
+        assert b["cum_tn"] >= a["cum_tn"] and b["cum_cn"] >= a["cum_cn"]
+
+
+def test_equidepth_bounds_match_python_rank(spark):
+    """Each boundary must be the exact smallest cent value reaching k/8
+    of the cumulative mass."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    cents = sorted(int(round(v * 100)) for v in o.o_totalprice)
+    tot = len(cents)
+    got = {
+        r["bucket"]: (r["upper_bound_cents"], r["cum_rows"])
+        for r in entrymod.queries()["equidepth_histogram_bounds"](
+            spark, sf
+        ).collect()
+    }
+    assert len(got) == 8
+    import bisect
+
+    for k in range(1, 9):
+        # smallest distinct value whose cumulative count reaches k/8
+        target = (tot * k + 7) // 8
+        v = cents[target - 1]
+        cum = bisect.bisect_right(cents, v)
+        assert got[k] == (v, cum), (k, got[k], (v, cum))
