@@ -16634,6 +16634,201 @@ def equidepth_histogram_bounds(spark, sf_dir):
     )
 
 
+@q(
+    "covariate_balance_smd",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    strat AS (
+      SELECT CASE WHEN n_events <= 2 THEN '1-2' WHEN n_events <= 5 THEN '3-5'
+                  WHEN n_events <= 10 THEN '6-10' ELSE '11+' END AS stratum,
+             arm, x
+      FROM per_user),
+    m AS (
+      SELECT stratum, arm, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(x * x, 2) AS DECIMAL(38,2))) AS DOUBLE) AS sxx
+      FROM strat GROUP BY 1, 2),
+    wide AS (
+      SELECT stratum,
+             MAX(CASE WHEN arm = 1 THEN n END) AS nt,
+             MAX(CASE WHEN arm = 1 THEN sx END) AS sxt,
+             MAX(CASE WHEN arm = 1 THEN sxx END) AS sxxt,
+             MAX(CASE WHEN arm = 0 THEN n END) AS nc,
+             MAX(CASE WHEN arm = 0 THEN sx END) AS sxc,
+             MAX(CASE WHEN arm = 0 THEN sxx END) AS sxxc
+      FROM m GROUP BY 1)
+    SELECT stratum, nt AS n_treated, nc AS n_control,
+           round((sxt / nt - sxc / nc)
+                 / sqrt(((sxxt / nt - (sxt / nt) * (sxt / nt))
+                         + (sxxc / nc - (sxc / nc) * (sxc / nc))) / 2), 6)
+             AS smd,
+           abs((sxt / nt - sxc / nc)
+               / sqrt(((sxxt / nt - (sxt / nt) * (sxt / nt))
+                       + (sxxc / nc - (sxc / nc) * (sxc / nc))) / 2)) < 0.1
+             AS balanced
+    FROM wide
+    """,
+)
+def covariate_balance_smd(spark, sf_dir):
+    """Covariate balance check (standardized mean difference) — the
+    pre-analysis gate of every experiment and observational study: per
+    activity stratum, SMD = (μ_t − μ_c)/√((σ²_t + σ²_c)/2) of the spend
+    covariate between the two arms; |SMD| < 0.1 is the conventional
+    'balanced' rule. On a valid hash randomization (user_id % 2) all
+    strata must pass — a failing stratum means the split is confounded
+    and CUPED/DiD/uplift readouts built on it are suspect. This is the
+    diagnostic that belongs UPSTREAM of `cuped_variance_reduction` and
+    `uplift_qini_points`.
+
+    Scale shape: one per-user partial agg; per-(stratum, arm) exact
+    decimal moments; an 8-row pivot and pure scalar algebra — the
+    variance terms reuse the exact-sums discipline so both engines
+    compute identical SMDs (sqrt IEEE, one 6dp round)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("user_id") % 2).alias("arm"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("x"),
+    )
+    strat = per_user.select(
+        F.when(F.col("n_events") <= 2, "1-2")
+        .when(F.col("n_events") <= 5, "3-5")
+        .when(F.col("n_events") <= 10, "6-10")
+        .otherwise("11+")
+        .alias("stratum"),
+        "arm",
+        "x",
+    )
+    m = strat.groupBy("stratum", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 2).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    g = lambda arm, col: F.max(F.when(F.col("arm") == arm, F.col(col)))
+    wide = m.groupBy("stratum").agg(
+        g(1, "n").alias("nt"),
+        g(1, "sx").alias("sxt"),
+        g(1, "sxx").alias("sxxt"),
+        g(0, "n").alias("nc"),
+        g(0, "sx").alias("sxc"),
+        g(0, "sxx").alias("sxxc"),
+    )
+    mt = F.col("sxt") / F.col("nt")
+    mc = F.col("sxc") / F.col("nc")
+    vt = F.col("sxxt") / F.col("nt") - mt * mt
+    vc = F.col("sxxc") / F.col("nc") - mc * mc
+    smd = (mt - mc) / F.sqrt((vt + vc) / 2)
+    return wide.select(
+        "stratum",
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(smd) < 0.1).alias("balanced"),
+    )
+
+
+@q(
+    "degree_assortativity",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS pk1, c.l_partkey AS pk2
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e AS (SELECT pk1 AS s, pk2 AS d FROM co
+          UNION ALL SELECT pk2, pk1 FROM co),
+    deg AS (SELECT s AS v, COUNT(*) AS dg FROM e GROUP BY 1),
+    ed AS (
+      SELECT d1.dg AS ds, d2.dg AS dd
+      FROM e JOIN deg d1 ON e.s = d1.v JOIN deg d2 ON e.d = d2.v),
+    s AS (
+      SELECT COUNT(*) AS m, SUM(ds) AS s1, SUM(dd) AS s2,
+             SUM(ds * dd) AS s12, SUM(ds * ds) AS s11, SUM(dd * dd) AS s22
+      FROM ed)
+    SELECT m AS n_directed_edges,
+           (SELECT COUNT(*) FROM deg) AS n_nodes,
+           round((m * s12 - s1 * s2)
+                 / (sqrt(CAST(m * s11 - s1 * s1 AS DOUBLE))
+                    * sqrt(CAST(m * s22 - s2 * s2 AS DOUBLE))), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph — do popular items
+    co-occur with other popular items (r > 0, 'rich club') or with
+    niche ones (r < 0, hub-and-spoke)? Newman's r is the Pearson
+    correlation of endpoint degrees over the directed edge list (both
+    orientations of each undirected ≥2-support co-purchase edge), and
+    its sign decides whether degree-based sampling or hub-removal
+    strategies will work on this graph. Exact integer co-moments
+    (degrees are ints), cross-multiplied, one rounded division —
+    completing the graph-science suite (triangles, clustering
+    coefficient, components, PageRank, BFS).
+
+    Scale shape: bounded array-free pair generation reuses the order-key
+    equi-join (oracle) / array expansion (engine heritage from
+    `item_item_cosine_topk`); degrees are one partial agg; the
+    edge⋈degree joins are keyed equi-joins; the readout is a 1-row
+    co-moment agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("pk1"), y.alias("pk2")),
+            ),
+        )
+    )
+    co = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.pk1", "p.pk2")
+        .groupBy("pk1", "pk2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("pk1", "pk2")
+    )
+    e = co.select(F.col("pk1").alias("s"), F.col("pk2").alias("d")).unionByName(
+        co.select(F.col("pk2").alias("s"), F.col("pk1").alias("d"))
+    )
+    deg = e.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("dg"))
+    d1 = deg.select(F.col("v").alias("s"), F.col("dg").alias("ds"))
+    d2 = deg.select(F.col("v").alias("d"), F.col("dg").alias("dd"))
+    ed = e.join(d1, "s").join(d2, "d")
+    stats = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ds").alias("s1"),
+        F.sum("dd").alias("s2"),
+        F.sum(F.col("ds") * F.col("dd")).alias("s12"),
+        F.sum(F.col("ds") * F.col("ds")).alias("s11"),
+        F.sum(F.col("dd") * F.col("dd")).alias("s22"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = F.col("m") * F.col("s12") - F.col("s1") * F.col("s2")
+    den = F.sqrt(
+        (F.col("m") * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("s22") - F.col("s2") * F.col("s2")).cast("double")
+    )
+    return stats.crossJoin(F.broadcast(nodes)).select(
+        F.col("m").alias("n_directed_edges"),
+        "n_nodes",
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -16795,7 +16990,7 @@ _FIRST50: list[str] = [
 # window_value_functions, array_lambda_functions,
 # content_defined_chunking, l_diversity_audit, sampled_join_bias,
 # session_definition_sensitivity, uplift_qini_points,
-# equidepth_histogram_bounds.
+# equidepth_histogram_bounds, covariate_balance_smd, degree_assortativity.
 
 
 def _ordered_names() -> list[str]:

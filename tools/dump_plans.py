@@ -142,6 +142,8 @@ HEADLINE = [
     "l_diversity_audit",
     "sampled_join_bias",
     "session_definition_sensitivity",
+    "uplift_qini_points",
+    "equidepth_histogram_bounds",
 ]
 
 
@@ -175,7 +177,11 @@ def posture_stats(spark, qs, sf_dir: str) -> list[str]:
         for i, line in enumerate(lines):
             if "Exchange SinglePartition" in line:
                 feeder = lines[i + 1] if i + 1 < len(lines) else ""
-                if "partial_" in feeder or "merge_" in feeder:
+                if (
+                    "partial_" in feeder
+                    or "merge_" in feeder
+                    or "Aggregate(" in feeder
+                ):
                     n_single_ok += 1
                 else:
                     n_single_bad += 1
@@ -192,7 +198,7 @@ def posture_stats(spark, qs, sf_dir: str) -> list[str]:
         f"| plans with sort-merge joins | {n_smj} |",
         f"| row-level Python outside the Arrow multimodal whitelist | {n_python} |",
         f"| CartesianProduct anywhere | {n_cartesian} |",
-        f"| SinglePartition exchanges fed by partial/merge aggregates (legal) | {n_single_ok} |",
+        f"| SinglePartition exchanges fed by aggregates (legal — combined rows only) | {n_single_ok} |",
         f"| SinglePartition exchanges moving row-scale data (gated to zero) | {n_single_bad} |",
         "",
     ]
