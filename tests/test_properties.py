@@ -2495,3 +2495,77 @@ def test_equidepth_bounds_match_python_rank(spark):
         v = cents[target - 1]
         cum = bisect.bisect_right(cents, v)
         assert got[k] == (v, cum), (k, got[k], (v, cum))
+
+
+def test_smd_matches_numpy_and_randomization_balances(spark):
+    """SMD must match a numpy recomputation per stratum, and the hash
+    randomization must balance every stratum (|SMD| < 0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    per = ev.groupby("user_id").agg(
+        n_events=("event_id", "count"), x=("value", "sum")
+    )
+    per["arm"] = per.index % 2
+    per["stratum"] = pd.cut(
+        per.n_events, bins=[0, 2, 5, 10, float("inf")],
+        labels=["1-2", "3-5", "6-10", "11+"],
+    )
+    rows = entrymod.queries()["covariate_balance_smd"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        g = per[per.stratum == r["stratum"]]
+        t = g[g.arm == 1].x.values
+        c = g[g.arm == 0].x.values
+        assert (r["n_treated"], r["n_control"]) == (len(t), len(c))
+        smd = (t.mean() - c.mean()) / np.sqrt(
+            (t.var(ddof=0) + c.var(ddof=0)) / 2
+        )
+        assert abs(r["smd"] - smd) < 1e-3, (r["stratum"], r["smd"], smd)
+        assert r["balanced"] == (abs(smd) < 0.1)
+
+
+def test_assortativity_matches_python_pearson(spark):
+    """Newman's r must match the Python Pearson over the same mirrored
+    edge list."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    baskets = {}
+    for r in li.itertuples():
+        baskets.setdefault(int(r.l_orderkey), set()).add(int(r.l_partkey))
+    co = {}
+    for parts in baskets.values():
+        sp = sorted(parts)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                co[(sp[i], sp[j])] = co.get((sp[i], sp[j]), 0) + 1
+    edges = []
+    for (a, b), c in co.items():
+        if c >= 2:
+            edges += [(a, b), (b, a)]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    m = len(edges)
+    s1 = sum(deg[s] for s, _ in edges)
+    s2 = sum(deg[d] for _, d in edges)
+    s12 = sum(deg[s] * deg[d] for s, d in edges)
+    s11 = sum(deg[s] ** 2 for s, _ in edges)
+    s22 = sum(deg[d] ** 2 for _, d in edges)
+    r_expect = (m * s12 - s1 * s2) / (
+        math.sqrt(m * s11 - s1 * s1) * math.sqrt(m * s22 - s2 * s2)
+    )
+    row = entrymod.queries()["degree_assortativity"](spark, sf).collect()[0]
+    assert row["n_directed_edges"] == m
+    assert row["n_nodes"] == len(deg)
+    assert abs(row["assortativity"] - r_expect) < 1e-5
