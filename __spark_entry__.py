@@ -16829,6 +16829,144 @@ def degree_assortativity(spark, sf_dir):
     )
 
 
+@q(
+    "hierarchical_share_rollup",
+    """
+    WITH nat AS (
+      SELECT r.r_name, n.n_name,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                 AS DECIMAL(30,8))) * 100, 0) AS BIGINT)
+               AS rev_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT r_name, n_name, rev_c,
+             SUM(rev_c) OVER (PARTITION BY r_name) AS region_c,
+             SUM(rev_c) OVER () AS global_c
+      FROM nat)
+    SELECT r_name, n_name, rev_c,
+           rev_c * 1000000 // region_c AS share_of_region_ppm,
+           rev_c * 1000000 // global_c AS share_of_global_ppm,
+           region_c * 1000000 // global_c AS region_share_ppm
+    FROM w
+    """,
+)
+def hierarchical_share_rollup(spark, sf_dir):
+    """Percent-of-parent hierarchical rollup — the drill-down report
+    every BI layer renders: nation revenue with its share of REGION and
+    share of GLOBAL, plus the region's own share, in one result (so
+    shares at both levels are guaranteed consistent — separately
+    computed reports drift when data moves between runs). Integer
+    cents and floor-ppm shares; the same revenue expression as the
+    flagship rollup, so the two queries cross-check.
+
+    Scale shape: the five-table join tree is the row-scale pass (dims
+    broadcast, same plan family as `flagship_regional_revenue`); both
+    share windows run over the 25-row nation aggregate (aggregate-fed,
+    bounded). At 100 TB only the fact scan grows."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(30,8)"
+    )
+    nat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(rev) * 100, 0).cast("bigint").alias("rev_c")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wg = Window.partitionBy()
+    w = nat.select(
+        "r_name",
+        "n_name",
+        "rev_c",
+        F.sum("rev_c").over(wr).alias("region_c"),
+        F.sum("rev_c").over(wg).alias("global_c"),
+    )
+    return w.select(
+        "r_name",
+        "n_name",
+        "rev_c",
+        F.expr("rev_c * 1000000 div region_c").alias("share_of_region_ppm"),
+        F.expr("rev_c * 1000000 div global_c").alias("share_of_global_ppm"),
+        F.expr("region_c * 1000000 div global_c").alias("region_share_ppm"),
+    )
+
+
+@q(
+    "rollup_consistency_proof",
+    """
+    WITH by_day AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(30,6))) AS s
+      FROM events GROUP BY 1),
+    by_type AS (
+      SELECT event_type, SUM(CAST(value AS DECIMAL(30,6))) AS s
+      FROM events GROUP BY 1),
+    total AS (
+      SELECT COUNT(*) AS n_rows, SUM(CAST(value AS DECIMAL(30,6))) AS s
+      FROM events)
+    SELECT t.n_rows,
+           (SELECT COUNT(*) FROM by_day) AS n_days,
+           (SELECT COUNT(*) FROM by_type) AS n_types,
+           CAST(t.s * 1000 AS BIGINT) AS total_milli,
+           ((SELECT SUM(s) FROM by_day) = t.s) AS day_rollup_consistent,
+           ((SELECT SUM(s) FROM by_type) = t.s) AS type_rollup_consistent
+    FROM total t
+    """,
+)
+def rollup_consistency_proof(spark, sf_dir):
+    """Rollup additivity proof — the cheapest, highest-value data-quality
+    invariant a warehouse can assert: the SAME measure summed by day, by
+    type, and in total must agree EXACTLY. With float sums this check
+    is unrunnable (every grouping accumulates in a different order);
+    with decimal sums it is exact, so a mismatch can only mean real
+    breakage — partial loads, dedup applied to one rollup but not
+    another, or late data landing between passes. Emitted as in-query
+    booleans (the `ivm_join_delta` proof pattern): a monitoring system
+    alerts on `false` without recomputing anything.
+
+    Scale shape: three partial-agg passes over one scan (Catalyst
+    shares the scan via the common subplan), each collapsing to
+    group-cardinality; the equality tests compare exact decimals on
+    1-row legs."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(30,6)")
+    by_day = ev.groupBy(F.to_date("ts").alias("day")).agg(F.sum(dec).alias("s"))
+    by_type = ev.groupBy("event_type").agg(F.sum(dec).alias("s"))
+    total = ev.agg(F.count(F.lit(1)).alias("n_rows"), F.sum(dec).alias("s"))
+    day_tot = by_day.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("s").alias("sd")
+    )
+    type_tot = by_type.agg(
+        F.count(F.lit(1)).alias("n_types"), F.sum("s").alias("st")
+    )
+    return (
+        total.crossJoin(F.broadcast(day_tot))
+        .crossJoin(F.broadcast(type_tot))
+        .select(
+            "n_rows",
+            "n_days",
+            "n_types",
+            (F.col("s") * 1000).cast("bigint").alias("total_milli"),
+            (F.col("sd") == F.col("s")).alias("day_rollup_consistent"),
+            (F.col("st") == F.col("s")).alias("type_rollup_consistent"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -16990,7 +17128,8 @@ _FIRST50: list[str] = [
 # window_value_functions, array_lambda_functions,
 # content_defined_chunking, l_diversity_audit, sampled_join_bias,
 # session_definition_sensitivity, uplift_qini_points,
-# equidepth_histogram_bounds, covariate_balance_smd, degree_assortativity.
+# equidepth_histogram_bounds, covariate_balance_smd, degree_assortativity,
+# hierarchical_share_rollup, rollup_consistency_proof.
 
 
 def _ordered_names() -> list[str]:
