@@ -2569,3 +2569,54 @@ def test_assortativity_matches_python_pearson(spark):
     assert row["n_directed_edges"] == m
     assert row["n_nodes"] == len(deg)
     assert abs(row["assortativity"] - r_expect) < 1e-5
+
+
+def test_hierarchical_shares_sum_to_unity(spark):
+    """Within each region, nation shares must sum to ~1e6 ppm (floor
+    slack < |nations|); region shares must sum to ~1e6; share_of_global
+    must telescope share_of_region * region_share."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["hierarchical_share_rollup"](spark, sf).collect()
+    assert rows
+    regions = {}
+    for r in rows:
+        regions.setdefault(r["r_name"], []).append(r)
+    region_ppm = {}
+    for rn, rs in regions.items():
+        s = sum(x["share_of_region_ppm"] for x in rs)
+        assert 1000000 - len(rs) <= s <= 1000000, (rn, s)
+        region_ppm[rn] = rs[0]["region_share_ppm"]
+        assert all(x["region_share_ppm"] == region_ppm[rn] for x in rs)
+        for x in rs:
+            approx = x["share_of_region_ppm"] * region_ppm[rn] // 1000000
+            assert abs(x["share_of_global_ppm"] - approx) <= 2
+    s = sum(region_ppm.values())
+    assert 1000000 - len(region_ppm) <= s <= 1000000
+
+
+def test_rollup_consistency_is_true_and_breaks_on_tamper(spark):
+    """The additivity booleans must be true on the real data, and the
+    check must actually detect breakage: removing one row from one leg
+    in a pandas simulation flips the equality."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    r = entrymod.queries()["rollup_consistency_proof"](spark, sf).collect()[0]
+    assert r["day_rollup_consistent"] and r["type_rollup_consistent"]
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    assert r["n_rows"] == len(ev)
+    total = sum(
+        Decimal(repr(v)).quantize(Decimal("0.000001")) for v in ev.value
+    )
+    assert r["total_milli"] == int(total * 1000)
+    # tamper: drop one row from the "by day" leg -> sums must differ
+    tampered = total - Decimal(repr(ev.value.iloc[0])).quantize(
+        Decimal("0.000001")
+    )
+    assert tampered != total
