@@ -16967,6 +16967,168 @@ def rollup_consistency_proof(spark, sf_dir):
     )
 
 
+@q(
+    "maxmin_fair_allocation",
+    """
+    WITH demand AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS d
+      FROM documents GROUP BY 1),
+    cap AS (SELECT SUM(d) // 2 AS c, COUNT(*) AS n FROM demand),
+    ranked AS (
+      SELECT source, d, c, n,
+             row_number() OVER (ORDER BY d, source) AS k,
+             SUM(d) OVER (ORDER BY d, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM demand CROSS JOIN cap),
+    feas AS (
+      SELECT *, (c - pre + d) // (n - k + 1) AS theta_k
+      FROM ranked),
+    thr AS (
+      SELECT MAX(CASE WHEN d <= theta_k THEN k ELSE 0 END) AS k_sat,
+             MAX(c) AS c, MAX(n) AS n,
+             COALESCE(MAX(CASE WHEN d <= theta_k THEN pre END), 0) AS pre_sat
+      FROM feas),
+    theta AS (
+      SELECT CASE WHEN k_sat >= n THEN NULL
+                  ELSE (c - pre_sat) // (n - k_sat) END AS th, c
+      FROM thr)
+    SELECT f.source, f.d AS demand,
+           CASE WHEN t.th IS NULL OR f.d <= t.th THEN f.d ELSE t.th END
+             AS allocation,
+           (CASE WHEN t.th IS NULL OR f.d <= t.th THEN f.d ELSE t.th END)
+             * 1000000 // f.d AS satisfied_ppm
+    FROM feas f CROSS JOIN theta t
+    """,
+)
+def maxmin_fair_allocation(spark, sf_dir):
+    """Max-min fair (water-filling) capacity allocation — the fairness
+    rule behind network bandwidth sharing, multi-tenant quota systems,
+    and fair training-token budgets: with capacity C = half the total
+    demand, small demands are fully satisfied and large ones are capped
+    at a common water level θ chosen so Σ min(dᵢ, θ) ≈ C. Computed in
+    CLOSED FORM, not by iterating rounds: sort demands ascending,
+    prefix-sum, and θ = (C − prefix_sat)/(remaining) at the largest k
+    where the k-th demand still fits under its own candidate level —
+    integer div throughout, so both engines agree on every allocation.
+
+    Scale shape: the demand rollup is the row-scale pass; the sort,
+    prefix window, and threshold selection run over the |sources|
+    dimension (aggregate-fed, bounded); allocations are a broadcast of
+    the 1-row θ. The closed form is what makes this distributable — the
+    textbook per-round redistribution loop is inherently sequential."""
+    docs = _t(spark, sf_dir, "documents")
+    demand = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("d")
+    )
+    cap = demand.agg(
+        F.expr("sum(d) div 2").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    wk = Window.orderBy("d", "source")
+    ranked = demand.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "d",
+        "c",
+        "n",
+        F.row_number().over(wk).alias("k"),
+        F.sum("d").over(wk.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "pre"
+        ),
+    )
+    feas = ranked.withColumn(
+        "theta_k", F.expr("(c - pre + d) div (n - k + 1)")
+    )
+    thr = feas.agg(
+        F.max(F.when(F.col("d") <= F.col("theta_k"), F.col("k")).otherwise(0)).alias(
+            "k_sat"
+        ),
+        F.max("c").alias("c"),
+        F.max("n").alias("n"),
+        F.coalesce(
+            F.max(F.when(F.col("d") <= F.col("theta_k"), F.col("pre"))), F.lit(0)
+        ).alias("pre_sat"),
+    )
+    theta = thr.select(
+        F.when(F.col("k_sat") >= F.col("n"), F.lit(None).cast("bigint"))
+        .otherwise(F.expr("(c - pre_sat) div (n - k_sat)"))
+        .alias("th")
+    )
+    alloc = F.when(
+        F.col("th").isNull() | (F.col("d") <= F.col("th")), F.col("d")
+    ).otherwise(F.col("th"))
+    return feas.crossJoin(F.broadcast(theta)).select(
+        "source",
+        F.col("d").alias("demand"),
+        alloc.alias("allocation"),
+        F.expr(
+            "(CASE WHEN th IS NULL OR d <= th THEN d ELSE th END)"
+            " * 1000000 div d"
+        ).alias("satisfied_ppm"),
+    )
+
+
+@q(
+    "token_bag_fingerprint_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split_regex(
+                   lower(trim(text)), '\\s+')), ' ')) AS bag_fp
+      FROM documents),
+    cl AS (
+      SELECT bag_fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
+      FROM fp GROUP BY 1)
+    SELECT COUNT(*) AS n_bags,
+           SUM(n_docs) AS n_docs,
+           SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_bags,
+           SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END)
+             AS n_removable,
+           SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) * 1000000
+             // SUM(n_docs) AS removable_ppm
+    FROM cl
+    """,
+)
+def token_bag_fingerprint_dedup(spark, sf_dir):
+    """Bag-of-words fingerprint dedup — catches reordered duplicates
+    that EXACT dedup misses and shingle dedup over-matches: two docs
+    with the same multiset of tokens (word order shuffled, e.g. title
+    permutations, template field reordering) share one fingerprint
+    md5(sorted tokens). The middle rung of the dedup ladder between
+    `dedup_exact` (byte-identical) and `dedup_minhash_*` (near-dup),
+    with canonical-doc selection by MIN(doc_id) and the removable-row
+    count a curation pipeline budgets against.
+
+    Scale shape: the fingerprint is a pure map (tokenize → sort the
+    per-doc array — bounded by doc length — → md5); clustering is ONE
+    partial-agg groupBy on the fingerprint; the readout is a 1-row
+    rollup. Deterministic: array_sort is total order on tokens, so the
+    same bag always hashes identically."""
+    docs = _tw(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.split(F.lower(F.trim(F.col("text"))), r"\s+")),
+                " ",
+            )
+        ).alias("bag_fp"),
+    )
+    cl = fp.groupBy("bag_fp").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc")
+    )
+    return cl.agg(
+        F.count(F.lit(1)).alias("n_bags"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_bags"),
+        F.sum(
+            F.when(F.col("n_docs") > 1, F.col("n_docs") - 1).otherwise(0)
+        ).alias("n_removable"),
+        F.expr(
+            "sum(case when n_docs > 1 then n_docs - 1 else 0 end) * 1000000"
+            " div sum(n_docs)"
+        ).alias("removable_ppm"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -17129,7 +17291,8 @@ _FIRST50: list[str] = [
 # content_defined_chunking, l_diversity_audit, sampled_join_bias,
 # session_definition_sensitivity, uplift_qini_points,
 # equidepth_histogram_bounds, covariate_balance_smd, degree_assortativity,
-# hierarchical_share_rollup, rollup_consistency_proof.
+# hierarchical_share_rollup, rollup_consistency_proof,
+# maxmin_fair_allocation, token_bag_fingerprint_dedup.
 
 
 def _ordered_names() -> list[str]:
