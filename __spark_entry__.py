@@ -17072,19 +17072,21 @@ def maxmin_fair_allocation(spark, sf_dir):
     WITH fp AS (
       SELECT doc_id,
              md5(array_to_string(list_sort(string_split_regex(
-                   lower(trim(text)), '\\s+')), ' ')) AS bag_fp
+                   lower(trim(text)), '\\s+')), ' ')) AS bag_fp,
+             md5(array_to_string(list_sort(list_distinct(string_split_regex(
+                   lower(trim(text)), '\\s+'))), ' ')) AS set_fp
       FROM documents),
-    cl AS (
-      SELECT bag_fp, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc
-      FROM fp GROUP BY 1)
-    SELECT COUNT(*) AS n_bags,
-           SUM(n_docs) AS n_docs,
-           SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_bags,
-           SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END)
-             AS n_removable,
-           SUM(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) * 1000000
-             // SUM(n_docs) AS removable_ppm
-    FROM cl
+    bags AS (SELECT bag_fp, COUNT(*) AS n FROM fp GROUP BY 1),
+    sets AS (SELECT set_fp, COUNT(*) AS n FROM fp GROUP BY 1)
+    SELECT (SELECT SUM(n) FROM bags) AS n_docs,
+           (SELECT COUNT(*) FROM bags) AS n_bags,
+           (SELECT SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) FROM bags)
+             AS bag_removable,
+           (SELECT COUNT(*) FROM sets) AS n_sets,
+           (SELECT SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) FROM sets)
+             AS set_removable,
+           (SELECT SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) FROM sets)
+             * 1000000 // (SELECT SUM(n) FROM bags) AS set_removable_ppm
     """,
 )
 def token_bag_fingerprint_dedup(spark, sf_dir):
@@ -17093,9 +17095,12 @@ def token_bag_fingerprint_dedup(spark, sf_dir):
     with the same multiset of tokens (word order shuffled, e.g. title
     permutations, template field reordering) share one fingerprint
     md5(sorted tokens). The middle rung of the dedup ladder between
-    `dedup_exact` (byte-identical) and `dedup_minhash_*` (near-dup),
-    with canonical-doc selection by MIN(doc_id) and the removable-row
-    count a curation pipeline budgets against.
+    `dedup_exact` (byte-identical) and `dedup_minhash_*` (near-dup).
+    Two granularities run side-by-side: the exact MULTISET bag (true
+    reorder duplicates) and the coarser DISTINCT-TOKEN SET
+    (vocabulary-identical docs — the aggressive template-dedup setting
+    that actually fires on this corpus), so the removable-row budget
+    shows both ends of the knob.
 
     Scale shape: the fingerprint is a pure map (tokenize → sort the
     per-doc array — bounded by doc length — → md5); clustering is ONE
@@ -17103,29 +17108,38 @@ def token_bag_fingerprint_dedup(spark, sf_dir):
     rollup. Deterministic: array_sort is total order on tokens, so the
     same bag always hashes identically."""
     docs = _tw(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     fp = docs.select(
         "doc_id",
-        F.md5(
-            F.array_join(
-                F.array_sort(F.split(F.lower(F.trim(F.col("text"))), r"\s+")),
-                " ",
-            )
-        ).alias("bag_fp"),
+        F.md5(F.array_join(F.array_sort(toks), " ")).alias("bag_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "set_fp"
+        ),
     )
-    cl = fp.groupBy("bag_fp").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc")
-    )
-    return cl.agg(
+    bags = fp.groupBy("bag_fp").agg(F.count(F.lit(1)).alias("n"))
+    sets = fp.groupBy("set_fp").agg(F.count(F.lit(1)).alias("n"))
+    ba = bags.agg(
+        F.sum("n").alias("n_docs"),
         F.count(F.lit(1)).alias("n_bags"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_bags"),
-        F.sum(
-            F.when(F.col("n_docs") > 1, F.col("n_docs") - 1).otherwise(0)
-        ).alias("n_removable"),
-        F.expr(
-            "sum(case when n_docs > 1 then n_docs - 1 else 0 end) * 1000000"
-            " div sum(n_docs)"
-        ).alias("removable_ppm"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias(
+            "bag_removable"
+        ),
+    )
+    se = sets.agg(
+        F.count(F.lit(1)).alias("n_sets"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias(
+            "set_removable"
+        ),
+    )
+    return ba.crossJoin(F.broadcast(se)).select(
+        "n_docs",
+        "n_bags",
+        "bag_removable",
+        "n_sets",
+        "set_removable",
+        F.expr("set_removable * 1000000 div n_docs").alias(
+            "set_removable_ppm"
+        ),
     )
 
 
