@@ -2620,3 +2620,76 @@ def test_rollup_consistency_is_true_and_breaks_on_tamper(spark):
         Decimal("0.000001")
     )
     assert tampered != total
+
+
+def test_maxmin_allocation_fairness_properties(spark):
+    """Max-min allocation must satisfy the defining properties: no
+    allocation exceeds its demand, total allocated <= capacity with
+    slack < n, small demands are fully satisfied, capped sources share
+    one water level, and the Python closed-form recompute agrees."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    demands = docs.groupby("source").n_chars.sum().astype(int).to_dict()
+    c = sum(demands.values()) // 2
+    n = len(demands)
+    ordered = sorted(demands.items(), key=lambda kv: (kv[1], kv[0]))
+    pre = 0
+    k_sat = 0
+    pre_sat = 0
+    for k, (srcname, d) in enumerate(ordered, start=1):
+        pre += d
+        theta_k = (c - pre + d) // (n - k + 1)
+        if d <= theta_k:
+            k_sat, pre_sat = k, pre
+    th = None if k_sat >= n else (c - pre_sat) // (n - k_sat)
+    expect = {
+        srcname: (d, d if (th is None or d <= th) else th)
+        for srcname, d in demands.items()
+    }
+    rows = entrymod.queries()["maxmin_fair_allocation"](spark, sf).collect()
+    got = {r["source"]: (r["demand"], r["allocation"]) for r in rows}
+    assert got == expect
+    total_alloc = sum(a for _, a in got.values())
+    assert total_alloc <= c
+    assert c - total_alloc < n  # integer-floor slack only
+    for _, (d, a) in got.items():
+        assert a <= d
+        if th is not None and d <= th:
+            assert a == d  # small demands fully satisfied
+
+
+def test_bag_fingerprint_reorder_invariance(spark):
+    """The bag fingerprint must be invariant to token order (Python
+    check) and the query's set-level numbers must match a Python
+    recomputation."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    def bag_fp(text):
+        toks = sorted(re.split(r"\s+", text.strip().lower()))
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    assert bag_fp("alpha beta gamma") == bag_fp("gamma alpha beta")
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    bags, sets = {}, {}
+    for t in docs.text:
+        toks = re.split(r"\s+", t.strip().lower())
+        b = hashlib.md5(" ".join(sorted(toks)).encode()).hexdigest()
+        s = hashlib.md5(" ".join(sorted(set(toks))).encode()).hexdigest()
+        bags[b] = bags.get(b, 0) + 1
+        sets[s] = sets.get(s, 0) + 1
+    r = entrymod.queries()["token_bag_fingerprint_dedup"](spark, sf).collect()[0]
+    assert r["n_docs"] == len(docs)
+    assert r["n_bags"] == len(bags)
+    assert r["bag_removable"] == sum(c - 1 for c in bags.values() if c > 1)
+    assert r["n_sets"] == len(sets)
+    assert r["set_removable"] == sum(c - 1 for c in sets.values() if c > 1)
