@@ -17024,16 +17024,17 @@ def maxmin_fair_allocation(spark, sf_dir):
         F.expr("sum(d) div 2").alias("c"), F.count(F.lit(1)).alias("n")
     )
     wk = Window.orderBy("d", "source")
-    ranked = demand.crossJoin(F.broadcast(cap)).select(
+    # window over the demand AGGREGATE first (gate-legal bounded exchange),
+    # then attach the 1-row capacity via broadcast — windowing after the
+    # cross join would put a BNLJ under the SinglePartition exchange
+    ranked = demand.select(
         "source",
         "d",
-        "c",
-        "n",
         F.row_number().over(wk).alias("k"),
         F.sum("d").over(wk.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "pre"
         ),
-    )
+    ).crossJoin(F.broadcast(cap))
     feas = ranked.withColumn(
         "theta_k", F.expr("(c - pre + d) div (n - k + 1)")
     )

@@ -144,6 +144,13 @@ HEADLINE = [
     "session_definition_sensitivity",
     "uplift_qini_points",
     "equidepth_histogram_bounds",
+    # round 6, batches 49-51
+    "covariate_balance_smd",
+    "degree_assortativity",
+    "hierarchical_share_rollup",
+    "rollup_consistency_proof",
+    "maxmin_fair_allocation",
+    "token_bag_fingerprint_dedup",
 ]
 
 
