@@ -17144,6 +17144,173 @@ def token_bag_fingerprint_dedup(spark, sf_dir):
     )
 
 
+@q(
+    "shift_share_decomposition",
+    """
+    WITH per AS (
+      SELECT c_nationkey,
+             CAST(ROUND(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(30,2)) END) * 100, 0)
+                  AS BIGINT) AS rev0_c,
+             CAST(ROUND(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                  THEN CAST(o_totalprice AS DECIMAL(30,2)) END) * 100, 0)
+                  AS BIGINT) AS rev1_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    tot AS (SELECT SUM(rev0_c) AS r0, SUM(rev1_c) AS r1 FROM per)
+    SELECT p.c_nationkey, p.rev0_c, p.rev1_c,
+           CAST(CAST(p.rev0_c AS HUGEINT) * t.r1 // t.r0 AS BIGINT)
+             AS expected_c,
+           p.rev1_c - CAST(CAST(p.rev0_c AS HUGEINT) * t.r1 // t.r0 AS BIGINT)
+             AS local_effect_c,
+           (p.rev1_c - p.rev0_c) * 1000000 // p.rev0_c AS growth_ppm,
+           (t.r1 - t.r0) * 1000000 // t.r0 AS global_growth_ppm
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def shift_share_decomposition(spark, sf_dir):
+    """Shift-share decomposition — the regional-economics standard for
+    'did this nation grow because everything grew, or on its own
+    merits': each nation's period-2 revenue splits into the EXPECTED
+    component (its period-1 base growing at the GLOBAL rate,
+    rev0·R1/R0) and the LOCAL effect (the residual over/under-
+    performance). Σ local effects ≡ 0 by construction (up to integer
+    floor slack), which the invariant test asserts — the decomposition
+    is exact accounting, not a model. Integer cents with the expected
+    component computed in 128-bit integer space (decimal(38) / HUGEINT
+    — the cents×cents cross product overflows int64 at scale).
+
+    Scale shape: ONE conditional-sum join pass computes both periods
+    per nation (no two scans); the global totals are a 1-row aggregate
+    broadcast; the algebra runs on 25 rows. Same exact-decimal revenue
+    discipline as `hierarchical_share_rollup`."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    dec = F.col("o_totalprice").cast("decimal(30,2)")
+    per = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum(F.when(F.col("o_orderdate") < cut, dec)) * 100, 0)
+            .cast("bigint")
+            .alias("rev0_c"),
+            F.round(F.sum(F.when(F.col("o_orderdate") >= cut, dec)) * 100, 0)
+            .cast("bigint")
+            .alias("rev1_c"),
+        )
+    )
+    tot = per.agg(F.sum("rev0_c").alias("r0"), F.sum("rev1_c").alias("r1"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "rev0_c",
+        "rev1_c",
+        F.expr(
+            "cast(cast(rev0_c as decimal(38,0)) * r1 div r0 as bigint)"
+        ).alias("expected_c"),
+        F.expr(
+            "rev1_c - cast(cast(rev0_c as decimal(38,0)) * r1 div r0 as bigint)"
+        ).alias("local_effect_c"),
+        F.expr("(rev1_c - rev0_c) * 1000000 div rev0_c").alias("growth_ppm"),
+        F.expr("(r1 - r0) * 1000000 div r0").alias("global_growth_ppm"),
+    )
+
+
+@q(
+    "peak_concurrency_minutes",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id))
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute
+      FROM lagged),
+    spans AS (
+      SELECT user_id, sid, MIN(minute) AS m0, MAX(minute) AS m1
+      FROM sess GROUP BY 1, 2),
+    active AS (
+      SELECT m0 + k AS minute
+      FROM spans,
+           LATERAL (SELECT unnest(range(0, CAST(m1 - m0 + 1 AS INTEGER))) AS k)),
+    per_min AS (SELECT minute, COUNT(*) AS concurrent FROM active GROUP BY 1)
+    SELECT COUNT(*) AS n_active_minutes,
+           MAX(concurrent) AS peak_concurrent,
+           MIN(minute) FILTER (concurrent =
+             (SELECT MAX(concurrent) FROM per_min)) AS peak_minute,
+           SUM(concurrent) * 1000 // COUNT(*) AS mean_concurrent_milli
+    FROM per_min
+    """,
+)
+def peak_concurrency_minutes(spark, sf_dir):
+    """Peak concurrency — the capacity-planning number: the maximum
+    count of simultaneously-active sessions (30-min-gap sessions, as
+    `sessionize_events`) in any one minute, plus the mean load. The
+    classic sweep-line (+1/−1 at session boundaries with a global
+    running sum) does NOT distribute — it needs one globally-ordered
+    pass over near-row-scale boundary events; instead each session
+    EXPLODES into its active minutes (bounded per session by the
+    session span) and a partial-agg count per minute bucket gives the
+    same per-minute concurrency with full parallelism — the
+    discretize-don't-sweep trick that makes occupancy queries scale.
+
+    Scale shape: one user_id shuffle builds sessions (lag + running
+    sum in one window spec); session spans are a partial agg; the
+    minute explode is array-side and bounded; per-minute counts and
+    the peak are partial aggs over the bounded minute axis (≤ 43k
+    minutes/month regardless of row count)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | ((us - F.lag(us).over(w)) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = lagged.select(
+        "user_id",
+        F.sum("is_new").over(wrun).alias("sid"),
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("minute").alias("m0"), F.max("minute").alias("m1")
+    )
+    active = spans.select(
+        F.explode(F.expr("sequence(m0, m1)")).alias("minute")
+    )
+    per_min = active.groupBy("minute").agg(F.count(F.lit(1)).alias("concurrent"))
+    peak = per_min.agg(F.max("concurrent").alias("pk"))
+    return (
+        per_min.crossJoin(F.broadcast(peak))
+        .agg(
+            F.count(F.lit(1)).alias("n_active_minutes"),
+            F.max("concurrent").alias("peak_concurrent"),
+            F.min(
+                F.when(F.col("concurrent") == F.col("pk"), F.col("minute"))
+            ).alias("peak_minute"),
+            F.expr("sum(concurrent) * 1000 div count(1)").alias(
+                "mean_concurrent_milli"
+            ),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -17307,7 +17474,8 @@ _FIRST50: list[str] = [
 # session_definition_sensitivity, uplift_qini_points,
 # equidepth_histogram_bounds, covariate_balance_smd, degree_assortativity,
 # hierarchical_share_rollup, rollup_consistency_proof,
-# maxmin_fair_allocation, token_bag_fingerprint_dedup.
+# maxmin_fair_allocation, token_bag_fingerprint_dedup,
+# shift_share_decomposition, peak_concurrency_minutes.
 
 
 def _ordered_names() -> list[str]:
