@@ -2693,3 +2693,56 @@ def test_bag_fingerprint_reorder_invariance(spark):
     assert r["bag_removable"] == sum(c - 1 for c in bags.values() if c > 1)
     assert r["n_sets"] == len(sets)
     assert r["set_removable"] == sum(c - 1 for c in sets.values() if c > 1)
+
+
+def test_shift_share_local_effects_sum_to_zero(spark):
+    """Σ local effects must vanish up to integer-floor slack (< n_nations
+    cents), expected components must telescope to R1, and growth rates
+    must match the integer recomputation."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["shift_share_decomposition"](spark, sf).collect()
+    assert rows
+    r0 = sum(r["rev0_c"] for r in rows)
+    r1 = sum(r["rev1_c"] for r in rows)
+    sum_local = sum(r["local_effect_c"] for r in rows)
+    assert 0 <= sum_local < len(rows)  # floor slack only
+    sum_expected = sum(r["expected_c"] for r in rows)
+    assert r1 - len(rows) < sum_expected <= r1
+    for r in rows:
+        assert r["expected_c"] == r["rev0_c"] * r1 // r0
+        assert r["local_effect_c"] == r["rev1_c"] - r["expected_c"]
+        assert r["growth_ppm"] == (r["rev1_c"] - r["rev0_c"]) * 1000000 // r["rev0_c"]
+        assert r["global_growth_ppm"] == (r1 - r0) * 1000000 // r0
+
+
+def test_peak_concurrency_matches_python_sweep(spark):
+    """The minute-discretized concurrency must equal a Python sweep over
+    the same 30-min-gap sessions."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["us"] = pd.to_datetime(ev.ts).astype("datetime64[us]").astype("int64")
+    minutes = {}
+    for _, g in ev.groupby("user_id"):
+        ks = sorted(zip(g.us, g.event_id))
+        sessions = []
+        for us, _ in ks:
+            if not sessions or us - sessions[-1][1] > 1800000000:
+                sessions.append([us, us])
+            else:
+                sessions[-1][1] = us
+        for s0, s1 in sessions:
+            for m in range(s0 // 60000000, s1 // 60000000 + 1):
+                minutes[m] = minutes.get(m, 0) + 1
+    peak = max(minutes.values())
+    peak_minute = min(m for m, c in minutes.items() if c == peak)
+    r = entrymod.queries()["peak_concurrency_minutes"](spark, sf).collect()[0]
+    assert r["n_active_minutes"] == len(minutes)
+    assert r["peak_concurrent"] == peak
+    assert r["peak_minute"] == peak_minute
+    assert r["mean_concurrent_milli"] == sum(minutes.values()) * 1000 // len(minutes)
