@@ -2710,11 +2710,19 @@ def test_shift_share_local_effects_sum_to_zero(spark):
     assert 0 <= sum_local < len(rows)  # floor slack only
     sum_expected = sum(r["expected_c"] for r in rows)
     assert r1 - len(rows) < sum_expected <= r1
+    def tdiv(a, b):
+        # SQL `div` truncates toward zero; Python // floors — they differ
+        # on negative growth rates
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
     for r in rows:
         assert r["expected_c"] == r["rev0_c"] * r1 // r0
         assert r["local_effect_c"] == r["rev1_c"] - r["expected_c"]
-        assert r["growth_ppm"] == (r["rev1_c"] - r["rev0_c"]) * 1000000 // r["rev0_c"]
-        assert r["global_growth_ppm"] == (r1 - r0) * 1000000 // r0
+        assert r["growth_ppm"] == tdiv(
+            (r["rev1_c"] - r["rev0_c"]) * 1000000, r["rev0_c"]
+        )
+        assert r["global_growth_ppm"] == tdiv((r1 - r0) * 1000000, r0)
 
 
 def test_peak_concurrency_matches_python_sweep(spark):
