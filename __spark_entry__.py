@@ -17311,6 +17311,192 @@ def peak_concurrency_minutes(spark, sf_dir):
     )
 
 
+# 1e6 / log2(rank+1) for ranks 1..10, PRE-ROUNDED so the identical integer
+# constants are baked into both engines (the random_planes trick applied to
+# NDCG's only transcendental) — discounted gains stay pure bigint after this.
+_NDCG_DISCOUNT_MICRO = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_CASE_SQL = "\n".join(
+    f"               WHEN {k + 1} THEN {d}"
+    for k, d in enumerate(_NDCG_DISCOUNT_MICRO)
+)
+
+
+@q(
+    "ndcg_ranker_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 8),
+    exact_s AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             round(
+               list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    rel AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+                 AS rn
+        FROM exact_s) WHERE rn <= 10),
+    int8_s AS (
+      SELECT q.q_id, e.vec_id AS n_id,
+             list_sum(list_transform(range(1, len(qe) + 1),
+               i -> CAST(round(CAST(qe[i] AS DOUBLE) * 127) AS BIGINT)
+                    * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 127) AS BIGINT)))
+               AS dot_q
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    rb AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, n_id)
+               AS rank_b
+      FROM int8_s QUALIFY rank_b <= 10),
+    dcg AS (
+      SELECT rb.q_id,
+             SUM(CASE WHEN r.n_id IS NOT NULL THEN
+               CASE rb.rank_b
+{_NDCG_CASE_SQL}
+               ELSE 0 END ELSE 0 END) AS dcg_micro
+      FROM rb LEFT JOIN rel r ON rb.q_id = r.q_id AND rb.n_id = r.n_id
+      GROUP BY 1),
+    ideal AS (SELECT CAST({sum(_NDCG_DISCOUNT_MICRO)} AS BIGINT) AS idcg_micro)
+    SELECT d.q_id, d.dcg_micro, i.idcg_micro,
+           d.dcg_micro * 1000000 // i.idcg_micro AS ndcg_ppm
+    FROM dcg d CROSS JOIN ideal i
+    """,
+)
+def ndcg_ranker_eval(spark, sf_dir):
+    """NDCG@10 of the int8-quantized ranker against exact-cosine top-10
+    as binary relevance — the position-weighted retrieval metric that
+    completes the eval triad (`quantization_recall_audit` = set recall,
+    `kendall_tau_rankers` = order agreement, this = graded position
+    credit). NDCG's 1/log₂(rank+1) discounts are the one transcendental
+    in the formula, so they are PRE-ROUNDED to micro-integers and baked
+    into both engines as literals (the `random_planes` constant-baking
+    trick) — after that, DCG is a bigint sum and NDCG a single integer
+    division. IDCG is the all-relevant-at-top constant, so ndcg_ppm is
+    comparable across queries.
+
+    Scale shape: the two scoring passes share the broadcast query-block
+    subplans with the fusion/tau queries; relevance join is ≤10×10 per
+    query; the readout is one partial agg per query."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    rel = similarity.cosine_topk_bruteforce(qs, emb, "vec_id", "vec_id", k=10).select(
+        "q_id", F.col("n_id").alias("rel_id")
+    )
+    qv = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 127, 0) as bigint))"
+    )
+    qemb = F.broadcast(qs.select(F.col("vec_id").alias("q_id"), qv.alias("q_q")))
+    cemb = emb.select(F.col("vec_id").alias("n_id"), qv.alias("n_q"))
+    dot = F.expr(
+        "aggregate(zip_with(q_q, n_q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    wb = Window.partitionBy("q_id").orderBy(F.col("dot_q").desc(), "n_id")
+    rb = (
+        cemb.join(qemb, F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot.alias("dot_q"))
+        .withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= 10)
+        .select("q_id", "n_id", "rank_b")
+    )
+    disc = F.when(F.lit(False), 0)
+    gain = None
+    for k, d in enumerate(_NDCG_DISCOUNT_MICRO, start=1):
+        gain = (
+            F.when(F.col("rank_b") == k, d)
+            if gain is None
+            else gain.when(F.col("rank_b") == k, d)
+        )
+    gain = gain.otherwise(0)
+    dcg = (
+        rb.join(
+            rel,
+            (rb.q_id == rel.q_id) & (rb.n_id == rel.rel_id),
+            "left",
+        )
+        .select(
+            rb.q_id.alias("q_id"),
+            F.when(F.col("rel_id").isNotNull(), gain).otherwise(0).alias("g"),
+        )
+        .groupBy("q_id")
+        .agg(F.sum("g").alias("dcg_micro"))
+    )
+    idcg = sum(_NDCG_DISCOUNT_MICRO)
+    return dcg.select(
+        "q_id",
+        "dcg_micro",
+        F.lit(idcg).cast("bigint").alias("idcg_micro"),
+        F.expr(f"dcg_micro * 1000000 div {idcg}").alias("ndcg_ppm"),
+    )
+
+
+@q(
+    "eb_shrinkage_ranking",
+    """
+    WITH per AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             CAST(ROUND(SUM(l_quantity * 100)) AS BIGINT) AS qty_c
+      FROM lineitem GROUP BY 1),
+    gm AS (
+      SELECT SUM(qty_c) // SUM(n) AS mu_c FROM per),
+    scored AS (
+      SELECT p.l_partkey, p.n,
+             p.qty_c // p.n AS raw_mean_c,
+             (p.qty_c + 20 * g.mu_c) // (p.n + 20) AS shrunk_mean_c
+      FROM per p CROSS JOIN gm g)
+    SELECT l_partkey, n, raw_mean_c, shrunk_mean_c, rnk FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY shrunk_mean_c DESC, l_partkey) AS rnk
+      FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def eb_shrinkage_ranking(spark, sf_dir):
+    """Empirical-Bayes shrinkage ranking — the fix for 'sort by average'
+    leaderboards where a part with 2 huge orders beats one with 500
+    solid ones: each part's mean order quantity is shrunk toward the
+    global mean with k=20 pseudo-observations, shrunk = (Σx + k·μ)/(n +
+    k) — the Beta/Gaussian posterior-mean estimator every ratings
+    system (IMDb's weighted rating, reddit's best) ships. All integer
+    cents: the global prior is an integer mean, the posterior an
+    integer div, ties broken by part key.
+
+    Scale shape: one partial agg per part (row-scale pass); the prior
+    is a 1-row broadcast; the top-20 is TakeOrdered. The EXACT
+    comparison raw-vs-shrunk is in the output so the test can assert
+    shrinkage monotonicity (low-n parts move toward μ more)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity") * 100)).cast("bigint").alias("qty_c"),
+    )
+    glob = per.agg(F.expr("sum(qty_c) div sum(n)").alias("mu_c"))
+    scored = per.crossJoin(F.broadcast(glob)).select(
+        "l_partkey",
+        "n",
+        F.expr("qty_c div n").alias("raw_mean_c"),
+        F.expr("(qty_c + 20 * mu_c) div (n + 20)").alias("shrunk_mean_c"),
+    )
+    top = scored.orderBy(F.col("shrunk_mean_c").desc(), "l_partkey").limit(20)
+    w = Window.orderBy(F.col("shrunk_mean_c").desc(), "l_partkey")
+    return top.select(
+        "l_partkey",
+        "n",
+        "raw_mean_c",
+        "shrunk_mean_c",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -17475,7 +17661,8 @@ _FIRST50: list[str] = [
 # equidepth_histogram_bounds, covariate_balance_smd, degree_assortativity,
 # hierarchical_share_rollup, rollup_consistency_proof,
 # maxmin_fair_allocation, token_bag_fingerprint_dedup,
-# shift_share_decomposition, peak_concurrency_minutes.
+# shift_share_decomposition, peak_concurrency_minutes, ndcg_ranker_eval,
+# eb_shrinkage_ranking.
 
 
 def _ordered_names() -> list[str]:
