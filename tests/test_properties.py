@@ -2754,3 +2754,49 @@ def test_peak_concurrency_matches_python_sweep(spark):
     assert r["peak_concurrent"] == peak
     assert r["peak_minute"] == peak_minute
     assert r["mean_concurrent_milli"] == sum(minutes.values()) * 1000 // len(minutes)
+
+
+def test_ndcg_discount_constants_and_bounds(spark):
+    """The baked discounts must equal round(1e6/log2(k+1)); ndcg must lie
+    in [0, 1e6]; IDCG must equal the discount sum; and a perfect ranker
+    (relevance = its own top-10) would hit exactly 1e6 — verified via
+    the identity dcg <= idcg with equality iff all 10 relevant."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    d = entrymod._NDCG_DISCOUNT_MICRO
+    assert list(d) == [round(1000000 / math.log2(k + 1)) for k in range(1, 11)]
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["ndcg_ranker_eval"](spark, sf).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["idcg_micro"] == sum(d)
+        assert 0 <= r["dcg_micro"] <= r["idcg_micro"]
+        assert r["ndcg_ppm"] == r["dcg_micro"] * 1000000 // r["idcg_micro"]
+
+
+def test_eb_shrinkage_pulls_toward_global_mean(spark):
+    """Every shrunk mean must lie between the raw mean and the global
+    mean (the defining contraction property), with low-n parts pulled
+    proportionally harder; values must match the Python recompute."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    per = {}
+    for r in li.itertuples():
+        n, q = per.get(int(r.l_partkey), (0, 0))
+        per[int(r.l_partkey)] = (n + 1, q + int(round(r.l_quantity * 100)))
+    mu = sum(q for _, q in per.values()) // sum(n for n, _ in per.values())
+    rows = entrymod.queries()["eb_shrinkage_ranking"](spark, sf).collect()
+    assert len(rows) == 20
+    for r in rows:
+        n, q = per[r["l_partkey"]]
+        assert r["n"] == n
+        assert r["raw_mean_c"] == q // n
+        assert r["shrunk_mean_c"] == (q + 20 * mu) // (n + 20)
+        lo, hi = sorted((r["raw_mean_c"], mu))
+        assert lo - 1 <= r["shrunk_mean_c"] <= hi + 1  # integer-floor slack
