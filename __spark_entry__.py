@@ -17497,6 +17497,197 @@ def eb_shrinkage_ranking(spark, sf_dir):
     )
 
 
+# ---- round 7, batch 54: driver evidence for the last two SURVEY §2 rows
+# (S10 standalone CLI harness, A3 COUNT(*) restore validation) — the only
+# rows VERDICT r6 still carried as tests-only.
+
+
+@q(
+    "cli_load_roundtrip",
+    """
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+)
+def cli_load_roundtrip(spark, sf_dir):
+    """S10 standalone load harness, driver-verified end-to-end THROUGH the
+    CLI surface (reference `python etl/loader.py` standalone entry,
+    etl/loader.py:350-356): slice A of `part` is written to a source
+    parquet and loaded via `cli load` (truncate-and-load, publishing v0),
+    a second `cli load` of slice B truncates to v1, then `cli restore
+    --version 0` flips the pointer back — so the published table must be
+    exactly slice A, which is the oracle.  A CLI that mis-parsed args,
+    loaded without versioning, or restored to the wrong version
+    hash-mismatches.  All data movement is Spark jobs; the CLI calls are
+    in-process (stop_session=False reuses this SparkSession)."""
+    import tempfile
+
+    from domanda_etl_spark.cli import main as cli_main
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    base = tempfile.mkdtemp(prefix="cli_load_")
+    src_a, src_b = f"{base}/src_a", f"{base}/src_b"
+    table = f"{base}/table"
+    part.filter(F.col("p_partkey") % 5 == 0).write.parquet(src_a)
+    part.filter(F.col("p_partkey") % 5 == 1).write.parquet(src_b)
+    # the CLI prints one JSON status line per command; swallow them so
+    # callers with a stdout contract of their own (bench.py) stay clean
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()) as cli_out:
+        assert cli_main(["load", src_a, table], stop_session=False) == 0
+        assert cli_main(["load", src_b, table], stop_session=False) == 0
+        assert cli_main(["restore", table, "--version", "0"], stop_session=False) == 0
+    assert '"op": "restore"' in cli_out.getvalue()  # CLI really ran
+
+    from domanda_etl_spark.sinks import VersionedTable
+
+    return VersionedTable(table).read(spark)
+
+
+@q(
+    "restore_count_check",
+    """
+    WITH src AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS n_source,
+           CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS n_restored,
+           TRUE AS counts_match
+    """,
+)
+def restore_count_check(spark, sf_dir):
+    """A3 COUNT(*) validation, driver-verified: the reference re-counts a
+    restored table and compares against the expected row count
+    (etl/loader.py:290-298) — here slice v0 of orders is published, an
+    append advances to v1, restore() rewinds to v0 (running the sink's
+    internal readability+count check), and the query RETURNS the
+    (source count, restored count, equality) row.  The oracle recomputes
+    the source count relationally, so a restore that dropped or
+    duplicated rows fails on value, not just on an assert."""
+    import tempfile
+
+    from domanda_etl_spark.sinks import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_orderkey") % 7 == 0)
+    table = VersionedTable(tempfile.mkdtemp(prefix="count_check_"))
+    table.overwrite(src)  # v0
+    table.append(orders.filter(F.col("o_orderkey") % 7 == 1))  # v1
+    table.restore(spark, version=0)  # sink's own count check runs here
+    n_source = src.count()  # bounded 1-row driver state (count actions)
+    n_restored = table.read(spark).count()
+    return spark.createDataFrame(
+        [(n_source, n_restored, n_source == n_restored)],
+        "n_source long, n_restored long, counts_match boolean",
+    )
+
+
+# ---- round 7, batch 55: sparse lexical retrieval (BM25) — the classic
+# counterpart to the dense-embedding ANN path (similarity_topk_*): a
+# training-data pipeline needs BOTH for decontamination screens and
+# retrieval-quality audits.
+
+_BM25_TERMS = ("spark", "vector", "merge", "hash")
+
+
+@q(
+    "bm25_topk_retrieval",
+    r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(ws)) AS BIGINT) AS total_words FROM w),
+    tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+           WHERE t IN ('spark', 'vector', 'merge', 'hash')
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(((s.n_docs - f.df) * 2 + 1) * 1000000 // (f.df * 2 + 1)
+                  AS BIGINT) AS idf_micro,
+             CAST(tf.tf * 22 * s.total_words * 1000 //
+                  (10 * tf.tf * s.total_words + 3 * s.total_words
+                   + 9 * d.dl * s.n_docs) AS BIGINT) AS tf_part_milli
+      FROM tf JOIN d USING (doc_id) CROSS JOIN stats s
+      JOIN dfreq f ON tf.term = f.term),
+    agg AS (SELECT doc_id,
+                   CAST(sum(idf_micro * tf_part_milli // 1000) AS BIGINT)
+                     AS score_micro
+            FROM scored GROUP BY 1)
+    SELECT doc_id, score_micro, rnk FROM (
+      SELECT doc_id, score_micro,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM agg)
+    WHERE rnk <= 15
+    """,
+)
+def bm25_topk_retrieval(spark, sf_dir):
+    """BM25 top-15 retrieval over the document corpus for a literal query
+    term set — Okapi BM25 with k1=1.2, b=0.75, computed ENTIRELY in exact
+    integer arithmetic so both engines hash identically: with k1=6/5 and
+    b=3/4, the per-term saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    multiplies out (by 10·total_words) to
+
+        tf·22·total // (10·tf·total + 3·total + 9·dl·N)   (milli-scaled)
+
+    and the +0.5-smoothed idf (N−df+0.5)/(df+0.5) doubles into
+    ((N−df)·2+1)·1e6 // (df·2+1) — the same rational-quantization move as
+    tfidf_top_terms / bigram_collocations (at true corpus scale switch the
+    tf part to double and accept approximate ranking; the structure—
+    posting-list join, broadcast stats—is unchanged).
+
+    Scale shape: one explode over matching terms only (the IN filter
+    prunes before the shuffle), partial-agg groupBy for tf, a
+    4-row broadcast df table and a 1-row broadcast corpus-stats join —
+    no all-pairs, no driver state; the top-15 is TakeOrdered. On 100 TB
+    the tf table is the classic inverted-posting relation, partitioned by
+    term."""
+    docs = _tw(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")
+    w = docs.select("doc_id", ws.alias("ws"))
+    d = w.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    stats = w.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("total_words"),
+    )
+    tf = (
+        w.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            F.expr("((n_docs - df) * 2 + 1) * 1000000 div (df * 2 + 1)").alias(
+                "idf_micro"
+            ),
+            F.expr(
+                "tf * 22 * total_words * 1000 div "
+                "(10 * tf * total_words + 3 * total_words + 9 * dl * n_docs)"
+            ).alias("tf_part_milli"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.expr("idf_micro * tf_part_milli div 1000")).alias("score_micro")
+    )
+    top = agg.orderBy(F.col("score_micro").desc(), "doc_id").limit(15)
+    rw = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.select(
+        "doc_id", "score_micro", F.row_number().over(rw).cast("bigint").alias("rnk")
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -17526,6 +17717,8 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "versioned_sink_roundtrip",
     "versioned_retention_roundtrip",
     "partitioned_merge_roundtrip",
+    "cli_load_roundtrip",
+    "restore_count_check",
     "streaming_batch_equiv",
     "streaming_dedup_equiv",
     "streaming_stateful_totals",
@@ -17551,118 +17744,185 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "schema_evolution_read",
 })
 
+# Round-7 window (rotation per VERDICT r6 §next#3): (a) the standing
+# flagship; (b) the 8 queries that hash-failed in r6 — all one root cause,
+# un-cast HUGEINT oracle aggregates, now normalized via
+# _ORACLE_BIGINT_CASTS — kept in-window for driver confirmation of the
+# fix; (c) 8 MORE HUGEINT-normalized queries from the never-verified
+# backlog, so the driver confirms the normalization across the class, not
+# just the 8 named instances; (d) the judge's priority flagships from the
+# backlog (setsim_prefix_join, dedup_canonical_selection, cdc_apply_log,
+# minhash_estimate_audit, semdedup_cluster_prune,
+# streaming_watermark_late_drop, stream_stream_join_equiv); (e) the two
+# NEW queries giving driver evidence for the last tests-only SURVEY §2
+# rows (S10 cli_load_roundtrip, A3 restore_count_check); (f) the head of
+# the never-verified queue in registration order. Rotated-out greens stay
+# under the identical (now driver-strict) local gate in
+# tests/test_oracle_parity.py.
 _FIRST50: list[str] = [
-    # standing flagship
+    # (a) standing flagship
     "domanda_pipeline_full",
-    # NTZ fix confirmation (broken in r5, repaired via shared-loader cast)
-    "latest_wins_dedup",
-    "window_analytics",
-    "sessionize_events",
-    "incremental_lookback",
-    "asof_join_events",
-    # changed this round
-    "deterministic_shuffle",
-    "merge_upsert",
-    "versioned_sink_roundtrip",
-    # new this round (S6 history + S8 retention driver evidence)
-    "versioned_retention_roundtrip",
-    # never driver-verified until now: LLM-ops / analytics flagships
+    # (b) r6 hash-fail confirmation — HUGEINT oracle fix
     "web_corpus_pipeline",
-    "lsh_pair_containment",
-    "pagerank_purchases",
-    "spatial_bucket_join",
     "embedding_gram_matrix",
-    "similarity_topk_ivf",
-    "token_block_packing",
-    # never driver-verified: storage layout
-    "csv_roundtrip",
-    "json_roundtrip",
-    "orc_roundtrip",
-    "partitioned_write_prune",
-    "bucketed_join_colocated",
-    "partitioned_merge_roundtrip",
-    # never driver-verified: robustness + streaming
-    "stream_static_join_equiv",
     "corrupt_record_handling",
-    "schema_evolution_read",
-    "streaming_stateful_totals",
-    "session_window_native",
-    "incremental_agg_merge",
-    # never driver-verified: analytics micros
-    "interpolate_linear",
     "skew_profile",
     "chi2_contingency",
     "spike_detection",
-    "url_canonicalize_dedup",
     "url_domain_stats",
     "bigram_collocations",
-    "mad_outliers",
-    "forward_fill",
-    "pivot_multi_agg",
-    "embedding_centroids",
-    "ratio_to_report",
-    "argmax_functions",
-    "time_weighted_avg",
-    "snapshot_diff",
-    "null_safe_join",
-    "quantile_bucket_global",
-    "unpivot_melt",
-    "interval_overlap_join",
-    "map_functions",
-    # previously rows-only, now deterministic bounds-checked
-    "approx_sketches",
+    # (c) HUGEINT-normalized backlog samples (fix confirmed across class)
+    "substring_span_dedup",
+    "corpus_mixture_stats",
+    "token_bag_fingerprint_dedup",
+    "trending_items_decay",
+    "wasserstein_drift_exact",
+    "window_value_functions",
+    "uplift_qini_points",
+    "kendall_tau_rankers",
+    # (d) judge-priority LLM-ops flagships, never driver-verified
+    "setsim_prefix_join",
+    "dedup_canonical_selection",
+    "cdc_apply_log",
+    "minhash_estimate_audit",
+    "semdedup_cluster_prune",
+    "streaming_watermark_late_drop",
+    "stream_stream_join_equiv",
+    # (e) last two SURVEY §2 rows, new this round
+    "cli_load_roundtrip",
+    "restore_count_check",
+    # (f) head of the never-verified queue, registration order
+    "quality_weighted_sample",
+    "incremental_lookback_pruned",
+    "hll_partial_rollup",
+    "unigram_surprisal_score",
+    "partitioned_delete_roundtrip",
+    "distribution_drift_tvd",
+    "ks_drift_exact",
+    "groupwise_ols_regression",
+    "market_basket_pairs",
+    "histogram_median_rollup",
+    "zorder_clustered_scan",
+    "triangle_count_keys",
+    "dsir_importance_weights",
+    "boilerplate_line_removal",
+    "k_anonymity_generalize",
+    "small_file_compaction",
+    "bpe_merge_candidates",
+    "hard_negative_mining",
+    "bloom_prefilter_join",
+    "ewma_halflife_smoothing",
+    "leakage_safe_group_split",
+    "attribution_first_last",
+    "bigram_lm_surprisal",
+    "dp_randomized_response",
 ]
-# Round-7 rotation queue (registered after this round's window was frozen;
-# never driver-verified): substring_span_dedup, dedup_canonical_selection,
-# quality_weighted_sample, corpus_mixture_stats, incremental_lookback_pruned,
-# hll_partial_rollup, unigram_surprisal_score, partitioned_delete_roundtrip,
-# distribution_drift_tvd, ks_drift_exact, groupwise_ols_regression,
-# market_basket_pairs, histogram_median_rollup, zorder_clustered_scan,
-# triangle_count_keys, semdedup_cluster_prune, dsir_importance_weights,
-# boilerplate_line_removal, k_anonymity_generalize, small_file_compaction,
-# bpe_merge_candidates, hard_negative_mining, bloom_prefilter_join,
-# ewma_halflife_smoothing, leakage_safe_group_split, attribution_first_last,
-# bigram_lm_surprisal, dp_randomized_response, heavy_hitters_cms,
-# vocab_oov_rate, embedding_power_iteration, streaming_watermark_late_drop,
+# Round-8 rotation queue (never driver-verified, 96 names — clears in 2
+# more 48-slot windows; regenerate with the snippet in PROGRESS.jsonl):
+# heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
 # event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
 # rolling_active_users, score_decile_lift, scd2_daily_snapshot,
 # impute_group_mean, temporal_split_audit, incremental_dedup_newbatch,
-# linear_quality_inference, quarantine_bad_rows, referential_integrity_check,
-# stream_stream_join_equiv, seasonal_baseline_residuals, table_stats_profile,
-# setsim_prefix_join, cdc_apply_log, benford_digit_audit,
-# robust_scaler_groups, embedding_int8_quantization,
-# corpus_fertility_by_lang, quantization_recall_audit,
-# twostage_rerank_retrieval, ohlc_resample, streaming_session_window,
-# quantile_transform_uniform, pareto_frontier_2d, weighted_median_groups,
-# ab_test_proportions_ztest, period_over_period_growth,
-# embedding_dimension_stats, rfm_segmentation, exact_auc_ranksum,
-# minhash_estimate_audit, diff_in_differences, survival_hazard_table,
+# linear_quality_inference, quarantine_bad_rows,
+# referential_integrity_check, seasonal_baseline_residuals,
+# table_stats_profile, benford_digit_audit, robust_scaler_groups,
+# embedding_int8_quantization, corpus_fertility_by_lang,
+# quantization_recall_audit, twostage_rerank_retrieval, ohlc_resample,
+# streaming_session_window, quantile_transform_uniform,
+# pareto_frontier_2d, weighted_median_groups, ab_test_proportions_ztest,
+# period_over_period_growth, embedding_dimension_stats, rfm_segmentation,
+# exact_auc_ranksum, diff_in_differences, survival_hazard_table,
 # poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
 # item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
 # khop_reachability, grid_density_clusters, kmv_distinct_sketch,
 # ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
 # cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
 # markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
-# trending_items_decay, scd2_asof_enrich, clustering_coefficient,
-# point_in_time_features, abc_pareto_classes, wasserstein_drift_exact,
-# rle_sequence_compression, target_encoding_kfold,
+# scd2_asof_enrich, clustering_coefficient, point_in_time_features,
+# abc_pareto_classes, rle_sequence_compression, target_encoding_kfold,
 # largest_remainder_allocation, cohort_overlap_jaccard,
 # daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
 # interarrival_cv_audit, temperature_sampling_mix,
 # horvitz_thompson_estimate, implicit_negative_sampling,
-# cohens_kappa_labelers, churn_label_windows, kendall_tau_rankers,
-# kfold_metric_stability, selectivity_independence_audit, encoding_size_model,
-# leaderboard_churn, recsys_exposure_coverage, pinball_loss_eval,
-# new_vs_returning_daily, heaps_law_curve, token_mass_coverage,
-# consistent_hash_resharding, leadlag_crosscorrelation,
-# window_value_functions, array_lambda_functions,
+# cohens_kappa_labelers, churn_label_windows, kfold_metric_stability,
+# selectivity_independence_audit, encoding_size_model, leaderboard_churn,
+# recsys_exposure_coverage, pinball_loss_eval, new_vs_returning_daily,
+# heaps_law_curve, token_mass_coverage, consistent_hash_resharding,
+# leadlag_crosscorrelation, array_lambda_functions,
 # content_defined_chunking, l_diversity_audit, sampled_join_bias,
-# session_definition_sensitivity, uplift_qini_points,
-# equidepth_histogram_bounds, covariate_balance_smd, degree_assortativity,
-# hierarchical_share_rollup, rollup_consistency_proof,
-# maxmin_fair_allocation, token_bag_fingerprint_dedup,
+# session_definition_sensitivity, equidepth_histogram_bounds,
+# covariate_balance_smd, degree_assortativity, hierarchical_share_rollup,
+# rollup_consistency_proof, maxmin_fair_allocation,
 # shift_share_decomposition, peak_concurrency_minutes, ndcg_ranker_eval,
 # eb_shrinkage_ranking.
+
+
+# Oracle output columns that DuckDB types as HUGEINT (int128) — integer
+# sum()/`//` products.  pandas materializes HUGEINT as float64 while the
+# Spark side returns bigint, so the driver's hasher sees 93000.0 vs 93000
+# (VERDICT r6 §wrong#1: 8 hash failures, one root cause).  oracle_sql()
+# wraps these in CAST(... AS BIGINT) via DuckDB's `SELECT * REPLACE`;
+# the mapping is generated by `tools/scan_oracle_types.py --emit-dict`
+# and gate-checked by tests/test_oracle_types.py (zero HUGEINT outputs).
+_ORACLE_BIGINT_CASTS: dict[str, tuple[str, ...]] = {
+    "abc_pareto_classes": ("revenue_share_ppm",),
+    "attribution_time_decay": ("n_credited", "total_credit_micro", "credit_share_ppm"),
+    "bigram_collocations": ("lift_micro",),
+    "chi2_contingency": ("expected_micro",),
+    "churn_label_windows": ("n_churned", "churn_rate_ppm"),
+    "cohens_kappa_labelers": ("a_pos", "b_pos", "both_pos", "both_neg", "agreement_ppm"),
+    "consistent_hash_resharding": ("n_moved", "moved_ppm"),
+    "corpus_mixture_stats": ("n_tokens",),
+    "corrupt_record_handling": ("key_sum",),
+    "daily_percentile_bands": ("n_rows",),
+    "eb_shrinkage_ranking": ("shrunk_mean_c",),
+    "embedding_gram_matrix": ("gram_q",),
+    "equidepth_histogram_bounds": ("cum_rows",),
+    "feature_hashing_collisions": ("n_features",),
+    "heaps_law_curve": ("cum_distinct",),
+    "hierarchical_share_rollup": ("share_of_region_ppm", "share_of_global_ppm", "region_share_ppm"),
+    "horvitz_thompson_estimate": ("n_sampled", "exact_sum_milli", "ht_est_milli", "err_ppm"),
+    "islands_consecutive_runs": ("active_days",),
+    "ivm_join_delta": ("n_view",),
+    "kendall_tau_rankers": ("tau_ppm",),
+    "l_diversity_audit": ("compliant_contribution_ppm",),
+    "largest_remainder_allocation": ("n_orders_exact", "sum_alloc_c", "sum_total_c"),
+    "markov_absorption_iter": ("p_absorb_micro",),
+    "maxmin_fair_allocation": ("allocation", "satisfied_ppm"),
+    "ndcg_ranker_eval": ("dcg_micro", "ndcg_ppm"),
+    "new_vs_returning_daily": ("n_new", "n_returning", "cum_users", "new_share_ppm"),
+    "peak_concurrency_minutes": ("mean_concurrent_milli",),
+    "phonetic_blocking_audit": ("pairs_all", "reduction_ppm"),
+    "pinball_loss_eval": ("pinball90_p90_micro", "pinball90_p50_micro"),
+    "recsys_exposure_coverage": ("exposure_gini_ppm",),
+    "rle_sequence_compression": ("n_events", "mean_run_milli"),
+    "selectivity_independence_audit": ("n_a", "n_b", "n_ab", "est_independent", "est_error_ppm"),
+    "session_definition_sensitivity": ("n_sessions", "events_per_session_milli"),
+    "shift_share_decomposition": ("global_growth_ppm",),
+    "skew_profile": ("total_rows", "skew_ratio_micro"),
+    "spike_detection": ("cents", "prev_sum"),
+    "split_conformal_coverage": ("coverage_ppm",),
+    "substring_span_dedup": ("n_dup_spans",),
+    "temperature_sampling_mix": ("alloc_tokens", "raw_share_ppm"),
+    "token_bag_fingerprint_dedup": ("n_docs", "bag_removable", "set_removable", "set_removable_ppm"),
+    "token_mass_coverage": ("total_tokens",),
+    "trending_items_decay": ("trend_score", "qty_total"),
+    "uplift_qini_points": ("cum_tn", "cum_tpos", "cum_cn", "cum_cpos", "qini_incremental"),
+    "url_domain_stats": ("total_chars",),
+    "wasserstein_drift_exact": ("n_view", "n_purchase", "w1_micro"),
+    "web_corpus_pipeline": ("total_segments", "total_chars"),
+    "window_value_functions": ("n_up", "n_down", "n_single_event"),
+}
+
+
+def _bigint_normalized(name: str, sql: str) -> str:
+    """Wrap HUGEINT-producing output columns in CAST(... AS BIGINT) so the
+    oracle's pandas dtypes match the Spark side's (int64, not float64)."""
+    cols = _ORACLE_BIGINT_CASTS.get(name)
+    if not cols:
+        return sql
+    repl = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) __hugeint_norm"
 
 
 def _ordered_names() -> list[str]:
@@ -17679,7 +17939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: _REGISTRY[name][1]
+        name: _bigint_normalized(name, _REGISTRY[name][1])
         for name in _ordered_names()
         if _REGISTRY[name][1] is not None
     }
