@@ -2800,3 +2800,50 @@ def test_eb_shrinkage_pulls_toward_global_mean(spark):
         assert r["shrunk_mean_c"] == (q + 20 * mu) // (n + 20)
         lo, hi = sorted((r["raw_mean_c"], mu))
         assert lo - 1 <= r["shrunk_mean_c"] <= hi + 1  # integer-floor slack
+
+
+def test_bm25_matches_python_recompute(spark):
+    """The integer-quantized BM25 must equal an independent Python
+    recompute of the closed form at sf0.001 — idf from the doubled
+    +0.5-smoothing, tf saturation from the multiplied-out k1=6/5, b=3/4
+    rational — and ranks must be ordered by (score desc, doc_id)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    terms = entrymod._BM25_TERMS
+    tok = {
+        int(r.doc_id): [t for t in r.text.strip().lower().split() if t]
+        for r in docs.itertuples()
+    }
+    n_docs = len(tok)
+    total = sum(len(ws) for ws in tok.values())
+    tf = {
+        (d, t): ws.count(t) for d, ws in tok.items() for t in terms if t in ws
+    }
+    df_ = {t: sum(1 for (d2, t2) in tf if t2 == t) for t in terms}
+    scores = {}
+    for (d, t), f in tf.items():
+        idf = ((n_docs - df_[t]) * 2 + 1) * 1_000_000 // (df_[t] * 2 + 1)
+        part = f * 22 * total * 1000 // (
+            10 * f * total + 3 * total + 9 * len(tok[d]) * n_docs
+        )
+        scores[d] = scores.get(d, 0) + idf * part // 1000
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    rows = entrymod.queries()["bm25_topk_retrieval"](spark, sf).collect()
+    got = [(r["doc_id"], r["score_micro"]) for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert got == expect
+    # rank ordering is strictly by (score desc, doc_id)
+    for a, b in zip(rows := sorted(rows, key=lambda r: r["rnk"]), rows[1:]):
+        assert (a["score_micro"], -a["doc_id"]) >= (b["score_micro"], -b["doc_id"])
+
+
+def test_bm25_idf_penalizes_common_terms(spark):
+    """A term appearing in more documents must never contribute a larger
+    idf than a rarer term (monotonicity of the smoothed idf in df)."""
+    n = 100
+    idf = lambda df_: ((n - df_) * 2 + 1) * 1_000_000 // (df_ * 2 + 1)
+    vals = [idf(d) for d in range(1, n + 1)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
