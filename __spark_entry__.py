@@ -17818,7 +17818,7 @@ _FIRST50: list[str] = [
     "dp_randomized_response",
 ]
 # Round-8 rotation queue (never driver-verified, 96 names — clears in 2
-# more 48-slot windows; regenerate with the snippet in PROGRESS.jsonl):
+# more 48-slot windows; regenerate with `python tools/backlog.py`):
 # heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
 # event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
 # rolling_active_users, score_decile_lift, scd2_daily_snapshot,
