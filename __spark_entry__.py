@@ -17688,6 +17688,259 @@ def bm25_topk_retrieval(spark, sf_dir):
     )
 
 
+# ---- round 7, batch 56: record linkage, positional phrase retrieval,
+# bandit policy scoring, forecast-calibration decomposition.
+
+
+@q(
+    "fellegi_sunter_linkage",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+               FROM customer),
+    b AS (SELECT *, c_nationkey * 100 + (bal_c + 100000) // 500000 AS blk FROM c),
+    pairs AS (
+      SELECT a.c_nationkey AS nationkey,
+             (CASE WHEN a.c_mktsegment = x.c_mktsegment THEN 22 ELSE -30 END
+              + CASE WHEN abs(a.bal_c - x.bal_c) <= 10000 THEN 18 ELSE -12 END)
+               AS score
+      FROM b a JOIN b x ON a.blk = x.blk AND a.c_custkey < x.c_custkey)
+    SELECT nationkey,
+           CASE WHEN score >= 30 THEN 'match'
+                WHEN score >= 0 THEN 'possible' ELSE 'non_match' END AS link_class,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def fellegi_sunter_linkage(spark, sf_dir):
+    """Probabilistic record linkage (Fellegi–Sunter): candidate pairs from
+    BLOCKING on (nation, 5000-dollar balance bucket), then each pair is
+    scored by summed per-field log-odds weights — agreement on a field
+    adds log2(m/u), disagreement adds log2((1-m)/(1-u)), with the weights
+    PRE-QUANTIZED as integer deci-bits literals (+22/-30 for market
+    segment at m=.9/u=.2, +18/-12 for balance-within-100) so the score
+    is exact integer arithmetic, no runtime log.  Pairs classify by the
+    classic two-threshold rule (match / possible / clerical-review
+    non-match); published as per-nation class counts with score ranges.
+
+    Scale shape: blocking bounds the pair space to Σ block²  — the same
+    reason every production linker (Splink et al.) blocks before
+    scoring; the join is a self-equi-join on the block key (one
+    shuffle), never all-pairs.  Boundary-straddling true matches are
+    blocking's known miss; the standard fix (a second pass with offset
+    buckets, OR-ed candidate sets) composes from the same blocks.
+    Balances are exact cents (bigint) so the band test is float-free."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    b = c.withColumn(
+        "blk", F.col("c_nationkey") * 100 + F.expr("(bal_c + 100000) div 500000")
+    )
+    a_side = b.select(
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal_c").alias("bal_a"),
+        "blk",
+    )
+    x_side = b.select(
+        F.col("c_custkey").alias("k_x"),
+        F.col("c_mktsegment").alias("seg_x"),
+        F.col("bal_c").alias("bal_x"),
+        "blk",
+    )
+    score = (
+        F.when(F.col("seg_a") == F.col("seg_x"), 22).otherwise(-30)
+        + F.when(F.abs(F.col("bal_a") - F.col("bal_x")) <= 10000, 18).otherwise(-12)
+    )
+    pairs = (
+        a_side.join(x_side, "blk")
+        .filter(F.col("k_a") < F.col("k_x"))
+        .select("nationkey", score.alias("score"))
+    )
+    cls = (
+        F.when(F.col("score") >= 30, "match")
+        .when(F.col("score") >= 0, "possible")
+        .otherwise("non_match")
+    )
+    return pairs.groupBy("nationkey", cls.alias("link_class")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )
+
+
+@q(
+    "phrase_match_positional",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+    hits AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE ws[i] = 'spark' AND ws[i + 1] = 'merge')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY 1
+    """,
+)
+def phrase_match_positional(spark, sf_dir):
+    """Exact phrase search via a POSITIONAL inverted index — the IR
+    operator BM25 can't express (bag-of-words scoring loses adjacency):
+    each document's token positions are materialized, the two phrase
+    terms' posting lists are joined on (doc, pos) vs (doc, pos+1), and
+    survivors are adjacency-verified occurrences.  Published as per-doc
+    occurrence counts with the first match position (1-based).
+
+    Scale shape: postings are filtered to the PHRASE TERMS ONLY before
+    any join (two tiny posting lists, not the full index), then a
+    doc+position equi-join — the standard positional-index plan; the
+    per-doc rollup is one partial agg.  On 100 TB the posting lists are
+    the bucketed/sorted inverted-index tables this computes on the fly."""
+    docs = _tw(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    pos = docs.select("doc_id", F.posexplode(ws).alias("p0", "w"))
+    t1 = pos.filter(F.col("w") == "spark").select(
+        "doc_id", (F.col("p0") + 1).alias("pos")
+    )
+    t2 = pos.filter(F.col("w") == "merge").select(
+        "doc_id", (F.col("p0") + 1).alias("pos2")
+    )
+    hits = t1.join(
+        t2, (t1.doc_id == t2.doc_id) & (t2.pos2 == t1.pos + 1)
+    ).select(t1.doc_id.alias("doc_id"), "pos")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+@q(
+    "ucb1_arm_scores",
+    """
+    WITH arms AS (
+      SELECT event_type AS arm,
+             CAST(count(*) AS BIGINT) AS n_plays,
+             CAST(sum(CASE WHEN value >= 245.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wins
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_plays) AS BIGINT) AS n_total FROM arms)
+    SELECT arm, n_plays, n_wins,
+           round(CAST(n_wins AS DOUBLE) / n_plays, 6) AS mean_reward,
+           round(sqrt(2.0 * (length(bin(n_total)) - 1) / n_plays), 6)
+             AS explore_bonus,
+           round(round(CAST(n_wins AS DOUBLE) / n_plays, 6)
+                 + round(sqrt(2.0 * (length(bin(n_total)) - 1) / n_plays), 6), 6)
+             AS ucb_score
+    FROM arms, tot
+    """,
+)
+def ucb1_arm_scores(spark, sf_dir):
+    """UCB1 bandit policy scores per arm (event_type as arm, value>=245 as
+    the binary reward): ucb = mean + sqrt(2·log(N)/n), the exploration-
+    exploitation index every A/B-rollout allocator implements.  The log
+    is the INTEGER floor-log2 via length(bin(N))-1 — the unigram-
+    surprisal move — because cross-engine ln() is hash-hazardous; sqrt
+    and double division are IEEE-correctly-rounded in both engines, and
+    every float is round(·, 6) at the boundary.  The summands are also
+    published so the invariant test can check the bonus shrinks as 1/√n.
+
+    Scale shape: one partial-agg groupBy on a low-cardinality arm key
+    (the reward CASE folds map-side), a 1-row broadcast total — per-arm
+    state is O(arms), the textbook streaming-bandit aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_plays"),
+        F.sum(F.when(F.col("value") >= 245.0, 1).otherwise(0)).alias("n_wins"),
+    )
+    tot = arms.agg(F.sum("n_plays").alias("n_total"))
+    mean = F.round(F.col("n_wins").cast("double") / F.col("n_plays"), 6)
+    bonus = F.round(
+        F.sqrt(2.0 * (F.length(F.bin("n_total")) - 1) / F.col("n_plays")), 6
+    )
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_plays",
+        "n_wins",
+        mean.alias("mean_reward"),
+        bonus.alias("explore_bonus"),
+        F.round(mean + bonus, 6).alias("ucb_score"),
+    )
+
+
+@q(
+    "brier_decomposition",
+    """
+    WITH f AS (SELECT CAST(o_orderkey % 1000 AS BIGINT) AS p_milli,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+               FROM orders),
+    bins AS (SELECT p_milli // 100 AS bin,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(p_milli) AS BIGINT) AS sum_p,
+                    CAST(sum(y) AS BIGINT) AS sum_y
+             FROM f GROUP BY 1),
+    g AS (SELECT CAST(sum(sum_y) AS BIGINT) * 1000 // CAST(sum(n) AS BIGINT)
+                   AS ybar_milli
+          FROM bins)
+    SELECT CAST(bin AS BIGINT) AS bin, n,
+           sum_p // n AS p_bar_milli,
+           sum_y * 1000 // n AS y_bar_milli,
+           n * (sum_p // n - sum_y * 1000 // n)
+             * (sum_p // n - sum_y * 1000 // n) AS rel_contrib,
+           n * (sum_y * 1000 // n - ybar_milli)
+             * (sum_y * 1000 // n - ybar_milli) AS res_contrib
+    FROM bins, g
+    """,
+)
+def brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score (reliability − resolution
+    + uncertainty), the standard forecast-calibration diagnostic: a
+    deterministic pseudo-forecast p = (o_orderkey mod 1000)/1000 is
+    binned into 10 deciles against the binary outcome status='F', and
+    each bin publishes its calibration gap contribution n·(p̄−ȳ_bin)²
+    and resolution contribution n·(ȳ_bin−ȳ)² — ALL in exact milli-unit
+    bigint arithmetic (truncating div on both engines), so the identity
+    test can verify the decomposition against a Python recompute with
+    zero float drift.
+
+    Scale shape: one partial-agg groupBy on a 10-value bin key, a 1-row
+    broadcast global mean — the whole diagnostic is two map-side-
+    combining aggregations regardless of corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.select(
+        (F.col("o_orderkey") % 1000).cast("long").alias("p_milli"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bins = f.groupBy(F.expr("p_milli div 100").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_milli").alias("sum_p"),
+        F.sum("y").alias("sum_y"),
+    )
+    g = bins.agg(F.expr("sum(sum_y) * 1000 div sum(n)").alias("ybar_milli"))
+    return (
+        bins.crossJoin(F.broadcast(g))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            F.expr("sum_p div n").alias("p_bar_milli"),
+            F.expr("sum_y * 1000 div n").alias("y_bar_milli"),
+            F.expr(
+                "n * (sum_p div n - sum_y * 1000 div n)"
+                " * (sum_p div n - sum_y * 1000 div n)"
+            ).alias("rel_contrib"),
+            F.expr(
+                "n * (sum_y * 1000 div n - ybar_milli)"
+                " * (sum_y * 1000 div n - ybar_milli)"
+            ).alias("res_contrib"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -17817,7 +18070,7 @@ _FIRST50: list[str] = [
     "bigram_lm_surprisal",
     "dp_randomized_response",
 ]
-# Round-8 rotation queue (never driver-verified, 96 names — clears in 2
+# Round-8 rotation queue (never driver-verified, 101 names — clears in ~2
 # more 48-slot windows; regenerate with `python tools/backlog.py`):
 # heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
 # event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
@@ -17854,7 +18107,8 @@ _FIRST50: list[str] = [
 # covariate_balance_smd, degree_assortativity, hierarchical_share_rollup,
 # rollup_consistency_proof, maxmin_fair_allocation,
 # shift_share_decomposition, peak_concurrency_minutes, ndcg_ranker_eval,
-# eb_shrinkage_ranking.
+# eb_shrinkage_ranking, bm25_topk_retrieval, fellegi_sunter_linkage,
+# phrase_match_positional, ucb1_arm_scores, brier_decomposition.
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer

@@ -2847,3 +2847,123 @@ def test_bm25_idf_penalizes_common_terms(spark):
     idf = lambda df_: ((n - df_) * 2 + 1) * 1_000_000 // (df_ * 2 + 1)
     vals = [idf(d) for d in range(1, n + 1)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_fellegi_sunter_weights_and_blocking(spark):
+    """Class counts must match a Python recompute of the blocked pair
+    scoring, and the two-threshold classes must partition the score
+    line: every 'match' score >= 30 > every 'possible' >= 0 > every
+    'non_match'."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    c = pd.read_parquet(f"{sf}/customer.parquet")
+    recs = [
+        (
+            int(r.c_custkey),
+            int(r.c_nationkey),
+            r.c_mktsegment,
+            int(round(r.c_acctbal * 100)),
+        )
+        for r in c.itertuples()
+    ]
+    blocks: dict[int, list] = {}
+    for k, nat, seg, bal in recs:
+        blocks.setdefault(nat * 100 + (bal + 100000) // 500000, []).append(
+            (k, nat, seg, bal)
+        )
+    expect: dict[tuple, list] = {}
+    for members in blocks.values():
+        members.sort()
+        for i, (ka, nat, sa, ba) in enumerate(members):
+            for kx, _, sx, bx in members[i + 1 :]:
+                score = (22 if sa == sx else -30) + (
+                    18 if abs(ba - bx) <= 10000 else -12
+                )
+                cls = (
+                    "match" if score >= 30 else "possible" if score >= 0 else "non_match"
+                )
+                expect.setdefault((nat, cls), []).append(score)
+    rows = entrymod.queries()["fellegi_sunter_linkage"](spark, sf).collect()
+    got = {(r["nationkey"], r["link_class"]): r for r in rows}
+    assert set(got) == set(expect)
+    for key, scores in expect.items():
+        assert got[key]["n_pairs"] == len(scores)
+        assert got[key]["min_score"] == min(scores)
+        assert got[key]["max_score"] == max(scores)
+    for r in rows:
+        if r["link_class"] == "match":
+            assert r["min_score"] >= 30
+        elif r["link_class"] == "possible":
+            assert 0 <= r["min_score"] and r["max_score"] < 30
+        else:
+            assert r["max_score"] < 0
+
+
+def test_phrase_match_equals_python_scan(spark):
+    """Positional-join phrase hits must equal a Python sliding-window
+    scan (adjacency, not bag-of-words co-occurrence)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    expect = {}
+    for r in docs.itertuples():
+        ws = r.text.strip().lower().split()
+        hits = [i + 1 for i in range(len(ws) - 1) if ws[i] == "spark" and ws[i + 1] == "merge"]
+        if hits:
+            expect[int(r.doc_id)] = (len(hits), hits[0])
+    rows = entrymod.queries()["phrase_match_positional"](spark, sf).collect()
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"]) for r in rows}
+    assert got == expect
+
+
+def test_ucb1_bonus_shrinks_with_plays(spark):
+    """UCB1 exploration bonus must be positive and strictly decreasing in
+    n_plays (holding N fixed), and ucb = round(mean + bonus, 6)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["ucb1_arm_scores"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_n = sorted(rows, key=lambda r: r["n_plays"])
+    for a, b in zip(by_n, by_n[1:]):
+        assert a["explore_bonus"] > 0
+        if a["n_plays"] < b["n_plays"]:
+            assert a["explore_bonus"] > b["explore_bonus"]
+    for r in rows:
+        assert abs(r["ucb_score"] - round(r["mean_reward"] + r["explore_bonus"], 6)) < 1e-9
+        assert 0.0 <= r["mean_reward"] <= 1.0
+
+
+def test_brier_decomposition_identity(spark):
+    """The published contributions must satisfy the Murphy decomposition
+    recomputed in Python: per-bin means are truncating milli divisions,
+    and Σ res_contrib measures spread of bin outcome rates around the
+    global rate (zero iff all bins share one rate)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    bins: dict[int, list] = {}
+    for r in o.itertuples():
+        p = int(r.o_orderkey) % 1000
+        bins.setdefault(p // 100, []).append((p, 1 if r.o_orderstatus == "F" else 0))
+    n_tot = sum(len(v) for v in bins.values())
+    y_tot = sum(y for v in bins.values() for _, y in v)
+    ybar = y_tot * 1000 // n_tot
+    rows = entrymod.queries()["brier_decomposition"](spark, sf).collect()
+    assert len(rows) == len(bins)
+    for r in rows:
+        v = bins[r["bin"]]
+        n, sp, sy = len(v), sum(p for p, _ in v), sum(y for _, y in v)
+        assert r["n"] == n
+        assert r["p_bar_milli"] == sp // n
+        assert r["y_bar_milli"] == sy * 1000 // n
+        assert r["rel_contrib"] == n * (sp // n - sy * 1000 // n) ** 2
+        assert r["res_contrib"] == n * (sy * 1000 // n - ybar) ** 2
