@@ -24,9 +24,78 @@ def test_image_features_fake_codec(spark):
     assert (row["width"], row["height"], row["mode"]) == (100, 700, "FAKE")
 
 
-def test_real_codec_is_stubbed():
+def test_non_png_formats_still_raise():
+    # JPEG (and anything else needing a codec library) stays an honest
+    # NotImplementedError; PNG is decoded for real (see test_png_codec_*)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def test_png_codec_roundtrip_all_filters_and_modes():
+    import numpy as np
+
+    from domanda_etl_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for shape in [(8, 8), (5, 9, 3), (6, 4, 4), (3, 7, 2), (1, 1), (2, 1, 3)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        exp = a if a.ndim == 3 else a[:, :, None]
+        for ft in range(5):
+            d = decode_png(encode_png(a, filter_type=ft))
+            assert d["width"] == shape[1] and d["height"] == shape[0]
+            assert (d["pixels"] == exp).all(), (shape, ft)
+
+
+def test_png_codec_palette_and_real_decode_via_decode_image():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from domanda_etl_spark.operators.png_codec import encode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1]) + bytes([0, 2, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = multimodal.decode_image(png)  # dispatches to the real codec
+    assert (d["width"], d["height"], d["mode"]) == (2, 2, "RGB")
+    assert d["pixels"].tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [255, 0, 0]],
+    ]
+    # corrupted CRC must be detected, not silently decoded
+    bad = bytearray(png)
+    bad[20] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(bytes(bad))
+
+    # 16-bit depth is named as unsupported
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_image(png16)
 
 
 def test_frame_extract_chunks_and_stride(spark):
