@@ -3323,6 +3323,84 @@ def image_decode_roundtrip(spark, sf_dir):
 
 
 @q(
+    "image_resize_boxfilter",
+    """
+    WITH px AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> least(255, greatest(0,
+                    CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT))))
+               AS q
+      FROM embeddings),
+    rs AS (
+      SELECT id,
+             list_transform(range(0, 16),
+               b -> (q[(b // 4) * 16 + (b % 4) * 2 + 1]
+                   + q[(b // 4) * 16 + (b % 4) * 2 + 2]
+                   + q[(b // 4) * 16 + (b % 4) * 2 + 9]
+                   + q[(b // 4) * 16 + (b % 4) * 2 + 10]) // 4) AS r
+      FROM px)
+    SELECT id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(list_sum(r) AS BIGINT) AS rs_sum,
+           CAST(list_min(r) AS INT) AS rs_min,
+           CAST(list_max(r) AS INT) AS rs_max
+    FROM rs
+    """,
+)
+def image_resize_boxfilter(spark, sf_dir):
+    """REAL image resize — the resize leg of the multimodal brief: each
+    embedding-rendered 8x8 PNG is decoded by the stdlib codec and
+    box-downsampled 2x to 4x4 with the EXACT integer filter (each 2x2
+    block -> sum // 4), then reduced to sum/min/max over the resized
+    pixels.  The oracle replays quantization AND the box filter in pure
+    integer SQL over the raw floats — one wrong block boundary or a
+    truncation-vs-round slip in the resampler fails the hash.
+
+    Scale shape: encode and decode+resize are two Arrow-batched
+    mapInPandas map stages, zero shuffles; resized payloads reduce to
+    6 columns before leaving the executor (ship stats, not pixels)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    payload = multimodal.encode_embedding_png(emb, "vec_id", "embedding", side=8)
+    return multimodal.image_resize_stats(payload, "id", factor=2)
+
+
+@q(
+    "audio_wav_features",
+    """
+    WITH s AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> least(32767, greatest(-32768,
+                    CAST(floor(CAST(x AS DOUBLE) * 32767.0) AS BIGINT)))) AS v
+      FROM embeddings)
+    SELECT id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(len(v) AS INT) AS n_samples,
+           CAST(list_sum(list_transform(v, e -> abs(e))) AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(v, e -> abs(e))) AS INT) AS peak,
+           CAST(len(list_filter(range(1, len(v)), i -> v[i] * v[i + 1] < 0))
+                AS INT) AS zero_crossings
+    FROM s
+    """,
+)
+def audio_wav_features(spark, sf_dir):
+    """REAL audio decode — each embedding is rendered as a genuine mono
+    16-bit PCM WAV (sample = clamp(floor(x·32767)), stdlib `wave`
+    writer), then parsed back by the stdlib reader and reduced to exact
+    signal features: total |amplitude|, peak |amplitude|, and strict
+    zero crossings (sign product < 0).  PCM is lossless, so the oracle
+    recomputes every feature from the raw floats in integer SQL; a
+    mis-framed RIFF header or byte-order slip breaks all three.
+
+    Scale shape: same zero-shuffle two-map-stage pipeline as the image
+    queries — the 100 TB posture for media feature extraction is 'decode
+    where the bytes live, shuffle only the features'."""
+    emb = _t(spark, sf_dir, "embeddings")
+    payload = multimodal.encode_embedding_wav(emb, "vec_id", "embedding")
+    return multimodal.audio_features(payload, "id")
+
+
+@q(
     "merge_upsert",
     """
     WITH updates AS (
@@ -18113,30 +18191,30 @@ _FIRST50: list[str] = [
     # (g) real-PNG-decode evidence, new this round (closes the codec stub)
     "image_decode_roundtrip",
 ]
-# Round-8 rotation queue (never driver-verified, 102 names — clears in ~2
+# Round-8 rotation queue (never driver-verified, 104 names — clears in ~2
 # more 48-slot windows; regenerate with `python tools/backlog.py`):
-# dp_randomized_response, heavy_hitters_cms, vocab_oov_rate,
-# embedding_power_iteration, event_markov_transitions, domain_cap_sample,
-# twophase_distinct_agg, rolling_active_users, score_decile_lift,
-# scd2_daily_snapshot, impute_group_mean, temporal_split_audit,
-# incremental_dedup_newbatch, linear_quality_inference,
-# quarantine_bad_rows, referential_integrity_check,
-# seasonal_baseline_residuals, table_stats_profile, benford_digit_audit,
-# robust_scaler_groups, embedding_int8_quantization,
-# corpus_fertility_by_lang, quantization_recall_audit,
-# twostage_rerank_retrieval, ohlc_resample, streaming_session_window,
-# quantile_transform_uniform, pareto_frontier_2d, weighted_median_groups,
-# ab_test_proportions_ztest, period_over_period_growth,
-# embedding_dimension_stats, rfm_segmentation, exact_auc_ranksum,
-# diff_in_differences, survival_hazard_table, poisson_bootstrap_ci,
-# cusum_changepoint, event_path_trigrams, item_item_cosine_topk,
-# theil_sen_trend, neyman_allocation_sample, khop_reachability,
-# grid_density_clusters, kmv_distinct_sketch, ivm_join_delta,
-# rrf_rank_fusion, islands_consecutive_runs, cuped_variance_reduction,
-# mutual_nn_pairs, feature_hashing_collisions, markov_absorption_iter,
-# split_conformal_coverage, higher_moment_stats, scd2_asof_enrich,
-# clustering_coefficient, point_in_time_features, abc_pareto_classes,
-# rle_sequence_compression, target_encoding_kfold,
+# image_resize_boxfilter, audio_wav_features, dp_randomized_response,
+# heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
+# event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
+# rolling_active_users, score_decile_lift, scd2_daily_snapshot,
+# impute_group_mean, temporal_split_audit, incremental_dedup_newbatch,
+# linear_quality_inference, quarantine_bad_rows,
+# referential_integrity_check, seasonal_baseline_residuals,
+# table_stats_profile, benford_digit_audit, robust_scaler_groups,
+# embedding_int8_quantization, corpus_fertility_by_lang,
+# quantization_recall_audit, twostage_rerank_retrieval, ohlc_resample,
+# streaming_session_window, quantile_transform_uniform,
+# pareto_frontier_2d, weighted_median_groups, ab_test_proportions_ztest,
+# period_over_period_growth, embedding_dimension_stats, rfm_segmentation,
+# exact_auc_ranksum, diff_in_differences, survival_hazard_table,
+# poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
+# item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
+# khop_reachability, grid_density_clusters, kmv_distinct_sketch,
+# ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
+# cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
+# markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
+# scd2_asof_enrich, clustering_coefficient, point_in_time_features,
+# abc_pareto_classes, rle_sequence_compression, target_encoding_kfold,
 # largest_remainder_allocation, cohort_overlap_jaccard,
 # daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
 # interarrival_cv_audit, temperature_sampling_mix,

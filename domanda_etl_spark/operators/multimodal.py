@@ -171,6 +171,169 @@ def encode_embedding_png(
     return df.select(id_col, vec_col).mapInPandas(compute, "id bigint, payload binary")
 
 
+def box_resize(pixels, factor: int):
+    """Exact integer box-filter downsample: each factor x factor block
+    maps to floor(mean) — sum // factor², so an oracle can recompute the
+    result in pure integer SQL.  pixels: HxWxC uint8, H and W divisible
+    by factor."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.int64)
+    h, w, ch = a.shape
+    if h % factor or w % factor:
+        raise ValueError(f"{h}x{w} not divisible by factor {factor}")
+    blocks = a.reshape(h // factor, factor, w // factor, factor, ch)
+    return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+
+
+IMAGE_RESIZE_STATS_SCHEMA = (
+    "id bigint, width int, height int, rs_sum bigint, rs_min int, rs_max int"
+)
+
+
+def image_resize_stats(
+    df: DataFrame, id_col: str, payload_col: str = "payload", factor: int = 2
+) -> DataFrame:
+    """Decode → box-filter resize → exact stats, the resize leg of the
+    multimodal brief: PNG payloads are decoded by the real codec,
+    downsampled `factor`x with the integer box filter, and reduced to
+    sum/min/max over the RESIZED pixels (oracle-recomputable)."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                d = decode_image(bytes(b))
+                r = box_resize(d["pixels"], factor)
+                rows.append(
+                    (
+                        int(i),
+                        r.shape[1],
+                        r.shape[0],
+                        int(r.astype("int64").sum()),
+                        int(r.min()),
+                        int(r.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "rs_sum", "rs_min", "rs_max"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, IMAGE_RESIZE_STATS_SCHEMA)
+
+
+def encode_pcm_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Write a real mono 16-bit PCM WAV (stdlib `wave` module — no media
+    library) from an int16 sample array."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_pcm_wav(payload: bytes) -> dict:
+    """Parse a WAV payload with the stdlib `wave` reader: returns
+    {sample_rate, n_samples, samples: int16 ndarray}.  Mono 16-bit PCM
+    only — anything else raises ValueError naming the field."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getnchannels() != 1:
+            raise ValueError(f"unsupported channels {w.getnchannels()}")
+        if w.getsampwidth() != 2:
+            raise ValueError(f"unsupported sample width {w.getsampwidth()}")
+        n = w.getnframes()
+        samples = np.frombuffer(w.readframes(n), dtype="<i2")
+        return {"sample_rate": w.getframerate(), "n_samples": n, "samples": samples}
+
+
+def encode_embedding_wav(
+    df: DataFrame, id_col: str, vec_col: str, sample_rate: int = 16000
+) -> DataFrame:
+    """Render each float vector as a real PCM16 WAV payload: sample =
+    clamp(floor(x * 32767), -32768, 32767) in float64 — IEEE-exact, so
+    an oracle can recompute every sample from the raw floats."""
+    import numpy as np
+
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for vec in pdf[vec_col]:
+                a = np.asarray(vec, dtype=np.float64)
+                s = np.clip(np.floor(a * 32767.0), -32768, 32767).astype(np.int16)
+                payloads.append(encode_pcm_wav(s, sample_rate))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, vec_col).mapInPandas(compute, "id bigint, payload binary")
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "id bigint, sample_rate int, n_samples int, "
+    "sum_abs bigint, peak int, zero_crossings int"
+)
+
+
+def audio_features(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode-and-extract: WAV payloads are parsed by the
+    stdlib reader and reduced to exact integer signal features — total
+    absolute amplitude, peak |amplitude|, and strict zero crossings
+    (sign product < 0) — each recomputable by an oracle from the
+    pre-encode samples because PCM is lossless."""
+    import numpy as np
+
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                d = decode_pcm_wav(b)
+                s = d["samples"].astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        d["sample_rate"],
+                        d["n_samples"],
+                        int(np.abs(s).sum()),
+                        int(np.abs(s).max()) if len(s) else 0,
+                        int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "sample_rate",
+                    "n_samples",
+                    "sum_abs",
+                    "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, AUDIO_FEATURES_SCHEMA)
+
+
 IMAGE_PIXEL_STATS_SCHEMA = (
     "id bigint, width int, height int, mode string, "
     "px_sum bigint, px_min int, px_max int"

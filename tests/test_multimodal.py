@@ -113,3 +113,45 @@ def test_frame_extract_chunks_and_stride(spark):
     assert sorted(by_id[1]) == [(0, 256), (2, 88)]
     assert by_id[2] == [(0, 256)]
     assert 3 not in by_id  # empty payload -> no frames
+
+
+def test_box_resize_exact_integer_means():
+    import numpy as np
+
+    from domanda_etl_spark.operators.multimodal import box_resize
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, size=(8, 6, 3)).astype(np.uint8)
+    r = box_resize(a, 2)
+    assert r.shape == (4, 3, 3)
+    for i in range(4):
+        for j in range(3):
+            for c in range(3):
+                block = a[2 * i : 2 * i + 2, 2 * j : 2 * j + 2, c].astype(int)
+                assert r[i, j, c] == block.sum() // 4
+    with pytest.raises(ValueError):
+        box_resize(a, 5)  # 8x6 not divisible by 5
+
+
+def test_wav_roundtrip_and_rejections():
+    import io
+    import wave
+
+    import numpy as np
+
+    from domanda_etl_spark.operators.multimodal import decode_pcm_wav, encode_pcm_wav
+
+    s = np.array([0, 100, -32768, 32767, -1, 1], dtype=np.int16)
+    d = decode_pcm_wav(encode_pcm_wav(s, sample_rate=8000))
+    assert d["sample_rate"] == 8000
+    assert d["n_samples"] == 6
+    assert (d["samples"] == s).all()
+
+    buf = io.BytesIO()  # stereo must be rejected, not mis-parsed
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="channels"):
+        decode_pcm_wav(buf.getvalue())
