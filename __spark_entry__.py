@@ -18061,6 +18061,371 @@ def brier_decomposition(spark, sf_dir):
     )
 
 
+# ---- round 7, batch 57: winnowing fingerprints, multi-class agreement,
+# t-closeness privacy audit, n-gram novelty profiling.
+
+
+@q(
+    "winnowing_fingerprint_dedup",
+    """
+    WITH g AS (
+      SELECT doc_id, i,
+             md5(substr(text, i, 8))
+               || lpad(CAST(100000000 - i AS VARCHAR), 9, '0') AS k
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS i
+            FROM documents WHERE length(text) >= 11)),
+    w AS (
+      SELECT doc_id, i,
+             min(k) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS winmin
+      FROM g),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             100000000 - CAST(substr(winmin, 33, 9) AS BIGINT) AS i,
+             substr(winmin, 1, 32) AS h
+      FROM w WHERE i >= 4),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel),
+    docs_per AS (SELECT h, count(*) AS n_docs FROM fp GROUP BY 1),
+    pos_cnt AS (SELECT doc_id, count(*) AS n_positions FROM sel GROUP BY 1),
+    shared AS (
+      SELECT f.doc_id, count(*) AS n_fp,
+             sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_fp
+      FROM fp f JOIN docs_per d USING (h) GROUP BY 1)
+    SELECT p.doc_id, CAST(p.n_positions AS BIGINT) AS n_positions,
+           CAST(s.n_fp AS BIGINT) AS n_fp,
+           CAST(s.n_shared_fp AS BIGINT) AS n_shared_fp
+    FROM pos_cnt p JOIN shared s USING (doc_id)
+    """,
+)
+def winnowing_fingerprint_dedup(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every 8-char k-gram, slide a w=4 window
+    over the hash sequence, and SELECT each window's rightmost minimum
+    position — the classic guarantee is that any verbatim match of
+    length >= w+k-1 = 11 chars shares at least one selected
+    fingerprint, so comparing fingerprint SETS (not full k-gram sets)
+    is a lossless-for-long-matches dedup prefilter at a fraction of
+    the index size.  The rightmost-min-per-window argmin is computed
+    in ONE window pass via a lexicographic key h || (10^8 - i): its
+    window min is simultaneously the min hash and, on hash ties, the
+    largest position.  Published per doc: selected positions,
+    distinct fingerprints, and how many of those fingerprints also
+    occur in some other document (the cross-doc overlap signal).
+
+    Scale shape: k-gram hashing is a zero-shuffle map; the window min
+    is per-doc (partitioned, never global); the cross-doc overlap is
+    one groupBy on the fingerprint hash — posting lists bounded by the
+    winnowing density 2/(w+1), ~8x smaller than full k-gram postings.
+    Complements dedup_minhash_lsh_pairs (probabilistic) and
+    setsim_prefix_join (exact set-similarity): winnowing is the exact
+    SUBSTRING-match prefilter of the three."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length("text") >= 11)
+    g = (
+        docs.select("doc_id", "text")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat(
+                F.md5(F.expr("substring(text, i, 8)")),
+                F.lpad((F.lit(100000000) - F.col("i")).cast("string"), 9, "0"),
+            ).alias("k"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    sel = (
+        g.withColumn("winmin", F.min("k").over(win))
+        .filter(F.col("i") >= 4)
+        .select(
+            "doc_id",
+            (F.lit(100000000) - F.substring("winmin", 33, 9).cast("long")).alias("i"),
+            F.substring("winmin", 1, 32).alias("h"),
+        )
+        .distinct()
+    )
+    fp = sel.select("doc_id", "h").distinct()
+    docs_per = fp.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    pos_cnt = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_positions"))
+    shared = (
+        fp.join(docs_per, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared_fp"),
+        )
+    )
+    return pos_cnt.join(shared, "doc_id").select(
+        "doc_id", "n_positions", "n_fp", "n_shared_fp"
+    )
+
+
+@q(
+    "krippendorff_alpha_nominal",
+    """
+    WITH l AS (
+      SELECT CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                  ELSE 2 END AS a,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) < 30
+                       THEN 0
+                  WHEN len(string_split_regex(trim(lower(text)), '\\s+')) < 60
+                       THEN 1
+                  ELSE 2 END AS b
+      FROM documents),
+    c AS (
+      SELECT count(*) AS n_units,
+             sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS n_disagree,
+             sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+               + sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS n_c0,
+             sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+               + sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS n_c1,
+             sum(CASE WHEN a = 2 THEN 1 ELSE 0 END)
+               + sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS n_c2
+      FROM l)
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+           CAST(n_disagree AS BIGINT) AS n_disagree,
+           CAST(n_c0 AS BIGINT) AS n_c0, CAST(n_c1 AS BIGINT) AS n_c1,
+           CAST(n_c2 AS BIGINT) AS n_c2,
+           CAST((n_c0 + n_c1 + n_c2) * (n_c0 + n_c1 + n_c2)
+                - (n_c0 * n_c0 + n_c1 * n_c1 + n_c2 * n_c2) AS BIGINT)
+             AS de_sum,
+           CAST(FLOOR(
+             ((n_c0 + n_c1 + n_c2) * (n_c0 + n_c1 + n_c2)
+              - (n_c0 * n_c0 + n_c1 * n_c1 + n_c2 * n_c2)
+              - (2 * n_units - 1) * 2 * n_disagree) * 1000000
+             / CAST((n_c0 + n_c1 + n_c2) * (n_c0 + n_c1 + n_c2)
+                    - (n_c0 * n_c0 + n_c1 * n_c1 + n_c2 * n_c2) AS DOUBLE)
+           ) AS BIGINT) AS alpha_ppm
+    FROM c
+    """,
+)
+def krippendorff_alpha_nominal(spark, sf_dir):
+    """Krippendorff's alpha (nominal, two coders, complete data) between
+    a 3-class length labeler (n_chars thresholds 200/400) and a 3-class
+    token-count labeler (thresholds 30/60) — the agreement coefficient
+    that, unlike Cohen's kappa (cohens_kappa_labelers), draws its chance
+    model from the POOLED value distribution of both coders and extends
+    to any number of coders/classes.  With the coincidence matrix o_ck,
+    alpha = 1 − (N−1)·Σ_{c≠k} o_ck / Σ_{c≠k} n_c·n_k where N = 2n pooled
+    values; for two coders Σ_{c≠k} o_ck = 2·(disagreeing units), so the
+    whole statistic reduces to integer cross-multiplication with ONE
+    float division floored to ppm at the end (the kappa pattern).
+
+    Scale shape: labeling is a pure map; everything else is one
+    partial-agg to a single row — no joins, no windows, corpus-size
+    independent output."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    a = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+    )
+    b = (
+        F.when(F.size(toks) < 30, 0).when(F.size(toks) < 60, 1).otherwise(2)
+    )
+    l = docs.select(a.alias("a"), b.alias("b"))
+    c = l.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum((F.col("a") != F.col("b")).cast("long")).alias("n_disagree"),
+        (
+            F.sum((F.col("a") == 0).cast("long"))
+            + F.sum((F.col("b") == 0).cast("long"))
+        ).alias("n_c0"),
+        (
+            F.sum((F.col("a") == 1).cast("long"))
+            + F.sum((F.col("b") == 1).cast("long"))
+        ).alias("n_c1"),
+        (
+            F.sum((F.col("a") == 2).cast("long"))
+            + F.sum((F.col("b") == 2).cast("long"))
+        ).alias("n_c2"),
+    )
+    de = (F.col("n_c0") + F.col("n_c1") + F.col("n_c2")) * (
+        F.col("n_c0") + F.col("n_c1") + F.col("n_c2")
+    ) - (
+        F.col("n_c0") * F.col("n_c0")
+        + F.col("n_c1") * F.col("n_c1")
+        + F.col("n_c2") * F.col("n_c2")
+    )
+    return c.select(
+        "n_units",
+        "n_disagree",
+        "n_c0",
+        "n_c1",
+        "n_c2",
+        de.cast("long").alias("de_sum"),
+        F.floor(
+            (de - (2 * F.col("n_units") - 1) * 2 * F.col("n_disagree"))
+            * 1000000
+            / de
+        ).alias("alpha_ppm"),
+    )
+
+
+@q(
+    "t_closeness_audit",
+    """
+    WITH b AS (
+      SELECT lang, source,
+             CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+                  WHEN n_chars < 450 THEN 2 ELSE 3 END AS bkt
+      FROM documents),
+    grp AS (
+      SELECT lang, source, count(*) AS n_g,
+             sum(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN bkt = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN bkt = 2 THEN 1 ELSE 0 END) AS c2
+      FROM b GROUP BY 1, 2),
+    tot AS (
+      SELECT count(*) AS n_t,
+             sum(CASE WHEN bkt = 0 THEN 1 ELSE 0 END) AS t0,
+             sum(CASE WHEN bkt = 1 THEN 1 ELSE 0 END) AS t1,
+             sum(CASE WHEN bkt = 2 THEN 1 ELSE 0 END) AS t2
+      FROM b)
+    SELECT lang, source, CAST(n_g AS BIGINT) AS n_rows,
+           CAST((abs(c0 * 1000000 // n_g - t0 * 1000000 // n_t)
+               + abs((c0 + c1) * 1000000 // n_g
+                     - (t0 + t1) * 1000000 // n_t)
+               + abs((c0 + c1 + c2) * 1000000 // n_g
+                     - (t0 + t1 + t2) * 1000000 // n_t)) // 3 AS BIGINT)
+             AS emd_ppm,
+           (abs(c0 * 1000000 // n_g - t0 * 1000000 // n_t)
+               + abs((c0 + c1) * 1000000 // n_g
+                     - (t0 + t1) * 1000000 // n_t)
+               + abs((c0 + c1 + c2) * 1000000 // n_g
+                     - (t0 + t1 + t2) * 1000000 // n_t)) // 3 <= 150000
+             AS t_ok
+    FROM grp CROSS JOIN tot
+    """,
+)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007) — the privacy
+    check one rung above k-anonymity (k_anonymity_generalize) and
+    l-diversity (l_diversity_audit): each quasi-identifier group
+    (lang, source) must keep its SENSITIVE-attribute distribution
+    (n_chars in 4 ordered buckets) within Earth-Mover's Distance t of
+    the global distribution, else the group leaks the attribute.  For
+    ordered categories with unit spacing EMD is the mean |cumulative
+    share difference| over the first m−1 prefixes — computed here in
+    truncating-ppm integer arithmetic on BOTH engines so the audit is
+    float-free; groups over t = 0.15 are flagged.
+
+    Scale shape: one partial-agg groupBy on the quasi-identifier, a
+    1-row broadcast of the global distribution, scalar algebra per
+    group — no window, no per-row join, output bounded by group
+    cardinality."""
+    docs = _tw(spark, sf_dir, "documents")
+    bkt = (
+        F.when(F.col("n_chars") < 150, 0)
+        .when(F.col("n_chars") < 300, 1)
+        .when(F.col("n_chars") < 450, 2)
+        .otherwise(3)
+    )
+    b = docs.select("lang", "source", bkt.alias("bkt"))
+    grp = b.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum((F.col("bkt") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("bkt") == 1).cast("long")).alias("c1"),
+        F.sum((F.col("bkt") == 2).cast("long")).alias("c2"),
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum((F.col("bkt") == 0).cast("long")).alias("t0"),
+        F.sum((F.col("bkt") == 1).cast("long")).alias("t1"),
+        F.sum((F.col("bkt") == 2).cast("long")).alias("t2"),
+    )
+    emd = F.expr(
+        "(abs(c0 * 1000000 div n_g - t0 * 1000000 div n_t)"
+        " + abs((c0 + c1) * 1000000 div n_g - (t0 + t1) * 1000000 div n_t)"
+        " + abs((c0 + c1 + c2) * 1000000 div n_g"
+        "       - (t0 + t1 + t2) * 1000000 div n_t)) div 3"
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("n_g").alias("n_rows"),
+            emd.alias("emd_ppm"),
+            (emd <= 150000).alias("t_ok"),
+        )
+    )
+
+
+@q(
+    "ngram_novelty_profile",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+      WHERE len(ws) >= 5),
+    first AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM g JOIN first f USING (gram)
+    GROUP BY 1
+    """,
+)
+def ngram_novelty_profile(spark, sf_dir):
+    """Per-document n-gram NOVELTY — the memorization-risk metric from
+    LM-generation studies (what fraction of a doc's word 5-grams appear
+    for the FIRST time in this doc, scanning the corpus in doc_id
+    order): low-novelty documents are re-statements of earlier content
+    and prime candidates for down-weighting in a training mix, the
+    complement of dedup (which only finds whole-doc or long-span
+    copies).  A 5-gram's first occurrence is min(doc_id) over its
+    posting list; each doc publishes distinct-gram count, first-seen
+    count, and the novelty share in truncating ppm.
+
+    Scale shape: gram construction is a zero-shuffle map (transform
+    over a word array, no self-join); one groupBy on the gram for
+    min(doc_id) (partial-agg, the posting list never materializes in
+    one task); one join back on the gram and a per-doc agg.  The same
+    shape as tfidf/document-frequency — the canonical inverted-index
+    pattern."""
+    docs = _tw(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    g = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> array_join(slice(ws, i, 5), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.expr(
+                "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),

@@ -2967,3 +2967,164 @@ def test_brier_decomposition_identity(spark):
         assert r["y_bar_milli"] == sy * 1000 // n
         assert r["rel_contrib"] == n * (sp // n - sy * 1000 // n) ** 2
         assert r["res_contrib"] == n * (sy * 1000 // n - ybar) ** 2
+
+
+def test_winnowing_matches_python_and_covers_windows(spark):
+    """Selection must equal a Python recompute of true winnowing (k=8,
+    w=4: each full trailing window selects its RIGHTMOST minimum hash
+    position, selections deduped), and satisfy the coverage guarantee:
+    every full window of 4 consecutive gram positions contains at
+    least one selected position (the property that makes winnowing a
+    lossless prefilter for matches of length >= w+k-1)."""
+    import hashlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    expect_sel: dict[int, dict[int, str]] = {}
+    fp_docs: dict[str, set[int]] = {}
+    for r in docs.itertuples():
+        t = r.text
+        if len(t) < 11:
+            continue
+        hs = [
+            hashlib.md5(t[i : i + 8].encode()).hexdigest()
+            for i in range(len(t) - 7)
+        ]
+        sel_idx: set[int] = set()
+        for w0 in range(3, len(hs)):
+            m = min(hs[w0 - 3 : w0 + 1])
+            j = max(j for j in range(w0 - 3, w0 + 1) if hs[j] == m)
+            sel_idx.add(j)
+        # coverage: every full window of 4 has a selected position
+        # (trivially by construction for true winnowing — asserted to
+        # lock the guarantee against future edits of the recompute)
+        for w0 in range(3, len(hs)):
+            assert any(j in sel_idx for j in range(w0 - 3, w0 + 1))
+        expect_sel[int(r.doc_id)] = {j: hs[j] for j in sel_idx}
+        for h in {hs[j] for j in sel_idx}:
+            fp_docs.setdefault(h, set()).add(int(r.doc_id))
+    rows = entrymod.queries()["winnowing_fingerprint_dedup"](spark, sf).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == set(expect_sel)
+    for d, sel in expect_sel.items():
+        hset = set(sel.values())
+        assert got[d]["n_positions"] == len(sel)
+        assert got[d]["n_fp"] == len(hset)
+        assert got[d]["n_shared_fp"] == sum(
+            1 for h in hset if len(fp_docs[h]) >= 2
+        )
+
+
+def test_krippendorff_alpha_python_recompute(spark):
+    """alpha_ppm must equal the Fellegi-style integer recompute from the
+    raw labels, alpha <= 1e6 always, and == 1e6 iff zero disagreements."""
+    import math
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    n_units = len(docs)
+    n_dis = 0
+    pooled = [0, 0, 0]
+    for r in docs.itertuples():
+        a = 0 if r.n_chars < 200 else 1 if r.n_chars < 400 else 2
+        ntok = len(re.split(r"\s+", r.text.strip().lower()))
+        b = 0 if ntok < 30 else 1 if ntok < 60 else 2
+        n_dis += a != b
+        pooled[a] += 1
+        pooled[b] += 1
+    tot = sum(pooled)
+    de = tot * tot - sum(c * c for c in pooled)
+    alpha_ppm = math.floor(
+        (de - (2 * n_units - 1) * 2 * n_dis) * 1_000_000 / de
+    )
+    row = entrymod.queries()["krippendorff_alpha_nominal"](spark, sf).collect()[0]
+    assert row["n_units"] == n_units
+    assert row["n_disagree"] == n_dis
+    assert [row["n_c0"], row["n_c1"], row["n_c2"]] == pooled
+    assert row["de_sum"] == de
+    assert row["alpha_ppm"] == alpha_ppm
+    assert row["alpha_ppm"] <= 1_000_000
+    assert (row["alpha_ppm"] == 1_000_000) == (n_dis == 0)
+
+
+def test_t_closeness_python_recompute_and_bounds(spark):
+    """Per-group EMD must equal the truncating-ppm Python recompute, lie
+    in [0, 1e6], group sizes must partition the corpus, and t_ok must be
+    exactly emd <= 150000."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    bkt = lambda n: 0 if n < 150 else 1 if n < 300 else 2 if n < 450 else 3
+    groups: dict[tuple, list[int]] = {}
+    tot = [0, 0, 0, 0]
+    for r in docs.itertuples():
+        k = bkt(int(r.n_chars))
+        groups.setdefault((r.lang, r.source), [0, 0, 0, 0])[k] += 1
+        tot[k] += 1
+    n_t = sum(tot)
+    rows = entrymod.queries()["t_closeness_audit"](spark, sf).collect()
+    assert sum(r["n_rows"] for r in rows) == n_t
+    got = {(r["lang"], r["source"]): r for r in rows}
+    assert set(got) == set(groups)
+    for key, cs in groups.items():
+        n_g = sum(cs)
+        emd = (
+            sum(
+                abs(
+                    sum(cs[: i + 1]) * 1_000_000 // n_g
+                    - sum(tot[: i + 1]) * 1_000_000 // n_t
+                )
+                for i in range(3)
+            )
+            // 3
+        )
+        r = got[key]
+        assert r["n_rows"] == n_g
+        assert r["emd_ppm"] == emd
+        assert 0 <= r["emd_ppm"] <= 1_000_000
+        assert r["t_ok"] == (emd <= 150_000)
+
+
+def test_ngram_novelty_python_recompute_and_conservation(spark):
+    """Per-doc novelty must equal a Python first-seen scan, and Σ n_novel
+    over docs must equal the number of DISTINCT 5-grams in the corpus
+    (every gram is first-seen exactly once — conservation)."""
+    import re
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet").sort_values("doc_id")
+    first_doc: dict[str, int] = {}
+    per_doc: dict[int, set] = {}
+    for r in docs.itertuples():
+        ws = re.split(r"\s+", r.text.strip().lower())
+        if len(ws) < 5:
+            continue
+        grams = {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+        per_doc[int(r.doc_id)] = grams
+        for g in grams:
+            first_doc.setdefault(g, int(r.doc_id))
+    rows = entrymod.queries()["ngram_novelty_profile"](spark, sf).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == set(per_doc)
+    for d, grams in per_doc.items():
+        novel = sum(1 for g in grams if first_doc[g] == d)
+        assert got[d]["n_grams"] == len(grams)
+        assert got[d]["n_novel"] == novel
+        assert got[d]["novelty_ppm"] == novel * 1_000_000 // len(grams)
+    assert sum(r["n_novel"] for r in rows) == len(first_doc)
