@@ -267,6 +267,30 @@ def normalize_join_date(c: Column | str) -> Column:
     return F.when(parsed.isNotNull(), F.date_format(parsed, "MM/dd")).otherwise(padded)
 
 
+def normalize_join_date_sql(inner: str) -> str:
+    """SQL-string twin of normalize_join_date over an arbitrary SQL input
+    expression (equality asserted in tests/test_scalars.py); see
+    normalize_join_key_sql for why the twins exist."""
+    s = (
+        "trim(regexp_replace(regexp_replace("
+        f"cast(({inner}) AS STRING), '\\\\.', '/'), '-', '/'))"
+    )
+    s = f"regexp_replace({s}, '^\\\\s*\\\\d{{4}}\\\\s*/', '')"
+    s = f"regexp_replace({s}, '/\\\\s*\\\\d{{4}}\\\\s*$', '')"
+    pat = "'^\\\\s*(\\\\d{1,2})\\\\s*/\\\\s*(\\\\d{1,2})\\\\s*$'"
+    m = f"regexp_extract({s}, {pat}, 1)"
+    d = f"regexp_extract({s}, {pat}, 2)"
+    padded = (
+        f"CASE WHEN {m} != '' THEN "
+        f"concat(lpad({m}, 2, '0'), '/', lpad({d}, 2, '0')) ELSE {s} END"
+    )
+    parsed = f"try_to_timestamp({padded}, 'MM/dd')"
+    return (
+        f"CASE WHEN {parsed} IS NOT NULL THEN "
+        f"date_format({parsed}, 'MM/dd') ELSE {padded} END"
+    )
+
+
 # ---------------------------------------------------------------- F18
 def epoch_now() -> Column:
     """F18 — current epoch seconds (reference time.time(),
@@ -287,3 +311,192 @@ def normalize_join_key(c: Column | str, strip_all_whitespace: bool = False) -> C
     if strip_all_whitespace:
         s = F.regexp_replace(s, r"\s+", "")
     return s
+
+
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def normalize_join_key_sql(name: str, strip_all_whitespace: bool = False) -> str:
+    """SQL-string twin of normalize_join_key, semantics identical
+    (equality asserted per-column in tests/test_scalars.py).
+
+    Exists for plan-construction speed: the Column version crosses py4j
+    once per expression node (~30 round-trips/key × 84 keys in the
+    94-column pipeline), while this composes the whole chain in pure
+    Python and pays ONE F.expr call per key — measured ~2 s off every
+    cold construction of domanda_pipeline_full."""
+    q = _sql_ident(name)
+    s = f"regexp_replace(trim(coalesce(cast({q} AS STRING), '')), '\\\\s+', ' ')"
+    placeholders = ", ".join(f"'{p}'" for p in PLACEHOLDERS)
+    s = f"CASE WHEN lower({s}) IN ({placeholders}) THEN '' ELSE {s} END"
+    s = f"upper({s})"
+    if strip_all_whitespace:
+        s = f"regexp_replace({s}, '\\\\s+', '')"
+    return s
+
+
+# ---------------------------------------------------------------------
+# SQL-string twins of the builders above.
+#
+# Each <builder>_sql takes a SQL expression STRING (already quoted /
+# composed by the caller) and returns the SQL text of the equivalent
+# Column builder. They exist purely for plan-construction speed: the
+# Column builders cross py4j once per expression node, which at the
+# 94-column pipeline's breadth adds seconds of pure driver latency per
+# build; the twins compose in Python and parse JVM-side in one call.
+# Twin == builder equality is asserted vector-by-vector in
+# tests/test_scalars.py::test_sql_twins_match_column_builders, and the
+# full-pipeline DuckDB hash (tests/test_oracle_parity.py) covers them on
+# real data.
+
+
+def _trimmed_sql(x: str) -> str:
+    return f"trim(cast({x} AS STRING))"
+
+
+def airline_code_sql(x: str) -> str:
+    return f"coalesce(upper(regexp_extract({x}, '^([A-Za-z]+)', 1)), '')"
+
+
+def first_token_sql(x: str) -> str:
+    return f"split(trim(coalesce(cast({x} AS STRING), '')), '\\\\s+')[0]"
+
+
+def to_time_hhmm_sql(x: str) -> str:
+    s = _trimmed_sql(x)
+    ts = (
+        f"coalesce(try_to_timestamp({s}, 'yyyy-M-d H:m:s'), "
+        f"try_to_timestamp({s}, 'yyyy/M/d H:m'), "
+        f"try_to_timestamp({s}, 'yyyy-M-d H:m'))"
+    )
+    bare = f"regexp_extract({s}, '^(\\\\d{{1,2}}):(\\\\d{{2}})$', 0)"
+    bare1 = f"regexp_extract({s}, '^(\\\\d{{1,2}}):(\\\\d{{2}})$', 1)"
+    bare2 = f"regexp_extract({s}, '^(\\\\d{{1,2}}):(\\\\d{{2}})$', 2)"
+    any1 = f"regexp_extract({s}, '(\\\\d{{1,2}}):(\\\\d{{2}})', 1)"
+    any2 = f"regexp_extract({s}, '(\\\\d{{1,2}}):(\\\\d{{2}})', 2)"
+    return (
+        f"CASE WHEN {s} IS NULL OR {s} = '' THEN '' "
+        f"WHEN {ts} IS NOT NULL THEN date_format({ts}, 'HH:mm') "
+        f"WHEN {bare} != '' THEN concat(lpad({bare1}, 2, '0'), ':', {bare2}) "
+        f"WHEN {any1} != '' THEN concat(lpad({any1}, 2, '0'), ':', {any2}) "
+        f"ELSE '' END"
+    )
+
+
+def duration_to_minutes_sql(x: str) -> str:
+    s = _trimmed_sql(x)
+    pat = "'(?:(\\\\d+)\\\\s*days\\\\s*)?(\\\\d{1,2}):(\\\\d{2})(?::(\\\\d{2}))?'"
+    g1 = f"regexp_extract({s}, {pat}, 1)"
+    g2 = f"regexp_extract({s}, {pat}, 2)"
+    g3 = f"regexp_extract({s}, {pat}, 3)"
+    g4 = f"regexp_extract({s}, {pat}, 4)"
+    days = f"coalesce(CAST(nullif({g1}, '') AS INT), 0)"
+    secs = f"coalesce(CAST(nullif({g4}, '') AS INT), 0)"
+    total = (
+        f"{days} * 1440 + CAST({g2} AS INT) * 60 + CAST({g3} AS INT)"
+        f" + (CASE WHEN {secs} >= 30 THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"CASE WHEN {g2} != '' THEN {total} "
+        f"WHEN {s} RLIKE '^\\\\d+$' THEN CAST({s} AS INT) "
+        f"ELSE CAST(NULL AS INT) END"
+    )
+
+
+def luggage_value_sql(x: str) -> str:
+    s = _trimmed_sql(x)
+    n = f"regexp_extract({s}, '(\\\\d+(?:\\\\.\\\\d+)?)', 1)"
+    return f"CASE WHEN {n} != '' THEN CAST({n} AS DOUBLE) END"
+
+
+def luggage_unit_sql(x: str) -> str:
+    s = _trimmed_sql(x)
+    raw = f"regexp_replace({s}, '[\\\\d\\\\s\\\\.]+', '')"
+    num = f"regexp_extract({s}, '(\\\\d+(?:\\\\.\\\\d+)?)', 1)"
+    unit = (
+        f"CASE WHEN contains({raw}, '件') THEN '件' "
+        f"WHEN contains({raw}, '公斤') OR contains({raw}, 'kg') "
+        f"OR contains({raw}, 'KG') OR contains({raw}, 'Kg') THEN '公斤' "
+        f"ELSE CASE WHEN {num} != '' THEN {raw} ELSE '' END END"
+    )
+    return f"CASE WHEN {s} IS NULL OR {s} = '' THEN '' ELSE {unit} END"
+
+
+def luggage_reassemble_sql(x: str) -> str:
+    v = luggage_value_sql(x)
+    u = luggage_unit_sql(x)
+    n_str = (
+        f"CASE WHEN {v} = floor({v}) THEN CAST(CAST({v} AS BIGINT) AS STRING) "
+        f"ELSE CAST({v} AS STRING) END"
+    )
+    return (
+        f"CASE WHEN {v} IS NOT NULL AND {u} != '' THEN concat({n_str}, {u}) "
+        f"WHEN {v} IS NOT NULL THEN {n_str} ELSE '' END"
+    )
+
+
+def to_date_yyyy_mm_dd_sql(x: str) -> str:
+    s = _trimmed_sql(x)
+    ts = (
+        f"coalesce(try_to_timestamp({s}, 'yyyy-M-d H:m:s'), "
+        f"try_to_timestamp({s}, 'yyyy-M-d'), "
+        f"try_to_timestamp({s}, 'yyyy/M/d H:m'), "
+        f"try_to_timestamp({s}, 'yyyy/M/d'), "
+        f"try_to_timestamp({s}))"
+    )
+    return (
+        f"CASE WHEN {ts} IS NOT NULL THEN date_format({ts}, 'yyyy/MM/dd') "
+        f"ELSE '' END"
+    )
+
+
+def date_to_mm_dd_slice_sql(x: str) -> str:
+    return f"regexp_replace(substring({x}, 6, 5), '-', '/')"
+
+
+def year_prefix_sql(x: str) -> str:
+    return f"split({x}, '-')[0]"
+
+
+def attach_year_sql(y: str, mmdd: str) -> str:
+    return f"concat({y}, '/', {mmdd})"
+
+
+def despace_sql(x: str) -> str:
+    return f"regexp_replace({x}, ' ', '')"
+
+
+def canonical_flight_number_sql(x: str) -> str:
+    # No `$n`/`${name}` replacement references here: the SQL parser's
+    # variable substitution eats `${...}` (yields ''), so the zero-padding
+    # is expressed as CASE + substring instead of the Column version's
+    # named-group regexp_replace. The two 4/3-char patterns are mutually
+    # exclusive, so CASE order == the builder's sequential replaces.
+    s = f"upper(regexp_replace(trim(coalesce(cast({x} AS STRING), '')), '\\\\s+', ''))"
+    return (
+        f"CASE WHEN {s} RLIKE '^[A-Z0-9]{{2}}\\\\d{{2}}$' "
+        f"THEN concat(substring({s}, 1, 2), '0', substring({s}, 3, 2)) "
+        f"WHEN {s} RLIKE '^[A-Z0-9]{{2}}\\\\d{{1}}$' "
+        f"THEN concat(substring({s}, 1, 2), '00', substring({s}, 3, 1)) "
+        f"ELSE {s} END"
+    )
+
+
+def invalid_flight_row_sql(names: list[str]) -> str:
+    # Backslashes in the Python-side regex must be doubled to survive the
+    # SQL string-literal parse ('\d' in a SQL literal parses to 'd').
+    pat = FLIGHT_NUMBER_RE.replace("\\", "\\\\")
+    parts = []
+    for name in names:
+        s = f"coalesce(cast({_sql_ident(name)} AS STRING), '')"
+        parts.append(f"({s} != '' AND {s} NOT RLIKE '{pat}')")
+    return " OR ".join(parts)
+
+
+def guarded_to_long_sql(x: str) -> str:
+    return (
+        f"CASE WHEN {x} IS NOT NULL AND NOT isnan({x}) "
+        f"AND abs({x}) != CAST('Infinity' AS DOUBLE) "
+        f"THEN CAST({x} AS BIGINT) END"
+    )

@@ -42,13 +42,17 @@ def blank_strings_to_null(df: DataFrame, columns: list[str] | None = None) -> Da
     targets = set(columns) if columns is not None else {
         f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
     }
-    exprs = [
-        F.when(F.trim(F.col(c)) == "", None).otherwise(F.col(c)).alias(c)
-        if c in targets
-        else F.col(c)
-        for c in df.columns
-    ]
-    return df.select(*exprs)
+    # selectExpr with pre-composed SQL strings: the strings parse JVM-side,
+    # vs ~6 py4j round-trips per column for the Column form (~0.6 s of
+    # plan construction at 94 columns).
+    exprs = []
+    for c in df.columns:
+        q = "`" + c.replace("`", "``") + "`"
+        if c in targets:
+            exprs.append(f"CASE WHEN trim({q}) = '' THEN NULL ELSE {q} END AS {q}")
+        else:
+            exprs.append(q)
+    return df.selectExpr(*exprs)
 
 
 def select_aliased(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:

@@ -40,10 +40,14 @@ def normalize_join_keys(
     dates = set(date_keys or [])
     out = {}
     for k in keys:
-        col = scalars.normalize_join_key(k, strip_all_whitespace=k in strip_ws)
+        # SQL-string twins: ONE py4j call per key instead of ~30 (the
+        # Column builders cross py4j per expression node; at 84 keys per
+        # pipeline build the difference is ~2 s of pure plan construction).
+        # Twin/Column equivalence is asserted in tests/test_scalars.py.
+        sql = scalars.normalize_join_key_sql(k, strip_all_whitespace=k in strip_ws)
         if k in dates:
-            col = scalars.normalize_join_date(col)
-        out[k] = col
+            sql = scalars.normalize_join_date_sql(sql)
+        out[k] = F.expr(sql)
     return df.withColumns(out)
 
 

@@ -52,13 +52,22 @@ def latest_wins(
         # null-position bitmask prepended to the hash input makes null
         # placement part of the key: same mask => same null positions, and
         # the non-null values are then consumed in identical column order.
-        null_mask = F.concat_ws(
-            "", *[F.col(k).isNull().cast("int").cast("string") for k in keys]
+        # Composed as SQL strings (one F.expr each) rather than nested
+        # Column calls: the Column form costs ~5 py4j round-trips per key
+        # column × 90+ keys of pure plan-construction latency; the parse
+        # happens JVM-side in one call. Equivalence is covered by the
+        # latest-wins golden tests.
+        q = ["`" + k.replace("`", "``") + "`" for k in keys]
+        null_mask = (
+            "concat_ws(''"
+            + "".join(f", CAST(CAST(({c} IS NULL) AS INT) AS STRING)" for c in q)
+            + ")"
         )
+        cols = ", ".join(q)
         hashed = df.withColumns(
             {
-                "__gk1": F.xxhash64(null_mask, *[F.col(k) for k in keys]),
-                "__gk2": F.xxhash64(F.lit("salt"), null_mask, *[F.col(k) for k in keys]),
+                "__gk1": F.expr(f"xxhash64({null_mask}, {cols})"),
+                "__gk2": F.expr(f"xxhash64('salt', {null_mask}, {cols})"),
             }
         )
         w = Window.partitionBy("__gk1", "__gk2").orderBy(*order)

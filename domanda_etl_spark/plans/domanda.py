@@ -97,27 +97,35 @@ def clean_cola(df: DataFrame, now_epoch: float | None = None) -> DataFrame:
     derivation from leg-1 departure time (F6/F7/F8) -> ensure join keys ->
     metadata defaults (建立時間/KP; clock injected for determinism, Q4).
     """
+    # SQL-string twins throughout (one py4j call per column instead of one
+    # per expression node — see scalars.py twin section; equivalence is
+    # gate-tested in tests/test_scalars.py).
+    qi = S._sql_ident
     df = conform.rename_existing(df, _cola_rename())
     df = df.withColumns(
-        {c: S.despace(c) for c in df.columns if "艙等" in c}
+        {c: F.expr(S.despace_sql(qi(c))) for c in df.columns if "艙等" in c}
     )
     df = df.withColumns(
-        {c: S.luggage_reassemble(c) for c in df.columns if "行李" in c}
+        {c: F.expr(S.luggage_reassemble_sql(qi(c))) for c in df.columns if "行李" in c}
     )
     if "去程_出發時間1" in df.columns:
-        dep = F.col("去程_出發時間1")
+        dep = qi("去程_出發時間1")
         df = df.withColumns(
             {
-                "出發日期": S.date_to_mm_dd_slice(S.to_date_yyyy_mm_dd(dep)),
-                "出發年份": S.year_prefix(dep),
+                "出發日期": F.expr(
+                    S.date_to_mm_dd_slice_sql(S.to_date_yyyy_mm_dd_sql(dep))
+                ),
+                "出發年份": F.expr(S.year_prefix_sql(dep)),
             }
         )
     if "回程_出發時間1" in df.columns:
-        ret = F.col("回程_出發時間1")
+        ret = qi("回程_出發時間1")
         df = df.withColumns(
             {
-                "返回日期": S.date_to_mm_dd_slice(S.to_date_yyyy_mm_dd(ret)),
-                "返回年份": S.year_prefix(ret),
+                "返回日期": F.expr(
+                    S.date_to_mm_dd_slice_sql(S.to_date_yyyy_mm_dd_sql(ret))
+                ),
+                "返回年份": F.expr(S.year_prefix_sql(ret)),
             }
         )
     df = conform.ensure_columns(df, {k: "string" for k in JOIN_KEYS})
@@ -130,14 +138,21 @@ def clean_supplier(df: DataFrame, raw_price: str, raw_tax: str, price_to: str, t
     """Supplier cleaning — reference set_transformer.py:13-26 and clones:
     rename -> flight-number canonicalize (F10) + row-validity filter (P4) ->
     date slice to MM/DD (F7)."""
+    qi = S._sql_ident
     df = conform.rename_existing(df, _supplier_rename(raw_price, raw_tax, price_to, tax_to))
     flight_cols = [c for c in FLIGHT_KEYS if c in df.columns]
     if flight_cols:
-        df = df.withColumns({c: S.canonical_flight_number(c) for c in flight_cols})
-        df = df.filter(~S.invalid_flight_row(flight_cols))
-    for dcol in DATE_KEYS:
-        if dcol in df.columns:
-            df = df.withColumn(dcol, S.date_to_mm_dd_slice(dcol))
+        df = df.withColumns(
+            {c: F.expr(S.canonical_flight_number_sql(qi(c))) for c in flight_cols}
+        )
+        df = df.filter(F.expr(f"NOT ({S.invalid_flight_row_sql(flight_cols)})"))
+    date_cols = {
+        dcol: F.expr(S.date_to_mm_dd_slice_sql(qi(dcol)))
+        for dcol in DATE_KEYS
+        if dcol in df.columns
+    }
+    if date_cols:
+        df = df.withColumns(date_cols)
     return df
 
 
@@ -173,10 +188,11 @@ def join_price_and_tax(
 def attach_year(df: DataFrame) -> DataFrame:
     """F9 — 出發日期/返回日期 from MM/DD back to YYYY/MM/DD using the year
     columns derived during cola cleaning (reference unified_transformer.py:518-537)."""
+    qi = S._sql_ident
     return df.withColumns(
         {
-            "出發日期": S.attach_year(F.col("出發年份"), F.col("出發日期")),
-            "返回日期": S.attach_year(F.col("返回年份"), F.col("返回日期")),
+            "出發日期": F.expr(S.attach_year_sql(qi("出發年份"), qi("出發日期"))),
+            "返回日期": F.expr(S.attach_year_sql(qi("返回年份"), qi("返回日期"))),
         }
     ).drop("出發年份", "返回年份")
 
@@ -187,93 +203,104 @@ def _maybe(df: DataFrame, name: str, expr) -> F.Column:
 
 def project_output(df: DataFrame) -> DataFrame:
     """P7 — the 94-column output projection (reference
-    unified_transformer.py:290-503), as ONE select of native expressions."""
-    ident = lambda c: c  # noqa: E731
-    out: dict[str, F.Column] = {}
+    unified_transformer.py:290-503), as ONE selectExpr of pre-composed SQL
+    strings: one py4j call carries the whole projection instead of one per
+    expression node (~1 s of pure plan-construction latency at this
+    breadth). Twin/builder equivalence is gate-tested in
+    tests/test_scalars.py; the full-pipeline DuckDB hash covers the
+    composition on real data."""
+    qi = S._sql_ident
+    cols = set(df.columns)
+    ident = lambda x: x  # noqa: E731
+
+    def maybe(name: str, twin) -> str:
+        return twin(qi(name)) if name in cols else "CAST(NULL AS STRING)"
+
+    out: dict[str, str] = {}
     for i in LEGS:
-        out[f"departure_airline_{i}"] = _maybe(df, f"去程_航班編號{i}", S.airline_code)
-        out[f"return_airline_{i}"] = _maybe(df, f"回程_航班編號{i}", S.airline_code)
+        out[f"departure_airline_{i}"] = maybe(f"去程_航班編號{i}", S.airline_code_sql)
+        out[f"return_airline_{i}"] = maybe(f"回程_航班編號{i}", S.airline_code_sql)
     for i in LEGS:
-        out[f"departure_airport_{i}"] = _maybe(df, f"去程_出發機場{i}", S.first_token)
-        out[f"departure_arrival_airport_{i}"] = _maybe(df, f"去程_到達機場{i}", S.first_token)
-        out[f"return_airport_{i}"] = _maybe(df, f"回程_出發機場{i}", S.first_token)
-        out[f"return_arrival_airport_{i}"] = _maybe(df, f"回程_到達機場{i}", S.first_token)
+        out[f"departure_airport_{i}"] = maybe(f"去程_出發機場{i}", S.first_token_sql)
+        out[f"departure_arrival_airport_{i}"] = maybe(f"去程_到達機場{i}", S.first_token_sql)
+        out[f"return_airport_{i}"] = maybe(f"回程_出發機場{i}", S.first_token_sql)
+        out[f"return_arrival_airport_{i}"] = maybe(f"回程_到達機場{i}", S.first_token_sql)
     for i in LEGS:
-        out[f"departure_flight_time_{i}"] = _maybe(df, f"去程_出發時間{i}", S.to_time_hhmm)
-        out[f"departure_arrival_flight_time_{i}"] = _maybe(df, f"去程_到達時間{i}", S.to_time_hhmm)
-        out[f"return_flight_time_{i}"] = _maybe(df, f"回程_出發時間{i}", S.to_time_hhmm)
-        out[f"return_arrival_flight_time_{i}"] = _maybe(df, f"回程_到達時間{i}", S.to_time_hhmm)
+        out[f"departure_flight_time_{i}"] = maybe(f"去程_出發時間{i}", S.to_time_hhmm_sql)
+        out[f"departure_arrival_flight_time_{i}"] = maybe(f"去程_到達時間{i}", S.to_time_hhmm_sql)
+        out[f"return_flight_time_{i}"] = maybe(f"回程_出發時間{i}", S.to_time_hhmm_sql)
+        out[f"return_arrival_flight_time_{i}"] = maybe(f"回程_到達時間{i}", S.to_time_hhmm_sql)
     for i in LEGS:
-        out[f"departure_aircraft_type_{i}"] = _maybe(df, f"去程_機型{i}", ident)
-        out[f"return_aircraft_type_{i}"] = _maybe(df, f"回程_機型{i}", ident)
+        out[f"departure_aircraft_type_{i}"] = maybe(f"去程_機型{i}", ident)
+        out[f"return_aircraft_type_{i}"] = maybe(f"回程_機型{i}", ident)
     for i in LEGS:
         dep, ret = f"去程行李{i}", f"回程行李{i}"
         out[f"departure_luggage_value_{i}"] = (
-            S.luggage_value(dep) if dep in df.columns else F.lit(None).cast("double")
+            S.luggage_value_sql(qi(dep)) if dep in cols else "CAST(NULL AS DOUBLE)"
         )
-        out[f"departure_luggage_unit_{i}"] = _maybe(df, dep, S.luggage_unit)
+        out[f"departure_luggage_unit_{i}"] = maybe(dep, S.luggage_unit_sql)
         out[f"return_luggage_value_{i}"] = (
-            S.luggage_value(ret) if ret in df.columns else F.lit(None).cast("double")
+            S.luggage_value_sql(qi(ret)) if ret in cols else "CAST(NULL AS DOUBLE)"
         )
-        out[f"return_luggage_unit_{i}"] = _maybe(df, ret, S.luggage_unit)
+        out[f"return_luggage_unit_{i}"] = maybe(ret, S.luggage_unit_sql)
     for i in LEGS:
         out[f"departure_flight_duration_{i}"] = (
-            S.duration_to_minutes(f"去程_飛行時間{i}")
-            if f"去程_飛行時間{i}" in df.columns
-            else F.lit(None).cast("int")
+            S.duration_to_minutes_sql(qi(f"去程_飛行時間{i}"))
+            if f"去程_飛行時間{i}" in cols
+            else "CAST(NULL AS INT)"
         )
         out[f"return_flight_duration_{i}"] = (
-            S.duration_to_minutes(f"回程_飛行時間{i}")
-            if f"回程_飛行時間{i}" in df.columns
-            else F.lit(None).cast("int")
+            S.duration_to_minutes_sql(qi(f"回程_飛行時間{i}"))
+            if f"回程_飛行時間{i}" in cols
+            else "CAST(NULL AS INT)"
         )
     for i in LEGS:
-        out[f"departure_flight_number_{i}"] = _maybe(df, f"去程_航班編號{i}", ident)
-        out[f"return_flight_number_{i}"] = _maybe(df, f"回程_航班編號{i}", ident)
-        out[f"departure_cabin_class_{i}"] = _maybe(df, f"去程_艙等{i}", ident)
-        out[f"return_cabin_class_{i}"] = _maybe(df, f"回程_艙等{i}", ident)
+        out[f"departure_flight_number_{i}"] = maybe(f"去程_航班編號{i}", ident)
+        out[f"return_flight_number_{i}"] = maybe(f"回程_航班編號{i}", ident)
+        out[f"departure_cabin_class_{i}"] = maybe(f"去程_艙等{i}", ident)
+        out[f"return_cabin_class_{i}"] = maybe(f"回程_艙等{i}", ident)
 
     # A4 transfer counts: a leg counts when its flight number is non-null
     # and not whitespace-only (reference unified_transformer.py:426-436)
-    def leg_count(cols: list[str]) -> F.Column:
+    def leg_count(names: list[str]) -> str:
         present = [
-            (F.col(c).isNotNull() & (F.trim(F.col(c)) != "")).cast("int")
-            for c in cols
-            if c in df.columns
+            f"CAST(({qi(c)} IS NOT NULL AND trim({qi(c)}) != '') AS INT)"
+            for c in names
+            if c in cols
         ]
-        total = sum(present[1:], present[0]) if present else F.lit(0)
-        return F.greatest(F.lit(0), total - 1)
+        total = " + ".join(present) if present else "0"
+        return f"greatest(0, ({total}) - 1)"
 
     out["departure_transfer_count"] = leg_count([f"去程_航班編號{i}" for i in LEGS])
     out["return_transfer_count"] = leg_count([f"回程_航班編號{i}" for i in LEGS])
 
-    out["gds_type"] = F.col("GDS_Type")
-    out["ticket_price"] = F.col("機票價錢")
-    out["ticket_price_markup_percentage"] = F.col("機票價錢加價成數")
-    out["tax"] = F.col("稅金")
-    out["tax_markup_percentage"] = F.col("稅金加價成數")
-    out["final_price"] = F.col("最終價格")
-    out["departure_date"] = F.col("出發日期")
-    out["return_date"] = F.col("返回日期")
-    out["creation_time"] = F.col("建立時間")
+    out["gds_type"] = qi("GDS_Type")
+    out["ticket_price"] = qi("機票價錢")
+    out["ticket_price_markup_percentage"] = qi("機票價錢加價成數")
+    out["tax"] = qi("稅金")
+    out["tax_markup_percentage"] = qi("稅金加價成數")
+    out["final_price"] = qi("最終價格")
+    out["departure_date"] = qi("出發日期")
+    out["return_date"] = qi("返回日期")
+    out["creation_time"] = qi("建立時間")
 
     # supplier price/tax (ezfly phantom kept NULL for schema parity, Q5)
-    out["ezfly_ticket_price"] = F.lit(None).cast("long")
-    out["ezfly_tax"] = F.lit(None).cast("long")
+    out["ezfly_ticket_price"] = "CAST(NULL AS BIGINT)"
+    out["ezfly_tax"] = "CAST(NULL AS BIGINT)"
     for payload in SUPPLIER_PAYLOADS.values():
         for c in payload:
             out[c] = (
-                S.guarded_to_long(F.col(c).cast("double"))
-                if c in df.columns
-                else F.lit(None).cast("long")
+                S.guarded_to_long_sql(f"CAST({qi(c)} AS DOUBLE)")
+                if c in cols
+                else "CAST(NULL AS BIGINT)"
             )
 
-    out["net_price_or_ticket_price"] = F.col("淨價或票面")
-    out["ticket_rule_type"] = F.col("票價規則類型")
-    out["kp"] = F.col("KP")
-    out["discount"] = F.col("折扣")
-    out["activity_fee_adjustment"] = F.col("固定金額")
-    return conform.select_aliased(df, out)
+    out["net_price_or_ticket_price"] = qi("淨價或票面")
+    out["ticket_rule_type"] = qi("票價規則類型")
+    out["kp"] = qi("KP")
+    out["discount"] = qi("折扣")
+    out["activity_fee_adjustment"] = qi("固定金額")
+    return df.selectExpr(*[f"({sql}) AS {qi(alias)}" for alias, sql in out.items()])
 
 
 def remove_no_tax_rows(df: DataFrame) -> DataFrame:

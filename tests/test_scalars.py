@@ -218,3 +218,119 @@ def test_normalize_join_date(spark, inp, out):
 )
 def test_normalize_join_key(spark, inp, strip, out):
     assert run1(spark, lambda c: S.normalize_join_key(c, strip_all_whitespace=strip), inp) == out
+
+
+# ---- SQL-string twins (plan-construction fast path) must be EXACTLY
+# equivalent to the Column builders — the pipeline's join-key
+# normalization goes through the twins (operators/joins.py), so any
+# divergence is a silent correctness bug, not a perf detail.
+ADVERSARIAL_KEYS = [
+    None, "", " ", "nan", " None ", "<NA>", "NULL", "nat",
+    "a  b\tc", " HX 261 ", "經濟艙 K", "back`tick",
+    "2024.3.5", "3-5", "2024/03/05", "05/2024", "13/45", "1/2",
+    "02/29", "xx/yy", "12.31", "  7 / 8  ", "2024-12-31", "31/2024", "0/0",
+]
+
+
+ADVERSARIAL_VALUES = ADVERSARIAL_KEYS + [
+    "HX261", " cx  450 ", "CI45", "CI7", "ci45", "A1", "AB12345", "AB12C",
+    "2025-11-05 19:20:00", "0 days 19:20:00", "9:05", "25:99", "x 12:30 y",
+    "1件", "25 公斤", "20KG", "2.5kg", "無", "20KG/2件", "1.0件", "3.7",
+    "0 days 02:05:00", "01:30:30", "95", "1 days 2:05", "02:05:31",
+    "2025/11/5 8:3", "2025-11-5", "-2024-", "abc-def-ghi",
+]
+
+
+@pytest.mark.parametrize(
+    "builder,twin",
+    [
+        (S.airline_code, S.airline_code_sql),
+        (S.first_token, S.first_token_sql),
+        (S.to_time_hhmm, S.to_time_hhmm_sql),
+        (S.duration_to_minutes, S.duration_to_minutes_sql),
+        (S.luggage_value, S.luggage_value_sql),
+        (S.luggage_unit, S.luggage_unit_sql),
+        (S.luggage_reassemble, S.luggage_reassemble_sql),
+        (S.to_date_yyyy_mm_dd, S.to_date_yyyy_mm_dd_sql),
+        (S.date_to_mm_dd_slice, S.date_to_mm_dd_slice_sql),
+        (S.year_prefix, S.year_prefix_sql),
+        (S.despace, S.despace_sql),
+        (S.canonical_flight_number, S.canonical_flight_number_sql),
+    ],
+    ids=lambda f: getattr(f, "__name__", str(f)),
+)
+def test_scalar_sql_twin_matches_builder(spark, builder, twin):
+    """Every scalar SQL twin must agree with its Column builder on every
+    adversarial vector (nulls, placeholders, CJK, regex metacharacters,
+    every date/time/luggage/flight shape)."""
+    df = spark.createDataFrame([(v,) for v in ADVERSARIAL_VALUES], "x string")
+    bad = (
+        df.select("x", builder("x").alias("col_v"), F.expr(twin("`x`")).alias("sql_v"))
+        .filter(~F.col("col_v").eqNullSafe(F.col("sql_v")))
+        .collect()
+    )
+    assert bad == [], f"{twin.__name__} diverges from builder: {bad}"
+
+
+def test_two_arg_and_list_sql_twins_match(spark):
+    """attach_year / guarded_to_long / invalid_flight_row twins (non-unary
+    signatures) against their builders."""
+    rows = [
+        ("2024", "03/05"), (None, "03/05"), ("2024", None), ("", ""),
+    ]
+    df = spark.createDataFrame(rows, "y string, m string")
+    bad = (
+        df.select(
+            S.attach_year("y", "m").alias("col_v"),
+            F.expr(S.attach_year_sql("`y`", "`m`")).alias("sql_v"),
+        )
+        .filter(~F.col("col_v").eqNullSafe(F.col("sql_v")))
+        .collect()
+    )
+    assert bad == []
+    nums = [(x,) for x in [None, 1.0, -3.99, 0.0, float("nan"), float("inf"), float("-inf"), 2.5e18]]
+    dfn = spark.createDataFrame(nums, "x double")
+    bad = (
+        dfn.select(
+            S.guarded_to_long("x").alias("col_v"),
+            F.expr(S.guarded_to_long_sql("`x`")).alias("sql_v"),
+        )
+        .filter(~F.col("col_v").eqNullSafe(F.col("sql_v")))
+        .collect()
+    )
+    assert bad == []
+    flights = [
+        ("CI045", "HX261"), ("", ""), ("BAD", "CI045"), (None, "x"),
+        ("CI0456", "AB123"), ("ci045", "AB12"),
+    ]
+    dff = spark.createDataFrame(flights, "f1 string, f2 string")
+    bad = (
+        dff.select(
+            S.invalid_flight_row(["f1", "f2"]).alias("col_v"),
+            F.expr(S.invalid_flight_row_sql(["f1", "f2"])).alias("sql_v"),
+        )
+        .filter(~F.col("col_v").eqNullSafe(F.col("sql_v")))
+        .collect()
+    )
+    assert bad == []
+
+
+def test_sql_twins_match_column_builders(spark):
+    df = spark.createDataFrame([(v,) for v in ADVERSARIAL_KEYS], "x string")
+    for strip in (False, True):
+        a = S.normalize_join_key("x", strip_all_whitespace=strip)
+        b = F.expr(S.normalize_join_key_sql("x", strip_all_whitespace=strip))
+        bad = (
+            df.select("x", a.alias("col_v"), b.alias("sql_v"))
+            .filter(~F.col("col_v").eqNullSafe(F.col("sql_v")))
+            .collect()
+        )
+        assert bad == [], f"normalize_join_key twin diverges (strip={strip}): {bad}"
+    a = S.normalize_join_date(S.normalize_join_key("x"))
+    b = F.expr(S.normalize_join_date_sql(S.normalize_join_key_sql("x")))
+    bad = (
+        df.select("x", a.alias("col_v"), b.alias("sql_v"))
+        .filter(~F.col("col_v").eqNullSafe(F.col("sql_v")))
+        .collect()
+    )
+    assert bad == [], f"normalize_join_date twin diverges: {bad}"
