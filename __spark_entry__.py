@@ -18426,6 +18426,230 @@ def ngram_novelty_profile(spark, sf_dir):
     )
 
 
+# ---- round 7, batch 58: SimHash hamming join via pigeonhole blocks,
+# weighted reservoir sampling, single-pass curation funnel.
+
+_SIMHASH_SQL_CTES = """
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    per_bit AS (
+      SELECT doc_id, b,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+                       & CAST(pow(2, 3 - (b % 4)) AS INT) > 0 THEN 1 ELSE -1 END AS vote
+      FROM toks, (SELECT unnest(range(64)) AS b) bits),
+    agg AS (SELECT doc_id, b, sum(vote) AS s FROM per_bit GROUP BY doc_id, b),
+    sh AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      FROM agg GROUP BY doc_id)
+"""
+
+
+@q(
+    "simhash_hamming_join",
+    f"""
+    WITH {_SIMHASH_SQL_CTES},
+    blk AS (
+      SELECT doc_id, simhash, b, substr(simhash, 1 + 16 * b, 16) AS blk
+      FROM sh, (SELECT unnest(range(4)) AS b) bs),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS sa, r.simhash AS sb
+      FROM blk l JOIN blk r ON l.b = r.b AND l.blk = r.blk AND l.doc_id < r.doc_id),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1)
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM cand)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def simhash_hamming_join(spark, sf_dir):
+    """Exact hamming-distance join over 64-bit SimHash fingerprints via
+    the PIGEONHOLE block trick (Manku/Jain/Sarma, WWW'07 — the Google
+    near-dup crawler design): split each fingerprint into 4 blocks of 16
+    bits; any pair within hamming distance 3 differs in at most 3 blocks,
+    so it agrees EXACTLY on at least one block — joining on (block index,
+    block value) is therefore a lossless candidate generator, and the
+    per-pair 64-position popcount verify runs on candidates only.
+
+    Scale shape: 4 rows per doc into one equi-join on 16-bit block values
+    (2^16 key space keeps buckets shallow for non-identical docs;
+    identical fingerprints are true near-dups that any correct algorithm
+    must pair). No all-pairs comparison anywhere; the verify is bounded
+    by candidate count. Losslessness (pigeonhole finds EXACTLY the
+    brute-force hamming<=3 pair set) is proven against an O(n^2)
+    reference in tests/test_properties.py."""
+    docs = _tw(spark, sf_dir, "documents")
+    sh = dedup.simhash_bits(docs, "doc_id", "text", bits=64)
+    blk = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "b",
+        F.expr("substring(simhash, 1 + 16 * b, 16)").alias("blk"),
+    )
+    left = blk.alias("l")
+    right = blk.alias("r")
+    cand = (
+        left.join(right, ["b", "blk"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr(
+                "CAST(aggregate(sequence(1, 64), 0, (acc, i) -> acc + "
+                "(CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1) "
+                "THEN 1 ELSE 0 END)) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@q(
+    "weighted_reservoir_topk",
+    """
+    WITH w AS (
+      SELECT source, doc_id, greatest(n_chars, 1) AS wgt,
+             CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM documents),
+    keyed AS (
+      SELECT source, doc_id, CAST(wgt AS BIGINT) AS wgt,
+             CAST(FLOOR(1000000.0 * ln(greatest(u, 1e-12)) / wgt) AS BIGINT) AS key_micro
+      FROM w),
+    ranked AS (
+      SELECT source, doc_id, wgt, key_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key_micro DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT source, doc_id, wgt, key_micro, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def weighted_reservoir_topk(spark, sf_dir):
+    """Weighted reservoir sampling (Efraimidis-Spirakis A-Res): each item
+    draws key u^(1/w) — equivalently ln(u)/w — and the top-k keys per
+    stratum form a sample where inclusion probability is proportional to
+    weight w (here: document length). The draw u is hash-uniform
+    (md5-derived), so the sample is identical on every engine, run, and
+    cluster size, and is incrementally stable: adding documents never
+    changes an incumbent's key, only the top-k cut line. The key is
+    quantized to integer micro-units (with doc_id tiebreak) so the
+    ordering is exact cross-engine rather than trusting float ulps.
+
+    Scale shape: one zero-shuffle map to key every row, then one
+    partitioned window top-k (single hash shuffle on the stratum); at
+    1000 executors this is the standard distributed-sampling pattern —
+    no driver-side reservoir, no global sort."""
+    docs = _tw(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") / F.lit(4294967296.0)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("wgt"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(F.greatest(u, F.lit(1e-12)))
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        )
+        .cast("long")
+        .alias("key_micro"),
+    )
+    win = Window.partitionBy("source").orderBy(F.col("key_micro").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "wgt", "key_micro", "rk")
+    )
+
+
+@q(
+    "curation_funnel_attrition",
+    """
+    WITH t AS (
+      SELECT source,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks,
+             n_chars
+      FROM documents),
+    staged AS (
+      SELECT source,
+             CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS s1,
+             CASE WHEN len(toks) >= 20 THEN 1 ELSE 0 END AS s2,
+             CASE WHEN 10 * len(list_distinct(toks)) >= 3 * len(toks)
+                  THEN 1 ELSE 0 END AS s3,
+             CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                       <= 12 * len(toks) THEN 1 ELSE 0 END AS s4
+      FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s1) AS BIGINT) AS pass_len,
+           CAST(sum(s1 * s2) AS BIGINT) AS pass_tok,
+           CAST(sum(s1 * s2 * s3) AS BIGINT) AS pass_distinct,
+           CAST(sum(s1 * s2 * s3 * s4) AS BIGINT) AS survivors
+    FROM staged GROUP BY source
+    """,
+)
+def curation_funnel_attrition(spark, sf_dir):
+    """Corpus-curation funnel attrition in ONE scan: four quality gates
+    (min chars, min tokens, distinct-token ratio >= 0.3 — the Gopher
+    repetition screen, mean token length <= 12 — the gibberish screen)
+    evaluated as 0/1 stage flags, with cumulative-conjunction sums giving
+    the per-source survivor count after each stage. The naive
+    implementation is k filtered scans (one per stage); at 100 TB that is
+    k full passes over the corpus — here every gate and every attrition
+    count rides a single pushed-down scan + one partial-aggregated
+    groupBy. All thresholds are integer-cross-multiplied (10*distinct >=
+    3*total, sum_len <= 12*n) so the flags are exact on every engine."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    staged = docs.select(
+        "source",
+        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("s1"),
+        F.when(F.size(toks) >= 20, 1).otherwise(0).alias("s2"),
+        F.when(
+            10 * F.size(F.array_distinct(toks)) >= 3 * F.size(toks), 1
+        )
+        .otherwise(0)
+        .alias("s3"),
+        F.when(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, x: acc + F.length(x)
+            )
+            <= 12 * F.size(toks),
+            1,
+        )
+        .otherwise(0)
+        .alias("s4"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("s1").alias("pass_len"),
+        F.sum(F.col("s1") * F.col("s2")).alias("pass_tok"),
+        F.sum(F.col("s1") * F.col("s2") * F.col("s3")).alias("pass_distinct"),
+        F.sum(F.col("s1") * F.col("s2") * F.col("s3") * F.col("s4")).alias("survivors"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),

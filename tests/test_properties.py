@@ -3128,3 +3128,110 @@ def test_ngram_novelty_python_recompute_and_conservation(spark):
         assert got[d]["n_novel"] == novel
         assert got[d]["novelty_ppm"] == novel * 1_000_000 // len(grams)
     assert sum(r["n_novel"] for r in rows) == len(first_doc)
+
+
+def test_simhash_hamming_join_lossless_vs_bruteforce(spark):
+    """The pigeonhole block join must find EXACTLY the hamming<=3 pair set
+    of an O(n^2) Python brute force over recomputed fingerprints — the
+    Manku pigeonhole guarantee (<=3 differing bits touch <=3 of 4 blocks)
+    makes the block join lossless, not approximate."""
+    import hashlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    fps: dict[int, int] = {}
+    for r in docs.itertuples():
+        toks = set(r.text.strip().lower().split())
+        votes = [0] * 64
+        for tok in toks:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for b in range(64):
+                nib = int(h[b // 4], 16)
+                bit = (nib >> (3 - b % 4)) & 1
+                votes[b] += 1 if bit else -1
+        fp = 0
+        for b in range(64):
+            fp = (fp << 1) | (1 if votes[b] > 0 else 0)
+        fps[int(r.doc_id)] = fp
+    ids = sorted(fps)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    rows = entrymod.queries()["simhash_hamming_join"](spark, sf).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got == expect
+    assert expect, "fixture must produce at least one near-dup pair"
+
+
+def test_weighted_reservoir_topk_python_recompute(spark):
+    """Keys and per-source top-5 must match an exact Python recompute of
+    the quantized Efraimidis-Spirakis keys; ranks are 1..5 dense per
+    source; and incremental stability holds: every key is a pure function
+    of (doc_id, n_chars), so recomputing on any subset containing the
+    winners yields the same keys."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    keyed = []
+    for r in docs.itertuples():
+        w = max(int(r.n_chars), 1)
+        u = int(hashlib.md5(f"wrs:{int(r.doc_id)}".encode()).hexdigest()[:8], 16) / 2**32
+        key = math.floor(1_000_000.0 * math.log(max(u, 1e-12)) / w)
+        keyed.append((r.source, int(r.doc_id), w, key))
+    expect: dict[str, list] = {}
+    for src in {k[0] for k in keyed}:
+        rows = sorted(
+            (k for k in keyed if k[0] == src), key=lambda k: (-k[3], k[1])
+        )[:5]
+        expect[src] = [(d, w, key, i + 1) for i, (_, d, w, key) in enumerate(rows)]
+    got_rows = entrymod.queries()["weighted_reservoir_topk"](spark, sf).collect()
+    got: dict[str, list] = {}
+    for r in sorted(got_rows, key=lambda r: (r["source"], r["rk"])):
+        got.setdefault(r["source"], []).append(
+            (r["doc_id"], r["wgt"], r["key_micro"], r["rk"])
+        )
+    assert got == expect
+
+
+def test_curation_funnel_attrition_monotone_and_recompute(spark):
+    """Funnel counts must be monotone non-increasing along the stages and
+    equal an independent Python recompute of the four integer gates."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    expect: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        toks = r.text.strip().lower().split()
+        s1 = int(r.n_chars) >= 100
+        s2 = len(toks) >= 20
+        s3 = 10 * len(set(toks)) >= 3 * len(toks)
+        s4 = sum(len(t) for t in toks) <= 12 * len(toks)
+        c = expect.setdefault(r.source, [0, 0, 0, 0, 0])
+        c[0] += 1
+        c[1] += s1
+        c[2] += s1 and s2
+        c[3] += s1 and s2 and s3
+        c[4] += s1 and s2 and s3 and s4
+    rows = entrymod.queries()["curation_funnel_attrition"](spark, sf).collect()
+    assert {r["source"] for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r["source"]]
+        got = [r["n_docs"], r["pass_len"], r["pass_tok"], r["pass_distinct"], r["survivors"]]
+        assert got == e, (r["source"], got, e)
+        assert got == sorted(got, reverse=True)  # monotone attrition
