@@ -10189,7 +10189,17 @@ def setsim_prefix_join(spark, sf_dir):
     one partial-agg shuffle. Verification touches candidate pairs only,
     via array_intersect on the two shingle arrays (complements
     lsh_pair_containment, which generates candidates approximately via
-    MinHash bands; this variant is EXACT end-to-end)."""
+    MinHash bands; this variant is EXACT end-to-end).
+
+    Shingles are hashed to xxhash64 LONGs immediately after the explode:
+    every downstream shuffle key, sort comparator, and array_intersect
+    then works on 8-byte longs instead of 12-char strings (measured ~2x
+    on the same rewrite in minhash_estimate_audit). The prefix rule is
+    lossless under ANY global canonical order, so ordering by (df, hash)
+    instead of (df, shingle) changes candidates but provably not the
+    verified pair set — the string-side DuckDB oracle reaching the
+    identical pairs is the per-run proof (collision probability at
+    64 bits is ~n^2/2^64, negligible)."""
     docs = _tw(spark, sf_dir, "documents").filter(F.length("text") >= 12)
     sh = docs.select(
         "doc_id",
@@ -10197,7 +10207,7 @@ def setsim_prefix_join(spark, sf_dir):
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.length("text") - 11),
-                    lambda i: F.col("text").substr(i, F.lit(12)),
+                    lambda i: F.xxhash64(F.col("text").substr(i, F.lit(12))),
                 )
             )
         ).alias("sh"),
