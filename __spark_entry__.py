@@ -18790,7 +18790,7 @@ _FIRST50: list[str] = [
     # (g) real-PNG-decode evidence, new this round (closes the codec stub)
     "image_decode_roundtrip",
 ]
-# Round-8 rotation queue (never driver-verified, 104 names — clears in ~2
+# Round-8 rotation queue (never driver-verified, 111 names — clears in ~3
 # more 48-slot windows; regenerate with `python tools/backlog.py`):
 # image_resize_boxfilter, audio_wav_features, dp_randomized_response,
 # heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
@@ -18829,7 +18829,10 @@ _FIRST50: list[str] = [
 # rollup_consistency_proof, maxmin_fair_allocation,
 # shift_share_decomposition, peak_concurrency_minutes, ndcg_ranker_eval,
 # eb_shrinkage_ranking, bm25_topk_retrieval, fellegi_sunter_linkage,
-# phrase_match_positional, ucb1_arm_scores, brier_decomposition.
+# phrase_match_positional, ucb1_arm_scores, brier_decomposition,
+# winnowing_fingerprint_dedup, krippendorff_alpha_nominal,
+# t_closeness_audit, ngram_novelty_profile, simhash_hamming_join,
+# weighted_reservoir_topk, curation_funnel_attrition.
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer
