@@ -334,3 +334,59 @@ def test_sql_twins_match_column_builders(spark):
         .collect()
     )
     assert bad == [], f"normalize_join_date twin diverges: {bad}"
+
+
+def test_sql_twins_fuzz_random_strings(spark):
+    """Fuzz the twin/builder equivalence over 300 seeded-random strings
+    mixing CJK, digits, separators, whitespace runs, and placeholder
+    fragments — one DataFrame pass per twin, exact equality required."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = (
+        "abcXYZ012345 \t:/-.件公斤kgKG無經濟艙 días days nan None NULL <NA> nat"
+    )
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        for _ in range(300)
+    ] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    twins = [
+        (S.airline_code, S.airline_code_sql),
+        (S.first_token, S.first_token_sql),
+        (S.to_time_hhmm, S.to_time_hhmm_sql),
+        (S.duration_to_minutes, S.duration_to_minutes_sql),
+        (S.luggage_value, S.luggage_value_sql),
+        (S.luggage_unit, S.luggage_unit_sql),
+        (S.luggage_reassemble, S.luggage_reassemble_sql),
+        (S.to_date_yyyy_mm_dd, S.to_date_yyyy_mm_dd_sql),
+        (S.date_to_mm_dd_slice, S.date_to_mm_dd_slice_sql),
+        (S.year_prefix, S.year_prefix_sql),
+        (S.despace, S.despace_sql),
+        (S.canonical_flight_number, S.canonical_flight_number_sql),
+        (lambda c: S.normalize_join_key(c), lambda x: S.normalize_join_key_sql(x.strip("`"))),
+        (
+            lambda c: S.normalize_join_date(S.normalize_join_key(c)),
+            lambda x: S.normalize_join_date_sql(S.normalize_join_key_sql(x.strip("`"))),
+        ),
+    ]
+    exprs = []
+    for i, (builder, twin) in enumerate(twins):
+        exprs.append(builder("x").alias(f"col_{i}"))
+        exprs.append(F.expr(twin("`x`")).alias(f"sql_{i}"))
+    row = (
+        df.select(*exprs)
+        .select(
+            *[
+                (~F.col(f"col_{i}").eqNullSafe(F.col(f"sql_{i}")))
+                .cast("int")
+                .alias(f"d_{i}")
+                for i in range(len(twins))
+            ]
+        )
+        .groupBy()
+        .sum()
+        .collect()[0]
+    )
+    diffs = {i: v for i, v in enumerate(row) if v}
+    assert not diffs, f"twin divergence counts by index: {diffs}"
