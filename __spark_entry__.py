@@ -42,17 +42,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_TW_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Wide scan for CPU-heavy downstream stages. The driver fixtures are
     single-row-group parquet files -> Spark reads them as ONE split, which
     serializes regex/array-heavy work on local[N]. CONDITIONAL: the
     round-robin repartition happens only when the scan yields fewer splits
     than cores — on a real lake (thousands of files/row-groups) the plan
-    contains no extra Exchange."""
+    contains no extra Exchange.
+
+    The result is cached per (session, table, cores): the split-count
+    probe (`df.rdd.getNumPartitions()`) forces an analysis + RDD
+    conversion worth ~60 ms per call, and the bench pays it hundreds of
+    times on tables that never change (load_table has the matching
+    mtime-keyed cache underneath)."""
     df = load_table(spark, sf_dir, name)
     cores = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, sf_dir, name, cores, id(df))
+    cached = _TW_CACHE.get(key)
+    if cached is not None:
+        return cached
     if df.rdd.getNumPartitions() < cores:
         df = df.repartition(cores)
+    _TW_CACHE[key] = df
     return df
 
 

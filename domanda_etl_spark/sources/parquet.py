@@ -50,6 +50,16 @@ def table_read_schema(sf_dir: str, name: str):
     return from_arrow_schema(as_long), ns_cols
 
 
+# (appId, path, mtime_ns, size) -> DataFrame. A DataFrame is an immutable
+# lazy plan, so handing the same object to every caller is safe; the
+# mtime/size key invalidates on rewrite, and the appId key scopes the
+# entry to one SparkSession. Why: each uncached load_table costs ~70 ms
+# (Python footer read + JVM DataFrameReader listing/schema) and the bench
+# calls it 1-3x per query x 300+ queries — tens of seconds of pure
+# re-listing of files that never change.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Filters/projections applied by the caller reach the
     scan via Catalyst pushdown — check `.explain` for PushedFilters.
@@ -59,6 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same ns -> us truncation DuckDB applies, keeping oracle parity.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     # Explicit read schema (ns columns declared as long) instead of the
     # session-wide `spark.sql.legacy.parquet.nanosAsLong` flag — a global
     # flag would silently change how OTHER parquet reads in the same
@@ -72,7 +89,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `div` = integer division on longs (a double division would lose
         # precision on 63-bit nano values)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return _ntz_to_ltz(df)
+    df = _ntz_to_ltz(df)
+    if key is not None:
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:
