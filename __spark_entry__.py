@@ -18681,6 +18681,200 @@ def curation_funnel_attrition(spark, sf_dir):
     )
 
 
+# ---- round 7, batch 59: k-core peeling, IEEE-sqrt-exact Hellinger drift --
+
+_KCORE_K = 5
+# > observed peel depth at every test SF (18/3/4 at sf0.001/0.01/0.1 —
+# small graphs peel DEEPER: boundary vertices cascade); guarded by test
+_KCORE_ORACLE_ROUNDS = 24
+# AS MATERIALIZED is load-bearing: each e{i} references e{i-1} three
+# times (FROM + two IN-subqueries); inlined CTEs would expand the base
+# scan 3^rounds times.
+_KCORE_ROUND_CTES = "".join(
+    f"    e{i} AS MATERIALIZED (SELECT v, u FROM e{i - 1}\n"
+    f"          WHERE v IN (SELECT v FROM k{i - 1})\n"
+    f"            AND u IN (SELECT v FROM k{i - 1})),\n"
+    f"    k{i} AS MATERIALIZED (SELECT v FROM e{i} GROUP BY v"
+    f" HAVING count(*) >= {_KCORE_K}),\n"
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1)
+)
+
+
+@q(
+    "kcore_decomposition",
+    f"""
+    WITH mm AS (SELECT max(c_custkey) AS m FROM customer),
+    e AS (
+      SELECT c_custkey AS a, c_custkey + dd AS b
+      FROM customer, (SELECT unnest(range(1, 13)) AS dd) ds, mm
+      WHERE c_custkey + dd <= mm.m
+        AND substr(md5(CAST(c_custkey AS VARCHAR) || ':'
+                       || CAST(dd AS VARCHAR)), 1, 1) <= '5'
+    ),
+    e0 AS MATERIALIZED (SELECT a AS v, b AS u FROM e
+           UNION ALL SELECT b AS v, a AS u FROM e),
+    k0 AS MATERIALIZED (SELECT v FROM e0 GROUP BY v
+           HAVING count(*) >= {_KCORE_K}),
+{_KCORE_ROUND_CTES}    core AS (
+      SELECT v, u FROM e{_KCORE_ORACLE_ROUNDS}
+      WHERE v IN (SELECT v FROM k{_KCORE_ORACLE_ROUNDS})
+        AND u IN (SELECT v FROM k{_KCORE_ORACLE_ROUNDS}))
+    SELECT v AS custkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM core GROUP BY v
+    """,
+)
+def kcore_decomposition(spark, sf_dir):
+    """k-core decomposition (k = 5) — the graph-cleaning
+    primitive the graph family was missing next to pagerank / triangles /
+    k-hop: iteratively peel every vertex whose degree among survivors is
+    < k until fixpoint, leaving the maximal min-degree->=-k subgraph
+    (bot/spam subgraph trimming, community cores, link-farm isolation).
+    The graph synthesizes deterministically from customer keys — band
+    edges a->a+d (d = 1..12) thinned by an md5(a:d) coin at p = 6/16 —
+    so degrees vary and peeling genuinely cascades, yet both engines
+    rebuild the identical graph (the triangle_count_keys move). The
+    oracle unrolls 24 peel rounds as CTEs; a test
+    proves the real peeling depth stays below that at every test SF, and
+    the Spark side raises rather than converge silently wrong.
+
+    Scale shape: per round ONE partial-agg degree groupBy + two
+    semi-joins keyed on vertex, edge list localCheckpoint-ed so lineage
+    stays O(1); convergence is a scalar survivor count per round. Rounds
+    scale with peeling depth, not vertex count. Output: every k-core
+    vertex with its within-core degree."""
+    from domanda_etl_spark.operators.graph import kcore
+
+    cust = _t(spark, sf_dir, "customer")
+    mm = cust.agg(F.max("c_custkey").alias("m"))  # 1-row broadcast probe
+    e = (
+        cust.crossJoin(F.broadcast(mm))
+        .select(
+            F.col("c_custkey").alias("a"),
+            F.explode(F.array(*[F.lit(d) for d in range(1, 13)])).alias("d"),
+            "m",
+        )
+        .filter(F.col("a") + F.col("d") <= F.col("m"))
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("a").cast("string"),
+                        F.lit(":"),
+                        F.col("d").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            <= "5"
+        )
+        .select("a", (F.col("a") + F.col("d")).alias("b"))
+    )
+    core = kcore(e, k=_KCORE_K, max_rounds=_KCORE_ORACLE_ROUNDS)
+    return core.select(F.col("v").alias("custkey"), "core_degree")
+
+
+@q(
+    "hellinger_drift_exact",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(least(CAST(floor(value / 50) AS BIGINT), 11) AS INT) AS bin,
+             CASE WHEN epoch_us(ts) > 1705276800000000 THEN 'after'
+                  ELSE 'before' END AS period,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    t AS (SELECT event_type, period, sum(n) AS tot FROM c GROUP BY 1, 2),
+    s AS (SELECT c.event_type, c.bin, c.period, c.n * 1000000 // t.tot AS sm
+          FROM c JOIN t USING (event_type, period)),
+    pq AS (SELECT event_type, bin,
+                  sum(CASE WHEN period = 'before' THEN sm ELSE 0 END) AS p,
+                  sum(CASE WHEN period = 'after' THEN sm ELSE 0 END) AS q
+           FROM s GROUP BY 1, 2),
+    bc AS (SELECT event_type,
+                  CAST(sum(CAST(floor(sqrt(CAST(p * q AS DOUBLE))) AS BIGINT))
+                       AS BIGINT) AS bc_micro
+           FROM pq GROUP BY 1),
+    nn AS (SELECT event_type,
+                  CAST(sum(CASE WHEN period = 'before' THEN tot ELSE 0 END)
+                       AS BIGINT) AS n_before,
+                  CAST(sum(CASE WHEN period = 'after' THEN tot ELSE 0 END)
+                       AS BIGINT) AS n_after
+           FROM t GROUP BY 1)
+    SELECT event_type, n_before, n_after, bc_micro,
+           CAST(1000000 - bc_micro AS BIGINT) AS hellinger_sq_micro,
+           1000000 - bc_micro > 50000 AS drifted
+    FROM bc JOIN nn USING (event_type)
+    """,
+)
+def hellinger_drift_exact(spark, sf_dir):
+    """Hellinger-distance drift monitor — completes the drift family
+    (TVD, KS, Wasserstein, chi2) with the metric that weights
+    mass-overlap multiplicatively, via a determinism technique the repo
+    hadn't needed yet: IEEE-754 sqrt is CORRECTLY ROUNDED (unlike ln /
+    exp, which is why PSI was rejected for distribution_drift_tvd), and
+    for integer x < 2^53 that is not a perfect square the true sqrt sits
+    >= 1/(2*sqrt(x)+1) away from the next integer — astronomically wider
+    than a half-ulp — so floor(sqrt(CAST(p*q AS DOUBLE))) IS the exact
+    integer sqrt on every IEEE engine. Shares are micro-quantized
+    integers (p, q <= 1e6, p*q <= 1e12 < 2^53), the Bhattacharyya
+    coefficient sums exact isqrt integers, and H^2_micro = 1e6 - BC
+    stays integer end-to-end. A test re-derives BC with math.isqrt to
+    pin the claim.
+
+    Scale shape: identical to distribution_drift_tvd — ONE fact-scale
+    shuffle to type x bin x period cells with map-side combine, a
+    whole-partition window over the <= types*12*2-row cell table for
+    period totals, then domain-bounded rollups."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(11)).cast(
+        "int"
+    )
+    period = F.when(
+        F.unix_micros("ts") > _DRIFT_CUT_US, F.lit("after")
+    ).otherwise(F.lit("before"))
+    c = ev.groupBy(
+        "event_type", bin_.alias("bin"), period.alias("period")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type", "period")
+    s = c.select(
+        "event_type",
+        "bin",
+        "period",
+        "n",
+        F.expr("n * 1000000").alias("nm"),
+        F.sum("n").over(wt).alias("tot"),
+    ).withColumn("sm", F.expr("nm div tot"))
+    is_before = F.col("period") == "before"
+    pq = s.groupBy("event_type", "bin").agg(
+        F.sum(F.when(is_before, F.col("sm")).otherwise(0)).alias("p"),
+        F.sum(F.when(~is_before, F.col("sm")).otherwise(0)).alias("q"),
+        F.sum(F.when(is_before, F.col("n")).otherwise(0)).alias("nb"),
+        F.sum(F.when(~is_before, F.col("n")).otherwise(0)).alias("na"),
+    )
+    out = pq.groupBy("event_type").agg(
+        F.sum("nb").cast("long").alias("n_before"),
+        F.sum("na").cast("long").alias("n_after"),
+        F.sum(
+            F.floor(
+                F.sqrt((F.col("p") * F.col("q")).cast("double"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("bc_micro"),
+    )
+    return out.select(
+        "event_type",
+        "n_before",
+        "n_after",
+        "bc_micro",
+        (F.lit(1_000_000) - F.col("bc_micro")).cast("long").alias(
+            "hellinger_sq_micro"
+        ),
+        ((F.lit(1_000_000) - F.col("bc_micro")) > 50_000).alias("drifted"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -18700,6 +18894,7 @@ def curation_funnel_attrition(spark, sf_dir):
 # stats) skips these — they are exercised end-to-end by their own tests and
 # oracle rows instead.
 RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
+    "kcore_decomposition",
     "bloom_prefilter_join",
     "streaming_watermark_late_drop",
     "incremental_lookback_pruned",

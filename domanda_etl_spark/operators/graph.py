@@ -15,6 +15,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling over an undirected edge
+    list (each edge given once, either orientation): repeatedly drop
+    every vertex whose degree among SURVIVING vertices is < k, until a
+    fixpoint. The result is the maximal subgraph with min-degree >= k —
+    the standard graph-cleaning primitive (spam/bot subgraph trimming,
+    community-core extraction) the rest of the graph family
+    (pagerank / triangles / k-hop) doesn't cover.
+
+    Distributed shape: per round ONE partial-agg degree groupBy plus two
+    semi-joins of the edge list against the survivor set — all keyed
+    shuffles, no broadcast of anything vertex-scale. The edge list is
+    localCheckpoint-ed each round so the plan stays O(1) deep (the
+    connected-components lineage-control move), and convergence is
+    detected by survivor COUNT (one scalar per round, never a collect of
+    vertices). Rounds are bounded by the peeling depth of the graph —
+    O(log n) on heavy-tailed graphs in practice — with a hard
+    `max_rounds` guard that raises instead of silently returning a
+    non-core.
+
+    If `stats` is given, writes {"rounds": <peel rounds executed>} into
+    it — tests use this to prove the unrolled-CTE oracle's depth covers
+    the real peeling depth.
+
+    Returns (v, core_degree) for every vertex of the k-core.
+    """
+    und = (
+        edges.selectExpr(f"{a} AS v", f"{b} AS u")
+        .union(edges.selectExpr(f"{b} AS v", f"{a} AS u"))
+        .localCheckpoint(eager=True)
+    )
+    alive = und
+    n_prev = alive.select("v").distinct().count()
+    rounds = 0
+    while True:
+        keep = (
+            alive.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        n_keep = keep.count()
+        if n_keep == n_prev:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"kcore: no fixpoint after {max_rounds} peel rounds "
+                f"({n_prev} -> {n_keep} survivors); raise max_rounds"
+            )
+        alive = (
+            alive.join(keep, "v", "leftsemi")
+            .join(keep.withColumnRenamed("v", "u"), "u", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        n_prev = n_keep
+    if stats is not None:
+        stats["rounds"] = rounds
+    return alive.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     src: str = "src",

@@ -3235,3 +3235,124 @@ def test_curation_funnel_attrition_monotone_and_recompute(spark):
         got = [r["n_docs"], r["pass_len"], r["pass_tok"], r["pass_distinct"], r["survivors"]]
         assert got == e, (r["source"], got, e)
         assert got == sorted(got, reverse=True)  # monotone attrition
+
+
+def _kcore_python(edges: list[tuple[int, int]], k: int) -> tuple[dict, int]:
+    """Reference k-core peeling: adjacency dict, peel to fixpoint.
+    Returns ({vertex: core_degree}, peel_rounds)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rounds = 0
+    while True:
+        drop = [v for v, ns in adj.items() if len(ns) < k]
+        if not drop:
+            break
+        rounds += 1
+        for v in drop:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+    return {v: len(ns) for v, ns in adj.items()}, rounds
+
+
+def _kcore_edges_python(sf: str) -> list[tuple[int, int]]:
+    """Rebuild the kcore_decomposition synthetic graph independently."""
+    import hashlib
+
+    import pandas as pd
+
+    keys = sorted(pd.read_parquet(f"{sf}/customer.parquet").c_custkey)
+    m = keys[-1]
+    edges = []
+    for a in keys:
+        for d in range(1, 13):
+            if a + d > m:
+                break
+            h = hashlib.md5(f"{a}:{d}".encode()).hexdigest()
+            if h[0] <= "5":
+                edges.append((int(a), int(a + d)))
+    return edges
+
+
+def test_kcore_matches_python_recompute(spark):
+    """The Spark 5-core must equal an independent Python peel (vertex set
+    AND within-core degrees) on the identically rebuilt graph."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    expect, _ = _kcore_python(_kcore_edges_python(sf), k=5)
+    rows = entrymod.queries()["kcore_decomposition"](spark, sf).collect()
+    got = {r["custkey"]: r["core_degree"] for r in rows}
+    assert got == expect
+    assert all(d >= 5 for d in got.values())
+
+
+def test_kcore_oracle_unroll_depth_covers_peeling():
+    """The unrolled-CTE oracle is only equal to the true k-core if the
+    real peeling depth fits inside its 12 rounds — prove it at the test,
+    oracle, and bench scale factors with the Python reference peel."""
+    import __spark_entry__ as entrymod
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        _, rounds = _kcore_python(_kcore_edges_python(sf), k=5)
+        assert rounds <= entrymod._KCORE_ORACLE_ROUNDS, (sf, rounds)
+
+
+def test_floor_sqrt_is_exact_isqrt_near_squares():
+    """Pin hellinger_drift_exact's determinism claim: for integer
+    x < 2^53, floor(IEEE sqrt(x)) == isqrt(x), including at the
+    adversarial near-square points s^2 - 1, s^2, s^2 + 1."""
+    import math
+
+    for s in [1, 2, 3, 999, 1000, 31623, 999983, 1_000_000]:
+        for x in (s * s - 1, s * s, s * s + 1):
+            if x < 0:
+                continue
+            assert math.floor(math.sqrt(float(x))) == math.isqrt(x), x
+
+
+def test_hellinger_python_recompute_and_bounds(spark):
+    """Exact-integer recompute of the micro-quantized Bhattacharyya
+    coefficient (math.isqrt) must equal the Spark result row-for-row;
+    H^2_micro must complement BC and stay in [0, 1e6]."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    cut_us = entrymod._DRIFT_CUT_US
+    cells: dict[tuple, int] = {}
+    for r in ev.itertuples():
+        b = min(math.floor(r.value / 50), 11)
+        period = "after" if pd.Timestamp(r.ts).value // 1000 > cut_us else "before"
+        cells[(r.event_type, b, period)] = cells.get((r.event_type, b, period), 0) + 1
+    tot: dict[tuple, int] = {}
+    for (et, b, p), n in cells.items():
+        tot[(et, p)] = tot.get((et, p), 0) + n
+    pq: dict[tuple, list[int]] = {}
+    for (et, b, p), n in cells.items():
+        sm = n * 1_000_000 // tot[(et, p)]
+        slot = pq.setdefault((et, b), [0, 0])
+        slot[0 if p == "before" else 1] += sm
+    expect: dict[str, dict] = {}
+    for (et, b), (p, q_) in pq.items():
+        e = expect.setdefault(et, {"bc": 0})
+        e["bc"] += math.isqrt(p * q_)
+    for (et, p), t in tot.items():
+        expect[et]["n_before" if p == "before" else "n_after"] = t
+    rows = entrymod.queries()["hellinger_drift_exact"](spark, sf).collect()
+    assert {r["event_type"] for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r["event_type"]]
+        assert r["bc_micro"] == e["bc"], (r["event_type"], r["bc_micro"], e["bc"])
+        assert r["n_before"] == e.get("n_before", 0)
+        assert r["n_after"] == e.get("n_after", 0)
+        assert r["hellinger_sq_micro"] == 1_000_000 - r["bc_micro"]
+        assert 0 <= r["hellinger_sq_micro"] <= 1_000_000
+        assert r["drifted"] == (r["hellinger_sq_micro"] > 50_000)
