@@ -18941,6 +18941,59 @@ def variant_shredding_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "python_datasource_scan",
+    """
+    WITH g AS (SELECT i, i % 97 AS user_id, (i*i) % 10000 AS cents,
+                      CASE i%3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c'
+                      END AS kind
+               FROM (SELECT unnest(range(100000)) AS i))
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM g WHERE kind = 'a' GROUP BY user_id
+    """,
+)
+def python_datasource_scan(spark, sf_dir):
+    """Spark 4 Python DataSource API end-to-end
+    (sources/pydatasource.py): a custom `spark.read.format(...)` source
+    with partition-parallel splits, Arrow RecordBatch emission, and
+    REAL filter pushdown — the `kind = 'a'` predicate is consumed by
+    pushFilters() and applied inside the reader, so the post-scan plan
+    keeps only an isnotnull guard (the extension surface a bespoke feed
+    would use instead of a driver-side extraction loop; reference
+    connector layer at etl/extractor.py:42-121). Generation is a pure
+    function of the global row index (row_at), which the DuckDB oracle
+    mirrors from range(n) — the hash compare therefore verifies split
+    planning, per-split batch emission, and the pushed filter together.
+
+    Scale shape: `parts` input splits read concurrently (1000 executors
+    -> 1000 splits), vectorized Arrow batches (never pickled rows), then
+    ONE partial-agg groupBy on user_id."""
+    from domanda_etl_spark.shipping import ensure_package_on_executors
+    from domanda_etl_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+
+    # the DataSource class is pickled by module reference into the
+    # create-data-source worker — ship the package (vanilla sessions
+    # don't inherit the repo cwd)
+    ensure_package_on_executors(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return (
+        spark.read.format("synthetic_events")
+        .option("n", 100_000)
+        .option("parts", 8)
+        .load()
+        .filter(F.col("kind") == "a")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
