@@ -11665,44 +11665,101 @@ def minhash_estimate_audit(spark, sf_dir):
     approx_sketches). Agreement counts and intersections are exact
     integers; only the final ratios round.
 
-    Scale shape: signatures and shingle sets come from the SAME
-    one-explode partial-agg pass; agreement joins are pair-bounded
-    (8 rows per pair), and the exact-Jaccard leg intersects hashed
-    shingle ARRAYS per candidate pair — candidate-scale work, the
+    Scale shape: signatures AND hashed shingle sets ride one narrow
+    array projection (char_shingles is already per-doc distinct, so
+    there is no explode/groupBy shuffle at all before the band-bucket
+    join); the agreement count and the exact-Jaccard intersection both
+    happen in the SAME pair-bounded join — candidate-scale work, the
     corpus is never re-scanned per pair."""
+    # ONE corpus pass, zero pre-join shuffles: char_shingles already
+    # yields the DISTINCT per-doc shingle ARRAY, so signatures become
+    # array_min(transform(..md5..)) expressions and the hashed set rides
+    # the same projection — the old shape derived signatures, candidates
+    # and sets from three separate explode+groupBy legs (three corpus
+    # shuffles; measured 8.1 s -> this form re-scans the narrow
+    # projection instead, and every leg below is scan+project until the
+    # band-bucket join). Semantics identical to
+    # dedup.minhash_signatures / minhash_lsh_candidates (k=3, 8 hashes,
+    # 2 bands, 1000-cap) — the oracle pins them.
     docs = _tw(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=3, num_hashes=8)
-    pairs = dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", k=3, num_hashes=8, bands=2
+
+    # NB: the hof lambda must take ONE arg — a second arg would be bound
+    # by Spark to the ELEMENT INDEX, not a Python closure default
+    def _seeded(i: int):
+        pre = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(pre), s))
+
+    base = (
+        docs.select("doc_id", T.char_shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("sh"), _seeded(i)))
+                    for i in range(8)
+                ]
+            ).alias("mh"),
+            # xxhash64 LONG sets (the lsh_pair_containment posture):
+            # array_intersect on longs is ~8x cheaper than on 3-char
+            # strings; collisions are 2^-64-scale and the oracle
+            # hash-compare would expose them
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("ss"),
+        )
     )
-    sa = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    band = lambda b: F.md5(  # noqa: E731 — mirrors oracle string_agg('|')
+        F.concat_ws(
+            "|", *[F.element_at("mh", 4 * b + i + 1) for i in range(4)]
+        )
     )
-    sb = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    melted = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[F.concat(F.lit(f"{b}:"), band(b)) for b in range(2)]
+            )
+        ).alias("bucket"),
     )
-    n_match = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    hot = (
+        melted.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > 1000)
+        .select("bucket")
     )
-    # shingle sets as xxhash64 LONGs (the lsh_pair_containment posture):
-    # array_intersect on longs is ~8x cheaper than on 3-char strings at
-    # 0.3M candidate pairs x ~500 shingles (17.4 s -> measured rewrite
-    # win); the count survives hashing except for 2^-64-scale collisions
-    # the oracle hash-compare would expose
-    sets = dedup.shingle_docs(docs, "doc_id", "text", 3).groupBy("doc_id").agg(
-        F.collect_set(F.xxhash64("shingle")).alias("ss")
+    capped = melted.join(hot, "bucket", "left_anti")
+    pairs = (
+        capped.alias("l")
+        .join(capped.alias("r"), "bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+        )
+        .distinct()
     )
-    pa = sets.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ssa"))
-    pb = sets.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ssb"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("mha", "mhb", lambda x, y: x == y), lambda v: v
+        )
+    )
     out = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(
+            base.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("mh").alias("mha"),
+                F.col("ss").alias("ssa"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("mh").alias("mhb"),
+                F.col("ss").alias("ssb"),
+            ),
+            "id_b",
+        )
         .withColumn("n_match", n_match.cast("long"))
-        .select("id_a", "id_b", "n_match")
-        .join(pa, "id_a")
-        .join(pb, "id_b")
         .withColumn("ni", F.size(F.array_intersect("ssa", "ssb")))
         .withColumn(
             "jac",
