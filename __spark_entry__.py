@@ -11707,36 +11707,13 @@ def minhash_estimate_audit(spark, sf_dir):
             F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("ss"),
         )
     )
-    band = lambda b: F.md5(  # noqa: E731 — mirrors oracle string_agg('|')
-        F.concat_ws(
-            "|", *[F.element_at("mh", 4 * b + i + 1) for i in range(4)]
-        )
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", k=3, num_hashes=8, bands=2
     )
-    melted = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[F.concat(F.lit(f"{b}:"), band(b)) for b in range(2)]
-            )
-        ).alias("bucket"),
-    )
-    hot = (
-        melted.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") > 1000)
-        .select("bucket")
-    )
-    capped = melted.join(hot, "bucket", "left_anti")
-    pairs = (
-        capped.alias("l")
-        .join(capped.alias("r"), "bucket")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-        )
-        .distinct()
-    )
+    # repartition(doc_id) puts ONE exchange above the signature/set
+    # hashing so the two join-back legs (aliased id_a / id_b above the
+    # SAME subplan) hit ReusedExchange and the hashes compute once
+    base = base.repartition("doc_id")
     n_match = F.size(
         F.filter(
             F.zip_with("mha", "mhb", lambda x, y: x == y), lambda v: v

@@ -17,7 +17,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -44,13 +44,56 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
 ) -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    md5('i:'||shingle). One explode + one groupBy — linear, no joins."""
-    sh = shingle_docs(df, id_col, text_col, k)
-    aggs = [
-        F.min(T.minhash_element(F.col("shingle"), i)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    md5('i:'||shingle).
+
+    Computed as ONE `aggregate` pass over the per-doc shingle sequence —
+    the running state is the array of `num_hashes` current minima, each
+    element folds in via zip_with(least) — so the whole signature is a
+    narrow map-side expression with NO shuffle at all (the explode +
+    groupBy form paid one; its map-side combine made that shuffle small,
+    but zero still beats small at fleet scale and the values are pinned
+    by every minhash-family oracle). Two evaluation-cost traps this form
+    dodges, both measured 3x at sf0.1:
+
+    - per-seed `array_min(transform(_sh, md5))` columns look equivalent
+      but CollapseProject substitutes the shingle-array expression into
+      every one of the 8 projections, rebuilding the array 8x per row;
+      here the fold is a single expression and the per-column split
+      below happens behind an explode(array(...)) Generate node, whose
+      output attribute an upper Project CANNOT inline — a deliberate
+      collapse barrier, evaluated once per row.
+    - the fold runs over the RAW shingle sequence, not char_shingles:
+      array_distinct is O(n^2) per doc and a min is insensitive to
+      duplicates, so distinctness is pure wasted work here.
+
+    Docs with no shingles (text shorter than k, or NULL) carry no
+    signature, exactly as the exploded form dropped them."""
+    s = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)),
+        lambda i: s.substr(i, F.lit(k)),
+    )
+    # "￿" sorts above every lowercase-hex md5 digest, so it is +inf
+    # for the running minima; it can never survive a non-empty fold.
+    init = F.array_repeat(F.lit("￿"), num_hashes)
+
+    def _fold(acc: Column, sh: Column) -> Column:
+        digests = F.array(
+            *[F.md5(F.concat(F.lit(f"{i}:"), sh)) for i in range(num_hashes)]
+        )
+        return F.zip_with(acc, digests, lambda a, b: F.least(a, b))
+
+    gen = df.filter(F.length(F.col(text_col)) >= k).select(
+        id_col,
+        F.explode(F.array(F.aggregate(shingles, init, _fold))).alias("_sig"),
+    )
+    return gen.select(
+        id_col,
+        *[
+            F.element_at("_sig", i + 1).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_candidates(
@@ -93,19 +136,24 @@ def minhash_lsh_candidates(
         ).alias("bucket"),
     )
     if max_bucket_size is not None:
-        # groupBy + anti-join, NOT count-over-window: the hot bucket this
-        # guard exists for would gather into a single window task, while
-        # the groupBy collapses it map-side (partial agg) and the
-        # oversized-bucket list is tiny by construction (<= corpus/cap
-        # entries, realistically a handful of boilerplate families) —
-        # AQE picks broadcast for the anti-join when it fits.
-        hot = (
-            melted.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > max_bucket_size)
-            .select("bucket")
+        # count-over-window, NOT groupBy + anti-join: since the round-7
+        # signature rewrite the md5 work lives in a shuffle-free
+        # projection, so every REFERENCE to `melted` would recompute it —
+        # and the l/r self-join below references it twice. The window
+        # puts ONE bucket-keyed exchange above the hashing; the l and r
+        # subplans are then identical through that exchange and Spark's
+        # ReusedExchange computes the signatures exactly once (measured
+        # 2-3x on the lsh family at sf0.1). Cost shift at fleet scale: a
+        # hot bucket of B rows now streams through one window task —
+        # O(B) rows, linear, and the same co-location the bucket join
+        # itself would force — instead of collapsing map-side; the B^2/2
+        # pair blowup this guard exists for is still fully prevented.
+        w = Window.partitionBy("bucket")
+        melted = (
+            melted.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
         )
-        melted = melted.join(hot, "bucket", "left_anti")
     left = melted.alias("l")
     right = melted.alias("r")
     pairs = (
