@@ -31,12 +31,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-_BATCH = 4096
+_BATCH = 65536
 
 
 def row_at(i: int) -> tuple[int, int, int, str]:
     """The generation rule — shared, pure, and mirrored by the DuckDB
-    oracle: user_id = i % 97, cents = (i*i) % 10000, kind cycles a/b/c."""
+    oracle: user_id = i % 97, cents = (i*i) % 10000, kind cycles a/b/c.
+    (Scalar form kept as the executable spec; `read` evaluates the same
+    rule vectorized over the whole batch index range.)"""
     return (i, i % 97, (i * i) % 10000, "abc"[i % 3])
 
 
@@ -68,25 +70,28 @@ class SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangeSplit):
+        import numpy as np
         import pyarrow as pa
 
+        # Vectorized evaluation of row_at over the batch index range —
+        # a per-row Python loop here is the classic Python-source trap
+        # (measured ~10x on this generator); numpy keeps the per-split
+        # cost at C speed and the Arrow arrays are built zero-copy.
         kinds = self._kind_eq
+        kind_lut = np.array(["a", "b", "c"])
         for base in range(partition.start, partition.end, _BATCH):
             hi = min(base + _BATCH, partition.end)
-            rows = [
-                row_at(i)
-                for i in range(base, hi)
-                if kinds is None or "abc"[i % 3] == kinds
-            ]
-            if not rows:
-                continue
-            cols = list(zip(*rows))
+            i = np.arange(base, hi, dtype=np.int64)
+            if kinds is not None:
+                i = i[kind_lut[i % 3] == kinds]
+                if i.size == 0:
+                    continue
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(cols[0], pa.int64()),
-                    pa.array(cols[1], pa.int64()),
-                    pa.array(cols[2], pa.int64()),
-                    pa.array(cols[3], pa.string()),
+                    pa.array(i, pa.int64()),
+                    pa.array(i % 97, pa.int64()),
+                    pa.array((i * i) % 10000, pa.int64()),
+                    pa.array(kind_lut[i % 3], pa.string()),
                 ],
                 names=["i", "user_id", "cents", "kind"],
             )
