@@ -70,6 +70,31 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _drain_stream_pinned(spark: SparkSession, writer, timeout: int = 300):
+    """start() + awaitTermination() with spark.sql.shuffle.partitions
+    pinned to 8 for the stream's lifetime; returns the (terminated)
+    StreamingQuery handle for progress inspection.
+
+    Stateful streaming materializes one state-store instance per shuffle
+    partition per stateful operator per microbatch; at fixture row
+    counts that per-instance overhead dominates wall time (a vanilla
+    driver session defaults to 200 partitions -> 200 state stores).
+    Pinning the partition count for the job is exactly what a production
+    streaming deployment does (state partitioning is frozen into the
+    checkpoint at first start, so it is a deliberate, sized choice
+    there too); scoping it to the drain keeps the caller's batch
+    post-aggregation at full session parallelism."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        sq = writer.start()
+        sq.awaitTermination(timeout)
+        return sq
+    finally:
+        spark.conf.set(key, old)
+
+
 def _dec_sum(col, scale: int = 2, alias: str | None = None):
     """Order-insensitive exact sum of a double column: via decimal, back to
     double (identical float64 in Spark and DuckDB)."""
@@ -3571,15 +3596,14 @@ def streaming_dedup_equiv(spark, sf_dir):
     )
     deduped = stream_dedup(stream, ["o_custkey"], "o_orderdate", delay="0 seconds")
     out_path = os.path.join(tdir, "out")
-    sq = (
+    _drain_stream_pinned(
+        spark,
         deduped.select("o_custkey")
         .writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", os.path.join(tdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    sq.awaitTermination(300)
     return spark.read.parquet(out_path).distinct()
 
 
@@ -4428,17 +4452,16 @@ def streaming_batch_equiv(spark, sf_dir):
         .parquet(sf_dir)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
-    sq = (
+    _drain_stream_pinned(
+        spark,
         stream.writeStream.foreachBatch(
             foreach_batch_latest_wins_overwrite(
                 table, "o_orderkey", key_cols=["o_custkey"]
             )
         )
         .option("checkpointLocation", os.path.join(tdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    sq.awaitTermination(300)
     return table.read(spark).select(
         "o_custkey",
         F.col("o_orderkey").alias("latest_orderkey"),
@@ -5923,16 +5946,15 @@ def streaming_stateful_totals(spark, sf_dir):
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
-    sq = (
+    _drain_stream_pinned(
+        spark,
         stateful_running_totals(stream, "k", "cents")
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    sq.awaitTermination(300)
     w = Window.partitionBy("key").orderBy(F.col("n").desc())
     return (
         spark.table(name)
@@ -6696,14 +6718,13 @@ def stream_static_join_equiv(spark, sf_dir):
     joined = stream.join(
         F.broadcast(cust), stream.o_custkey == cust.c_custkey
     ).select("c_mktsegment", "o_totalprice")
-    sq = (
+    _drain_stream_pinned(
+        spark,
         joined.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", os.path.join(tdir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    sq.awaitTermination(300)
     return (
         spark.read.parquet(out)
         .groupBy("c_mktsegment")
@@ -9234,15 +9255,14 @@ def streaming_watermark_late_drop(spark, sf_dir):
     agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    sq = (
+    sq = _drain_stream_pinned(
+        spark,
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="wm_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    sq.awaitTermination(300)
     dropped = sum(
         p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
         for p in sq.recentProgress
@@ -9998,15 +10018,14 @@ def stream_stream_join_equiv(spark, sf_dir):
         "inner",
     ).select(F.col("p_user").alias("user_id"), "p_id")
     name = "ssj_" + os.path.basename(tempfile.mkdtemp(prefix="q")).strip("q")
-    sq = (
+    _drain_stream_pinned(
+        spark,
         pairs.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ssj_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    sq.awaitTermination(300)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -10997,15 +11016,14 @@ def streaming_session_window(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
-    sq = (
+    _drain_stream_pinned(
+        spark,
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    sq.awaitTermination(300)
     return spark.table(name).select(
         "user_id",
         F.unix_timestamp(F.col("session_window.start")).alias("sess_start_s"),
