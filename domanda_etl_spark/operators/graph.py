@@ -118,25 +118,30 @@ def pagerank_integer(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg is loop-INVARIANT: fold it into the edge table once (and
+    # checkpoint the result) instead of re-joining it every iteration —
+    # one join per round saved, and the per-round join keys on src only.
+    e = (
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
+        .localCheckpoint(eager=True)
+    )
     base = (1000 - damping_milli) * init_micro // 1000
     ranks = nodes.select("node", F.lit(init_micro).cast("long").alias("r"))
-    for _ in range(iterations):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .join(outdeg, "src")
-            .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
+    for it in range(iterations):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst"), F.expr("r div outdeg").alias("c")
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(incoming, nodes.node == incoming.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"{damping_milli} * coalesce(s, 0L) div 1000")
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_milli} * coalesce(s, 0L) div 1000")
+            ).cast("long").alias("r"),
         )
+        # checkpoint every OTHER round: lineage stays O(1) deep (2 rounds
+        # of join+agg unroll fine through codegen) while the number of
+        # eager materialization jobs — the fixed per-round cost — halves
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_micro"))
