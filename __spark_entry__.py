@@ -19046,6 +19046,62 @@ def python_datasource_scan(spark, sf_dir):
     )
 
 
+@q(
+    "python_udtf_chunks",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    g AS (SELECT doc_id, text,
+                 unnest(range(0, CAST((length(text) + 255) // 256 AS BIGINT)))
+                   AS i
+          FROM d)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(least(256, length(text) - i * 256) AS INT) AS chunk_len,
+           md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS chunk_md5
+    FROM g
+    """,
+)
+def python_udtf_chunks(spark, sf_dir):
+    """Spark 4 Python UDTF end-to-end: a user-defined TABLE function
+    (`@udtf` + `spark.udtf.register`) expanded per input row via SQL
+    LATERAL — the third Python extension surface alongside the DataSource
+    API (python_datasource_scan) and the Arrow mapInPandas multimodal
+    family. The UDTF slices each document into fixed 256-char chunks in
+    Python; the md5 over every emitted chunk is computed JVM-side, so the
+    hash compare against the oracle's substr() expansion proves the UDTF
+    saw the exact text, split at the exact boundaries, across the lateral
+    join — not just that row counts line up.
+
+    Scale shape: a UDTF is a per-partition Arrow-batched expansion
+    (`spark.sql.execution.pythonUDTF.arrow.enabled`), embarrassingly
+    parallel with NO shuffle — the plan is scan -> EvalPythonUDTF ->
+    project. It exists to prove the extension plumbing; hot-path chunking
+    stays native (doc_chunking's sequence/transform exprs)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk: string")
+    class FixedWidthChunks:
+        def eval(self, text):
+            if not text:
+                return
+            for idx in range((len(text) + 255) // 256):
+                yield idx, text[idx * 256 : (idx + 1) * 256]
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("fixed_width_chunks", FixedWidthChunks)
+    docs = _tw(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs.createOrReplaceTempView("__udtf_chunk_src")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               c.chunk_idx,
+               length(c.chunk) AS chunk_len,
+               md5(c.chunk) AS chunk_md5
+        FROM __udtf_chunk_src, LATERAL fixed_width_chunks(text) c
+        """
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),

@@ -361,8 +361,12 @@ def test_registry_wide_no_cartesian_no_python(spark):
     driver-state collects) are exercised by their own tests and skipped
     here to keep this a pure plan inspection."""
     runs_jobs_at_build = entrymod.RUNS_JOBS_AT_BUILD
+    # ...plus the Spark 4 Python UDTF surface proof (Arrow-batched lateral
+    # expansion, python_udtf_chunks) — same legitimacy class as the
+    # DataSource API scan: it exists to prove the extension plumbing.
     arrow_python_ok = {"image_features_fake", "media_frame_extract", "image_decode_roundtrip",
-                       "image_resize_boxfilter", "audio_wav_features"}
+                       "image_resize_boxfilter", "audio_wav_features",
+                       "python_udtf_chunks"}
     # registry-WIDE, not just the driver window: every pure-plan query in
     # queries() must be free of CartesianProduct and row-level Python
     names = [n for n in QS if n not in runs_jobs_at_build]
