@@ -19233,7 +19233,7 @@ _FIRST50: list[str] = [
     # (g) real-PNG-decode evidence, new this round (closes the codec stub)
     "image_decode_roundtrip",
 ]
-# Round-8 rotation queue (never driver-verified, 111 names — clears in ~3
+# Round-8 rotation queue (never driver-verified, 116 names — clears in ~3
 # more 48-slot windows; regenerate with `python tools/backlog.py`):
 # image_resize_boxfilter, audio_wav_features, dp_randomized_response,
 # heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
@@ -19245,8 +19245,8 @@ _FIRST50: list[str] = [
 # table_stats_profile, benford_digit_audit, robust_scaler_groups,
 # embedding_int8_quantization, corpus_fertility_by_lang,
 # quantization_recall_audit, twostage_rerank_retrieval, ohlc_resample,
-# streaming_session_window, quantile_transform_uniform,
-# pareto_frontier_2d, weighted_median_groups, ab_test_proportions_ztest,
+# streaming_session_window, quantile_transform_uniform, pareto_frontier_2d,
+# weighted_median_groups, ab_test_proportions_ztest,
 # period_over_period_growth, embedding_dimension_stats, rfm_segmentation,
 # exact_auc_ranksum, diff_in_differences, survival_hazard_table,
 # poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
@@ -19275,7 +19275,9 @@ _FIRST50: list[str] = [
 # phrase_match_positional, ucb1_arm_scores, brier_decomposition,
 # winnowing_fingerprint_dedup, krippendorff_alpha_nominal,
 # t_closeness_audit, ngram_novelty_profile, simhash_hamming_join,
-# weighted_reservoir_topk, curation_funnel_attrition.
+# weighted_reservoir_topk, curation_funnel_attrition, kcore_decomposition,
+# hellinger_drift_exact, variant_shredding_roundtrip,
+# python_datasource_scan, python_udtf_chunks.
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer
