@@ -19047,6 +19047,65 @@ def python_datasource_scan(spark, sf_dir):
 
 
 @q(
+    "sql_udf_suite",
+    """
+    WITH big AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000.0)
+    SELECT CASE WHEN o_totalprice < 250000.0 THEN 'mid'
+                WHEN o_totalprice < 400000.0 THEN 'high' ELSE 'top' END AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+           CAST(ROUND(SUM(CAST(o_totalprice * 0.07 AS DECIMAL(30,8))), 2) AS DOUBLE) AS fee_total
+    FROM big GROUP BY 1
+    """,
+)
+def sql_udf_suite(spark, sf_dir):
+    """Spark 4 SQL user-defined functions, both kinds: a scalar SQL UDF
+    (`CREATE TEMPORARY FUNCTION ... RETURNS DOUBLE RETURN expr`) and a SQL
+    TABLE function (`RETURNS TABLE ... RETURN SELECT ...`) — reusable
+    business logic declared in SQL, no Python anywhere. Unlike Python
+    UDFs, SQL UDFs are INLINED by Catalyst at analysis time: the band
+    classifier and fee expression fold into the aggregate exactly as if
+    written inline, so predicate pushdown / partial aggregation /
+    whole-stage codegen all still apply (the TVF's o_totalprice >=
+    thresh predicate reaches the parquet scan as a PushedFilter — the
+    plan is indistinguishable from the hand-inlined form, which is the
+    entire point of the surface).
+
+    The fee sum follows the repo's cross-engine decimal convention
+    (exact DECIMAL accumulation, ROUND before the final representation;
+    see tpch_q1_pricing_summary for the 2^53 rationale)."""
+    orders = _tw(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__sqludf_orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 250000.0 THEN 'mid' "
+        "WHEN p < 400000.0 THEN 'high' ELSE 'top' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __fee(p DOUBLE) "
+        "RETURNS DECIMAL(30,8) RETURN CAST(p * 0.07 AS DECIMAL(30,8))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __big_orders(thresh DOUBLE) "
+        "RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderkey, o_totalprice FROM __sqludf_orders "
+        "WHERE o_totalprice >= thresh"
+    )
+    return spark.sql(
+        """
+        SELECT __price_band(o_totalprice) AS band,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                 AS sum_price,
+               CAST(ROUND(SUM(__fee(o_totalprice)), 2) AS DOUBLE) AS fee_total
+        FROM __big_orders(150000.0D)
+        GROUP BY __price_band(o_totalprice)
+        """
+    )
+
+
+@q(
     "python_udtf_chunks",
     """
     WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
