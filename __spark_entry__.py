@@ -19047,6 +19047,59 @@ def python_datasource_scan(spark, sf_dir):
 
 
 @q(
+    "collated_group_counts",
+    """
+    WITH mixed AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                  WHEN doc_id % 3 = 1 THEN upper(source[1:1]) || source[2:]
+                  ELSE source END AS s
+      FROM documents)
+    SELECT lower(s) AS source_lc,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_case_variants
+    FROM mixed GROUP BY lower(s)
+    """,
+)
+def collated_group_counts(spark, sf_dir):
+    """Spark 4 string collations: a GROUP BY under `COLLATE UNICODE_CI`
+    merges case variants of the same source tag WITHOUT rewriting the
+    data through lower() — collation-aware grouping (and its sort/join
+    siblings) is the engine-level story; the pre-4.0 idiom burns a
+    projection and loses the original strings. Mixed-case inputs are
+    synthesized deterministically from doc_id (UPPER / Capitalized /
+    original), the group key is the CI-collated string, and the output
+    key is lower()-normalized because a CI group's representative is
+    whichever variant a partition saw first — nondeterministic by
+    design, so no oracle may depend on it. n_case_variants counts
+    DISTINCT over the original (UTF8_BINARY) strings inside each CI
+    group, proving the group truly pooled multiple spellings (= 3
+    wherever doc_id mod 3 hit all three arms). The DuckDB oracle groups
+    by lower(s) — value-identical for this ASCII tag universe.
+
+    Scale shape: one partial-agg groupBy; the collated comparison is a
+    JVM collation key compare, no Python, no extra shuffle vs the
+    lower() form."""
+    docs = _tw(spark, sf_dir, "documents")
+    s = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.upper(F.substring("source", 1, 1)), F.expr("substring(source, 2)")
+            ),
+        )
+        .otherwise(F.col("source"))
+    )
+    mixed = docs.select(F.collate(s, "UNICODE_CI").alias("s_ci"), s.alias("s_raw"))
+    return mixed.groupBy("s_ci").agg(
+        F.lower(F.min("s_raw")).alias("source_lc"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("s_raw").alias("n_case_variants"),
+    ).drop("s_ci")
+
+
+@q(
     "sql_udf_suite",
     """
     WITH big AS (
