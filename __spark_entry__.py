@@ -19345,7 +19345,7 @@ _FIRST50: list[str] = [
     # (g) real-PNG-decode evidence, new this round (closes the codec stub)
     "image_decode_roundtrip",
 ]
-# Round-8 rotation queue (never driver-verified, 116 names — clears in ~3
+# Round-8 rotation queue (never driver-verified, 118 names — clears in ~3
 # more 48-slot windows; regenerate with `python tools/backlog.py`):
 # image_resize_boxfilter, audio_wav_features, dp_randomized_response,
 # heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
@@ -19389,7 +19389,8 @@ _FIRST50: list[str] = [
 # t_closeness_audit, ngram_novelty_profile, simhash_hamming_join,
 # weighted_reservoir_topk, curation_funnel_attrition, kcore_decomposition,
 # hellinger_drift_exact, variant_shredding_roundtrip,
-# python_datasource_scan, python_udtf_chunks.
+# python_datasource_scan, collated_group_counts, sql_udf_suite,
+# python_udtf_chunks.
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer
