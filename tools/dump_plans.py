@@ -151,6 +151,12 @@ HEADLINE = [
     "rollup_consistency_proof",
     "maxmin_fair_allocation",
     "token_bag_fingerprint_dedup",
+    # round 7: Spark 4 extension surfaces (inlining / pushdown showcases)
+    "python_datasource_scan",
+    "python_udtf_chunks",
+    "sql_udf_suite",
+    "collated_group_counts",
+    "variant_shredding_roundtrip",
 ]
 
 
