@@ -50,6 +50,24 @@ def test_udtf_chunks_cover_text_losslessly(spark):
             assert r["n_partial"] == 0, r
 
 
+def test_collated_groupby_pools_case_variants(spark):
+    """UNICODE_CI grouping must pool ALL deliberately-synthesized case
+    variants: at fixture scale every source tag has ≥ 3 docs spread over
+    the three doc_id%3 casing arms, so every CI group must report exactly
+    3 binary-distinct spellings — and the group total must equal the
+    plain per-source count (nothing dropped or double-counted)."""
+    out = entrymod.queries()["collated_group_counts"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r["source_lc"] for r in out} == set(expected)
+    for r in out:
+        assert r["n"] == expected[r["source_lc"]], r
+        assert r["n_case_variants"] == 3, r
+
+
 def test_sql_udf_inlines_into_scan(spark):
     df = entrymod.queries()["sql_udf_suite"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
