@@ -60,13 +60,26 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     mtime-keyed cache underneath)."""
     df = load_table(spark, sf_dir, name)
     cores = spark.sparkContext.defaultParallelism
-    key = (spark.sparkContext.applicationId, sf_dir, name, cores, id(df))
-    cached = _TW_CACHE.get(key)
+    # Keyed on the file's identity (path + mtime + size), mirroring
+    # load_table's cache key — NOT on id(df), whose value can be reused by
+    # the allocator after a gc if the underlying table cache ever misses.
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        file_id = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        file_id = None
+    key = (spark.sparkContext.applicationId, path, cores, file_id)
+    cached = _TW_CACHE.get(key) if file_id is not None else None
     if cached is not None:
         return cached
     if df.rdd.getNumPartitions() < cores:
         df = df.repartition(cores)
-    _TW_CACHE[key] = df
+    if file_id is not None:
+        stale = [k for k in _TW_CACHE if k[:2] == key[:2] and k != key]
+        for k in stale:
+            del _TW_CACHE[k]
+        _TW_CACHE[key] = df
     return df
 
 
@@ -83,7 +96,14 @@ def _drain_stream_pinned(spark: SparkSession, writer, timeout: int = 300):
     streaming deployment does (state partitioning is frozen into the
     checkpoint at first start, so it is a deliberate, sized choice
     there too); scoping it to the drain keeps the caller's batch
-    post-aggregation at full session parallelism."""
+    post-aggregation at full session parallelism.
+
+    CAVEAT: spark.conf is session-wide, so any batch query EXECUTED
+    concurrently in the same session during the drain would also plan at
+    8 shuffle partitions. The bench/test harnesses are single-threaded
+    (one query at a time), so nothing else executes inside the window; a
+    parallel harness should pin per-stream via a dedicated session or
+    `spark.newSession()` instead."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, "8")
@@ -18608,14 +18628,35 @@ def simhash_hamming_join(spark, sf_dir):
     "weighted_reservoir_topk",
     """
     WITH w AS (
-      SELECT source, doc_id, greatest(n_chars, 1) AS wgt,
-             CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               / 4294967296.0 AS u
+      SELECT source, doc_id, CAST(greatest(n_chars, 1) AS BIGINT) AS wgt,
+             greatest(CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), 1) AS h
       FROM documents),
-    keyed AS (
-      SELECT source, doc_id, CAST(wgt AS BIGINT) AS wgt,
-             CAST(FLOOR(1000000.0 * ln(greatest(u, 1e-12)) / wgt) AS BIGINT) AS key_micro
+    b1 AS (
+      SELECT source, doc_id, wgt, h,
+             CAST(length(bin(h)) - 1 AS BIGINT) AS b
       FROM w),
+    z1 AS (
+      SELECT source, doc_id, wgt, b,
+             ((h * 1048576) // (1::BIGINT << b)) - 1048576 AS z
+      FROM b1),
+    p1 AS (
+      SELECT source, doc_id, wgt, b, z,
+             (z * z) // 1048576 AS x2
+      FROM z1),
+    p2 AS (
+      SELECT source, doc_id, wgt, b, z, x2,
+             (x2 * z) // 1048576 AS x3
+      FROM p1),
+    p3 AS (
+      SELECT source, doc_id, wgt, b, z, x2, x3,
+             (x3 * z) // 1048576 AS x4
+      FROM p2),
+    keyed AS (
+      SELECT source, doc_id, wgt,
+             -(((32 - b) * 693147
+                - (((z - (x2 // 2) + (x3 // 3) - (x4 // 4)) * 1000000) // 1048576)
+                + wgt - 1) // wgt) AS key_micro
+      FROM p3),
     ranked AS (
       SELECT source, doc_id, wgt, key_micro,
              row_number() OVER (PARTITION BY source
@@ -18632,31 +18673,57 @@ def weighted_reservoir_topk(spark, sf_dir):
     weight w (here: document length). The draw u is hash-uniform
     (md5-derived), so the sample is identical on every engine, run, and
     cluster size, and is incrementally stable: adding documents never
-    changes an incumbent's key, only the top-k cut line. The key is
-    quantized to integer micro-units (with doc_id tiebreak) so the
-    ordering is exact cross-engine rather than trusting float ulps.
+    changes an incumbent's key, only the top-k cut line.
+
+    The key is INTEGER-ONLY end to end: u = h/2^32 for the 32-bit hash h,
+    and ln(u) is computed in fixed point as b*ln2 + ln(m) with
+    b = floor(log2 h) (via bin-string length, exact), m = h/2^b mantissa
+    quantized to 2^20, and ln(1+x) = x - x^2/2 + x^3/3 - x^4/4 evaluated
+    with truncating BIGINT divisions in a pinned order. The polynomial is
+    monotone on [0,1) (derivative (1-x)(1+x^2) >= 0) and its value at
+    x->1 (0.58333) stays below ln2 (0.69314), so the piecewise key is
+    globally monotone in h — the sampling order is preserved — while
+    every engine computes bit-identical BIGINTs (no libm ln, whose 1-ulp
+    variance could flip a floor boundary). Final floor(ln_u/w) uses the
+    positive-operand ceil identity -((neg + w - 1) div w) to avoid
+    negative-division semantics differences.
 
     Scale shape: one zero-shuffle map to key every row, then one
     partitioned window top-k (single hash shuffle on the stratum); at
     1000 executors this is the standard distributed-sampling pattern —
     no driver-side reservoir, no global sort."""
     docs = _tw(spark, sf_dir, "documents")
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long") / F.lit(4294967296.0)
-    keyed = docs.select(
-        "source",
-        "doc_id",
-        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("wgt"),
-        F.floor(
-            F.lit(1000000.0)
-            * F.log(F.greatest(u, F.lit(1e-12)))
-            / F.greatest(F.col("n_chars"), F.lit(1))
+    keyed = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("wgt"),
+            F.greatest(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ).alias("h"),
         )
-        .cast("long")
-        .alias("key_micro"),
+        .withColumn("b", F.expr("CAST(length(bin(h)) - 1 AS BIGINT)"))
+        .withColumn("z", F.expr("((h * 1048576) div shiftleft(CAST(1 AS BIGINT), b)) - 1048576"))
+        .withColumn("x2", F.expr("(z * z) div 1048576"))
+        .withColumn("x3", F.expr("(x2 * z) div 1048576"))
+        .withColumn("x4", F.expr("(x3 * z) div 1048576"))
+        .withColumn(
+            "key_micro",
+            F.expr(
+                "-(((32 - b) * 693147"
+                " - (((z - (x2 div 2) + (x3 div 3) - (x4 div 4)) * 1000000) div 1048576)"
+                " + wgt - 1) div wgt)"
+            ),
+        )
     )
     win = Window.partitionBy("source").orderBy(F.col("key_micro").desc(), "doc_id")
     return (

@@ -91,6 +91,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     df = _ntz_to_ltz(df)
     if key is not None:
+        # Evict superseded entries for the same file (old mtime/size) so a
+        # rewrite-heavy process doesn't accumulate dead plans, and so no
+        # other cache may safely alias a stale DataFrame object for this
+        # path (e.g. by object identity).
+        stale = [k for k in _TABLE_CACHE if k[:2] == key[:2] and k != key]
+        for k in stale:
+            del _TABLE_CACHE[k]
         _TABLE_CACHE[key] = df
     return df
 

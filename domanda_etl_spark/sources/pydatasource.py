@@ -63,6 +63,10 @@ class SyntheticEventsReader(DataSourceReader):
                 yield f
 
     def partitions(self):
+        if self._n <= 0:
+            # n=0 would make step 0 and range(0, 0, 0) raise a cryptic
+            # ValueError; an empty source is one empty split.
+            return [_RangeSplit(0, 0)]
         step = -(-self._n // self._parts)
         return [
             _RangeSplit(s, min(s + step, self._n))

@@ -73,3 +73,25 @@ def test_filters_reach_the_scan(spark, lake):
     ex = Extractor(spark, lake, CUTOFF)
     plan = ex.extract_set_data()._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_table_cache_evicts_superseded_entries(spark, tmp_path):
+    """A rewritten file must replace (not accumulate beside) its old cache
+    entry, so the cache size is bounded by live files and no stale plan
+    object stays pinned."""
+    import pandas as pd
+
+    from domanda_etl_spark.sources import parquet as pq_mod
+
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"a": [1, 2]}).to_parquet(p)
+    pq_mod.load_table(spark, str(tmp_path), "t")
+    n0 = sum(1 for k in pq_mod._TABLE_CACHE if k[1] == str(p))
+    assert n0 == 1
+    import os as _os
+
+    pd.DataFrame({"a": [1, 2, 3]}).to_parquet(p)
+    _os.utime(p, ns=(1, 1))  # force a distinct mtime_ns deterministically
+    df2 = pq_mod.load_table(spark, str(tmp_path), "t")
+    assert sum(1 for k in pq_mod._TABLE_CACHE if k[1] == str(p)) == 1
+    assert df2.count() == 3

@@ -52,3 +52,8 @@ def test_unsupported_filter_stays_post_scan(spark):
     df = _load(spark, 10_000, 4).filter(F.col("cents") > 5000)
     expect = sum(1 for i in range(10_000) if (i * i) % 10000 > 5000)
     assert df.count() == expect
+
+
+def test_zero_rows_yields_empty_frame(spark):
+    # n=0 must plan a single empty split, not raise range(0, 0, 0)
+    assert _load(spark, 0, 4).count() == 0
