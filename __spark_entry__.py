@@ -19281,6 +19281,404 @@ def python_udtf_chunks(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Fixed-point base-2 log (micro-units) — the integer-exact transform family
+# introduced for weighted_reservoir_topk, factored as a textual macro so
+# every information-theoretic query (entropy, surprisal refinement, Zipf
+# slope) computes BIT-IDENTICAL BIGINTs in Spark and DuckDB.  For c >= 1:
+# exponent b = length(bin(c)) - 1 (exact), mantissa quantized to 2^20,
+# ln(mantissa) via the monotone 4-term series, then /ln2 to micro-log2.
+# libm log()/log2() is deliberately absent: its 1-ulp cross-engine variance
+# flips floor() boundaries (ADVICE r7).
+# --------------------------------------------------------------------------
+def _log2_micro(col: str, engine: str) -> str:
+    """SQL text computing round-down fixed-point log2(col)*1e6 for a BIGINT
+    column/alias `col` (must be a simple identifier; callers stage complex
+    expressions in a prior CTE).  engine: 'spark' (div/shiftleft) or
+    'duckdb' (///<<).  Max |input| 2^43 (the *2^20 mantissa staging must
+    not overflow BIGINT)."""
+    if engine == "spark":
+        b = f"(length(bin({col})) - 1)"
+        z = f"((({col} * 1048576) div shiftleft(CAST(1 AS BIGINT), {b})) - 1048576)"
+        dv = "div"
+    else:
+        b = f"(length(bin({col})) - 1)"
+        z = f"((({col} * 1048576) // (1::BIGINT << {b})) - 1048576)"
+        dv = "//"
+    x2 = f"(({z} * {z}) {dv} 1048576)"
+    x3 = f"(({x2} * {z}) {dv} 1048576)"
+    x4 = f"(({x3} * {z}) {dv} 1048576)"
+    poly = f"({z} - ({x2} {dv} 2) + ({x3} {dv} 3) - ({x4} {dv} 4))"
+    return f"(CAST({b} AS BIGINT) * 1000000 + (({poly} * 1000000) {dv} 726817))"
+
+
+_TOKEN_ENTROPY_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    tc AS (
+      SELECT doc_id, source, tok, count(*) AS c
+      FROM toks GROUP BY doc_id, source, tok),
+    dc AS (
+      SELECT doc_id, source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * {_log2_micro('c', 'duckdb')}) AS BIGINT) AS s
+      FROM tc GROUP BY doc_id, source),
+    h AS (
+      SELECT doc_id, source,
+             {_log2_micro('n', 'duckdb')} - (s // n) AS h_micro
+      FROM dc)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(h_micro) // count(*) AS BIGINT) AS mean_h_micro,
+           CAST(min(h_micro) AS BIGINT) AS min_h_micro,
+           CAST(max(h_micro) AS BIGINT) AS max_h_micro,
+           CAST(sum(CASE WHEN h_micro < 2500000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy
+    FROM h GROUP BY source
+"""
+
+
+@q("token_entropy_quality", _TOKEN_ENTROPY_ORACLE)
+def token_entropy_quality(spark, sf_dir):
+    """Per-document Shannon entropy of the unigram token distribution —
+    the information-density quality screen (low-entropy docs are
+    boilerplate/keyword-stuffing; the Gopher/CCNet filter family keeps a
+    band).  H = log2(N) - (sum c*log2 c)/N over per-doc token counts,
+    computed entirely in fixed-point integer micro-bits via _log2_micro —
+    sub-bit precision (vs unigram_surprisal_score's whole-bit floor-log2)
+    with zero float ops, so the per-source histogram hash-matches DuckDB
+    exactly.
+
+    Scale shape: explode -> two partial-aggregated groupBys
+    ((doc,tok) then (doc)) -> per-source rollup.  The (doc_id, tok)
+    shuffle is the corpus tokenization pass every training pipeline
+    already pays; entropy rides it for free.  No windows, no sort, no
+    Python."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tc = toks.groupBy("doc_id", "source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dc = tc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr(f"c * {_log2_micro('c', 'spark')}")).alias("s"),
+    )
+    h = dc.select(
+        "doc_id",
+        "source",
+        F.expr(f"{_log2_micro('n', 'spark')} - (s div n)").alias("h_micro"),
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(h_micro) div count(*)").alias("mean_h_micro"),
+        F.min("h_micro").alias("min_h_micro"),
+        F.max("h_micro").alias("max_h_micro"),
+        F.sum(F.when(F.col("h_micro") < 2500000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_entropy"),
+    )
+
+
+_BIGRAM_ENTROPY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT source,
+             unnest(list_transform(toks[1:len(toks)-1],
+                                   (x, i) -> x || ' ' || toks[i + 1])) AS ab
+      FROM t WHERE len(toks) >= 2),
+    cab AS (
+      SELECT source, ab, split_part(ab, ' ', 1) AS a, count(*) AS c_ab
+      FROM bg GROUP BY source, ab),
+    ca AS (
+      SELECT source, ab, c_ab,
+             CAST(sum(c_ab) OVER (PARTITION BY source, a) AS BIGINT) AS c_a
+      FROM cab)
+    SELECT source,
+           CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(sum(c_ab * ({_log2_micro('c_a', 'duckdb')}
+                            - {_log2_micro('c_ab', 'duckdb')}))
+                // sum(c_ab) AS BIGINT) AS cond_h_micro
+    FROM ca GROUP BY source
+"""
+
+
+@q("bigram_entropy_rate", _BIGRAM_ENTROPY_ORACLE)
+def bigram_entropy_rate(spark, sf_dir):
+    """Entropy rate of the per-source token bigram model: conditional
+    entropy H(next | prev) = sum c_ab * (log2 c_a - log2 c_ab) / N over
+    corpus bigram counts — the standard language-model-ish signal that a
+    source is templated/repetitive (low rate) vs diverse prose (high
+    rate), complementing token_entropy_quality's per-document marginal
+    entropy.  All log2 terms are fixed-point integers (_log2_micro), so
+    the statistic is bit-exact cross-engine.
+
+    Scale shape: bigrams are built ARRAY-SIDE (zip_with over the token
+    array — zero shuffle, no posexplode self-join), then one groupBy
+    (source, bigram) with partial aggregation, one window-sum over the
+    prefix (rides the same hash partitioning: partitionBy is a prefix of
+    the groupBy key), and a final per-source rollup.  Bigram vocabulary,
+    not corpus size, bounds the shuffle."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = docs.select(
+        "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = t.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"
+            )
+        ).alias("ab"),
+    )
+    cab = bg.groupBy("source", "ab").agg(F.count(F.lit(1)).alias("c_ab"))
+    cab = cab.withColumn("a", F.split_part(F.col("ab"), F.lit(" "), F.lit(1)))
+    win = Window.partitionBy("source", "a")
+    ca = cab.withColumn("c_a", F.sum("c_ab").over(win).cast("long"))
+    return ca.groupBy("source").agg(
+        F.sum("c_ab").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.expr(
+            f"sum(c_ab * ({_log2_micro('c_a', 'spark')}"
+            f" - {_log2_micro('c_ab', 'spark')})) div sum(c_ab)"
+        )
+        .cast("long")
+        .alias("cond_h_micro"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    freq AS (
+      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, tok) AS rnk
+      FROM freq),
+    top AS (
+      SELECT source, rnk, c,
+             {_log2_micro('rnk', 'duckdb')} // 1000 AS x,
+             {_log2_micro('c', 'duckdb')} // 1000 AS y
+      FROM ranked WHERE rnk <= 256),
+    sums AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM top GROUP BY source)
+    SELECT source, n AS n_ranks,
+           CAST(((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+                AS BIGINT) AS zipf_slope_milli
+    FROM sums WHERE n * sxx - sx * sx > 0
+"""
+
+
+@q("zipf_slope_corpus", _ZIPF_ORACLE)
+def zipf_slope_corpus(spark, sf_dir):
+    """Zipf's-law exponent per source: least-squares slope of
+    log2(frequency) against log2(rank) over the top-256 tokens — natural
+    corpora fit slope ~ -1; synthetic/templated text diverges, so the
+    slope is a cheap corpus-health fingerprint (alongside heaps_law_curve
+    for vocabulary growth).  Both logs are fixed-point integers in
+    MILLI-units (micro would overflow BIGINT in the n*sum(x*y) normal
+    equations; milli keeps every product under 2^45) and the closed-form
+    slope is one exact integer division — no floats anywhere.
+
+    Scale shape: the token-frequency groupBy is the only data-sized
+    shuffle; the rank window runs on the aggregated vocabulary (orders of
+    magnitude smaller than the corpus) and the top-256 regression state
+    is ~2 KB per source."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    top = (
+        freq.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= 256)
+        .select(
+            "source",
+            F.expr(f"{_log2_micro('rnk', 'spark')} div 1000").alias("x"),
+            F.expr(f"{_log2_micro('c', 'spark')} div 1000").alias("y"),
+        )
+    )
+    sums = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    return sums.filter(F.expr("n * sxx - sx * sx > 0")).select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)")
+        .cast("long")
+        .alias("zipf_slope_milli"),
+    )
+
+
+@q(
+    "padding_waste_batching",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents WHERE length(trim(text)) > 0),
+    assigned AS (
+      SELECT source, doc_id, n_tok,
+             (row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tok DESC, doc_id) - 1) // 32
+               AS batch_sorted,
+             (row_number() OVER (PARTITION BY source
+                                 ORDER BY doc_id) - 1) // 32
+               AS batch_arrival
+      FROM d),
+    strat AS (
+      SELECT source, 'length_sorted' AS strategy, batch_sorted AS batch_id,
+             n_tok FROM assigned
+      UNION ALL
+      SELECT source, 'arrival_order' AS strategy, batch_arrival AS batch_id,
+             n_tok FROM assigned),
+    per_batch AS (
+      SELECT source, strategy, batch_id,
+             count(*) AS n_docs, sum(n_tok) AS real_toks,
+             count(*) * max(n_tok) AS padded_toks
+      FROM strat GROUP BY source, strategy, batch_id)
+    SELECT source, strategy,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(real_toks) AS BIGINT) AS real_toks,
+           CAST(sum(padded_toks) AS BIGINT) AS padded_toks,
+           CAST((sum(padded_toks) - sum(real_toks)) * 1000000
+                // sum(padded_toks) AS BIGINT) AS waste_ppm
+    FROM per_batch GROUP BY source, strategy
+    """,
+)
+def padding_waste_batching(spark, sf_dir):
+    """Padding-waste audit for fixed-size training batches (B=32): every
+    sequence in a batch is padded to the batch max, so batch composition
+    decides how many pad tokens the accelerator burns.  Compares the two
+    canonical policies side by side — arrival order (random lengths per
+    batch -> high waste) vs length-sorted bucketing (near-uniform lengths
+    -> minimal waste), the standard dynamic-batching preprocessing step.
+    waste_ppm = (padded - real) / padded in exact integer ppm.
+
+    Scale shape: one tokenize-count projection (no explode — only
+    lengths), two windows over the same (source) hash partitioning, one
+    partial-aggregated groupBy per policy.  The window sort is the real
+    cost and is exactly the sort a length-bucketed shard writer performs
+    anyway; at cluster scale each source sorts independently."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w_sorted = Window.partitionBy("source").orderBy(F.col("n_tok").desc(), "doc_id")
+    w_arrival = Window.partitionBy("source").orderBy("doc_id")
+    assigned = d.select(
+        "source",
+        "n_tok",
+        ((F.row_number().over(w_sorted) - 1) / 32).cast("long").alias("batch_sorted"),
+        ((F.row_number().over(w_arrival) - 1) / 32).cast("long").alias("batch_arrival"),
+    )
+    strat = assigned.select(
+        "source",
+        F.lit("length_sorted").alias("strategy"),
+        F.col("batch_sorted").alias("batch_id"),
+        "n_tok",
+    ).unionAll(
+        assigned.select(
+            "source",
+            F.lit("arrival_order").alias("strategy"),
+            F.col("batch_arrival").alias("batch_id"),
+            "n_tok",
+        )
+    )
+    per_batch = strat.groupBy("source", "strategy", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("real_toks"),
+        (F.count(F.lit(1)) * F.max("n_tok")).alias("padded_toks"),
+    )
+    return per_batch.groupBy("source", "strategy").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("real_toks").cast("long").alias("real_toks"),
+        F.sum("padded_toks").cast("long").alias("padded_toks"),
+        F.expr("(sum(padded_toks) - sum(real_toks)) * 1000000 div sum(padded_toks)")
+        .cast("long")
+        .alias("waste_ppm"),
+    )
+
+
+@q(
+    "python_datasource_write_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 4 = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def python_datasource_write_roundtrip(spark, sf_dir):
+    """Writer side of the Spark 4 Python DataSource API
+    (sources/pydatasource.py ArrowParquetSinkDataSource): a custom
+    `df.write.format(...)` sink with executor-parallel Arrow-batch
+    writes and a staged two-phase commit (temp files -> driver-side
+    rename + _SUCCESS), mirroring the reference loader's staged write +
+    atomic publish protocol (etl/loader.py:60-140) on Spark's extension
+    surface. The roundtrip aggregates the READ-BACK files against the
+    oracle computed from the source table directly, so the hash compare
+    proves every row survived the write path — batch iteration, temp
+    staging, commit renames — bit-exactly.
+
+    Scale shape: one writer task per input partition, zero cross-task
+    coordination during the write, O(tasks) driver work at commit — the
+    same shape Spark's own FileFormatWriter uses; nothing here is
+    driver-bottlenecked at 1000 executors."""
+    import tempfile
+
+    from domanda_etl_spark.shipping import ensure_package_on_executors
+    from domanda_etl_spark.sources.pydatasource import ArrowParquetSinkDataSource
+
+    ensure_package_on_executors(spark)
+    spark.dataSource.register(ArrowParquetSinkDataSource)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    out_dir = tempfile.mkdtemp(prefix="pyds_sink_")
+    src.write.format("arrow_parquet_sink").option("path", out_dir).mode(
+        "append"
+    ).save()
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        _dec_sum(F.col("o_totalprice"), 2, "total"),
+    )
+
+
 # Round-6 window policy (rotation — three rounds overdue per VERDICT r5):
 # the 50 driver slots go to (a) the 5 queries broken by the TIMESTAMP_NTZ
 # testdata regen and fixed this round (the driver must confirm the fix),
@@ -19300,6 +19698,7 @@ def python_udtf_chunks(spark, sf_dir):
 # stats) skips these — they are exercised end-to-end by their own tests and
 # oracle rows instead.
 RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
+    "python_datasource_write_roundtrip",
     "kcore_decomposition",
     "bloom_prefilter_join",
     "streaming_watermark_late_drop",
@@ -19338,100 +19737,69 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "schema_evolution_read",
 })
 
-# Round-7 window (rotation per VERDICT r6 §next#3): (a) the standing
-# flagship; (b) the 8 queries that hash-failed in r6 — all one root cause,
-# un-cast HUGEINT oracle aggregates, now normalized via
-# _ORACLE_BIGINT_CASTS — kept in-window for driver confirmation of the
-# fix; (c) 8 MORE HUGEINT-normalized queries from the never-verified
-# backlog, so the driver confirms the normalization across the class, not
-# just the 8 named instances; (d) the judge's priority flagships from the
-# backlog (setsim_prefix_join, dedup_canonical_selection, cdc_apply_log,
-# minhash_estimate_audit, semdedup_cluster_prune,
-# streaming_watermark_late_drop, stream_stream_join_equiv); (e) the two
-# NEW queries giving driver evidence for the last tests-only SURVEY §2
-# rows (S10 cli_load_roundtrip, A3 restore_count_check); (f) the head of
-# the never-verified queue in registration order. Rotated-out greens stay
-# under the identical (now driver-strict) local gate in
+# Round-8 window: (a) the standing flagship (regression guard over the
+# whole ETL surface); (b) weighted_reservoir_topk, whose sampling key was
+# rewritten this round to integer-only fixed-point ln — in-window so the
+# driver confirms the cross-engine exactness claim; (c) the first 48
+# names of the never-driver-verified backlog in registration order
+# (118 at round start; this window takes evidence to 270/338, the
+# remaining 68 clear in ~1.5 more windows).  Rotated-out greens stay
+# under the identical (driver-strict) local gate in
 # tests/test_oracle_parity.py.
 _FIRST50: list[str] = [
-    # (a) standing flagship
     "domanda_pipeline_full",
-    # (b) r6 hash-fail confirmation — HUGEINT oracle fix
-    "web_corpus_pipeline",
-    "embedding_gram_matrix",
-    "corrupt_record_handling",
-    "skew_profile",
-    "chi2_contingency",
-    "spike_detection",
-    "url_domain_stats",
-    "bigram_collocations",
-    # (c) HUGEINT-normalized backlog samples (fix confirmed across class)
-    "substring_span_dedup",
-    "corpus_mixture_stats",
-    "token_bag_fingerprint_dedup",
-    "trending_items_decay",
-    "wasserstein_drift_exact",
-    "window_value_functions",
-    "uplift_qini_points",
-    "kendall_tau_rankers",
-    # (d) judge-priority LLM-ops flagships, never driver-verified
-    "setsim_prefix_join",
-    "dedup_canonical_selection",
-    "cdc_apply_log",
-    "minhash_estimate_audit",
-    "semdedup_cluster_prune",
-    "streaming_watermark_late_drop",
-    "stream_stream_join_equiv",
-    # (e) last two SURVEY §2 rows, new this round
-    "cli_load_roundtrip",
-    "restore_count_check",
-    # (f) head of the never-verified queue, registration order
-    "quality_weighted_sample",
-    "incremental_lookback_pruned",
-    "hll_partial_rollup",
-    "unigram_surprisal_score",
-    "partitioned_delete_roundtrip",
-    "distribution_drift_tvd",
-    "ks_drift_exact",
-    "groupwise_ols_regression",
-    "market_basket_pairs",
-    "histogram_median_rollup",
-    "zorder_clustered_scan",
-    "triangle_count_keys",
-    "dsir_importance_weights",
-    "boilerplate_line_removal",
-    "k_anonymity_generalize",
-    "small_file_compaction",
-    "bpe_merge_candidates",
-    "hard_negative_mining",
-    "bloom_prefilter_join",
-    "ewma_halflife_smoothing",
-    "leakage_safe_group_split",
-    "attribution_first_last",
-    "bigram_lm_surprisal",
-    # (g) real-PNG-decode evidence, new this round (closes the codec stub)
-    "image_decode_roundtrip",
+    "weighted_reservoir_topk",
+    "image_resize_boxfilter",
+    "audio_wav_features",
+    "dp_randomized_response",
+    "heavy_hitters_cms",
+    "vocab_oov_rate",
+    "embedding_power_iteration",
+    "event_markov_transitions",
+    "domain_cap_sample",
+    "twophase_distinct_agg",
+    "rolling_active_users",
+    "score_decile_lift",
+    "scd2_daily_snapshot",
+    "impute_group_mean",
+    "temporal_split_audit",
+    "incremental_dedup_newbatch",
+    "linear_quality_inference",
+    "quarantine_bad_rows",
+    "referential_integrity_check",
+    "seasonal_baseline_residuals",
+    "table_stats_profile",
+    "benford_digit_audit",
+    "robust_scaler_groups",
+    "embedding_int8_quantization",
+    "corpus_fertility_by_lang",
+    "quantization_recall_audit",
+    "twostage_rerank_retrieval",
+    "ohlc_resample",
+    "streaming_session_window",
+    "quantile_transform_uniform",
+    "pareto_frontier_2d",
+    "weighted_median_groups",
+    "ab_test_proportions_ztest",
+    "period_over_period_growth",
+    "embedding_dimension_stats",
+    "rfm_segmentation",
+    "exact_auc_ranksum",
+    "diff_in_differences",
+    "survival_hazard_table",
+    "poisson_bootstrap_ci",
+    "cusum_changepoint",
+    "event_path_trigrams",
+    "item_item_cosine_topk",
+    "theil_sen_trend",
+    "neyman_allocation_sample",
+    "khop_reachability",
+    "grid_density_clusters",
+    "kmv_distinct_sketch",
+    "ivm_join_delta",
 ]
-# Round-8 rotation queue (never driver-verified, 118 names — clears in ~3
-# more 48-slot windows; regenerate with `python tools/backlog.py`):
-# image_resize_boxfilter, audio_wav_features, dp_randomized_response,
-# heavy_hitters_cms, vocab_oov_rate, embedding_power_iteration,
-# event_markov_transitions, domain_cap_sample, twophase_distinct_agg,
-# rolling_active_users, score_decile_lift, scd2_daily_snapshot,
-# impute_group_mean, temporal_split_audit, incremental_dedup_newbatch,
-# linear_quality_inference, quarantine_bad_rows,
-# referential_integrity_check, seasonal_baseline_residuals,
-# table_stats_profile, benford_digit_audit, robust_scaler_groups,
-# embedding_int8_quantization, corpus_fertility_by_lang,
-# quantization_recall_audit, twostage_rerank_retrieval, ohlc_resample,
-# streaming_session_window, quantile_transform_uniform, pareto_frontier_2d,
-# weighted_median_groups, ab_test_proportions_ztest,
-# period_over_period_growth, embedding_dimension_stats, rfm_segmentation,
-# exact_auc_ranksum, diff_in_differences, survival_hazard_table,
-# poisson_bootstrap_ci, cusum_changepoint, event_path_trigrams,
-# item_item_cosine_topk, theil_sen_trend, neyman_allocation_sample,
-# khop_reachability, grid_density_clusters, kmv_distinct_sketch,
-# ivm_join_delta, rrf_rank_fusion, islands_consecutive_runs,
+# Round-9 rotation queue (never driver-verified; regenerate with `python
+# tools/backlog.py`): rrf_rank_fusion, islands_consecutive_runs,
 # cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
 # markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
 # scd2_asof_enrich, clustering_coefficient, point_in_time_features,
@@ -19454,10 +19822,9 @@ _FIRST50: list[str] = [
 # phrase_match_positional, ucb1_arm_scores, brier_decomposition,
 # winnowing_fingerprint_dedup, krippendorff_alpha_nominal,
 # t_closeness_audit, ngram_novelty_profile, simhash_hamming_join,
-# weighted_reservoir_topk, curation_funnel_attrition, kcore_decomposition,
-# hellinger_drift_exact, variant_shredding_roundtrip,
-# python_datasource_scan, collated_group_counts, sql_udf_suite,
-# python_udtf_chunks.
+# curation_funnel_attrition, kcore_decomposition, hellinger_drift_exact,
+# variant_shredding_roundtrip, python_datasource_scan,
+# collated_group_counts, sql_udf_suite, python_udtf_chunks
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer

@@ -57,3 +57,45 @@ def test_unsupported_filter_stays_post_scan(spark):
 def test_zero_rows_yields_empty_frame(spark):
     # n=0 must plan a single empty split, not raise range(0, 0, 0)
     assert _load(spark, 0, 4).count() == 0
+
+
+def _write(spark, df, path, mode="append"):
+    from domanda_etl_spark.sources.pydatasource import ArrowParquetSinkDataSource
+
+    spark.dataSource.register(ArrowParquetSinkDataSource)
+    df.write.format("arrow_parquet_sink").option("path", str(path)).mode(mode).save()
+
+
+def test_arrow_sink_roundtrip_exact(spark, tmp_path):
+    import json
+
+    src = _load(spark, 1000, 4).select("i", "user_id", "kind")
+    _write(spark, src, tmp_path / "out")
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    marker = json.load(open(tmp_path / "out" / "_SUCCESS"))
+    assert marker["rows"] == 1000
+
+
+def test_arrow_sink_overwrite_replaces(spark, tmp_path):
+    out = tmp_path / "out"
+    _write(spark, _load(spark, 100, 2).select("i"), out)
+    _write(spark, _load(spark, 30, 2).select("i"), out, mode="overwrite")
+    assert spark.read.parquet(str(out)).count() == 30
+
+
+def test_arrow_sink_no_temp_litter_after_commit(spark, tmp_path):
+    out = tmp_path / "out"
+    _write(spark, _load(spark, 100, 3).select("i", "cents"), out)
+    leftovers = [p.name for p in out.iterdir() if p.name.startswith("_tmp-")]
+    assert leftovers == []
+
+
+def test_arrow_sink_requires_path(spark):
+    import pytest as _pytest
+
+    from domanda_etl_spark.sources.pydatasource import ArrowParquetSinkDataSource
+
+    spark.dataSource.register(ArrowParquetSinkDataSource)
+    with _pytest.raises(Exception, match="path"):
+        _load(spark, 10, 1).write.format("arrow_parquet_sink").mode("append").save()
