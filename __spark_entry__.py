@@ -19737,20 +19737,598 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "schema_evolution_read",
 })
 
+
+# --------------------------------------------------------------------------
+# Round 8: LLM-corpus curation additions — sketch cardinality audit,
+# Gopher-style repetition screens, benchmark decontamination, DSIR
+# importance weights, dedup-aware train/eval splitting.  All compared
+# columns are integer-exact cross-engine (no libm, no floats).
+# --------------------------------------------------------------------------
+
+_HLL_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type, user_id,
+             (((user_id % 2147483647) * 1103515245 + 12345) % 2147483647)
+               AS hv
+      FROM events),
+    hb AS (
+      SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h),
+    regs AS (
+      SELECT event_type, bucket,
+             CAST(max(CASE WHEN w = 0 THEN 26
+                           ELSE 26 - length(bin(w)) END) AS BIGINT) AS reg
+      FROM hb GROUP BY event_type, bucket),
+    sk AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << CAST(26 - reg AS INT))
+                  + (64 - count(*)) * 67108864 AS BIGINT) AS s,
+             CAST(64 - count(*) AS BIGINT) AS v
+      FROM regs GROUP BY event_type),
+    est AS (
+      SELECT event_type, v AS n_zero_regs,
+             CASE WHEN (709::BIGINT * 4096 * 67108864) // s <= 160000
+                       AND v > 0
+                  THEN (64 * (((6000000 - {_log2_micro('v', 'duckdb')}) * 693147)
+                              // 1000000)) // 1000
+                  ELSE (709::BIGINT * 4096 * 67108864) // s
+             END AS hll_est_milli
+      FROM sk),
+    ex AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT ex.event_type, exact_distinct,
+           CAST(hll_est_milli AS BIGINT) AS hll_est_milli,
+           n_zero_regs,
+           CAST(abs(hll_est_milli - exact_distinct * 1000)
+                * 1000 // exact_distinct AS BIGINT) AS err_ppm
+    FROM ex JOIN est USING (event_type)
+"""
+
+
+@q("hll_distinct_audit", _HLL_ORACLE)
+def hll_distinct_audit(spark, sf_dir):
+    """From-scratch HyperLogLog (Flajolet et al. 2007) distinct-count
+    sketch, m=64 registers, audited against the exact distinct count per
+    event_type.  The whole sketch is integer-exact cross-engine: the
+    hash is an LCG mod the Mersenne prime 2^31-1 (products stay under
+    2^62 — no wraparound semantics needed, unlike xxhash64 which DuckDB
+    cannot evaluate), rho is derived from bit length via bin() (exact,
+    no libm log2), and the harmonic mean is computed at fixed scale
+    2^26 — sum(2^(26-reg)) is a BIGINT, absent buckets contribute 2^26
+    each, and est_milli = (alpha_64 * m^2 * 2^26 * 1000/1000) // S with
+    alpha_64 = 0.709 as the published constant.  The small-range
+    correction is the paper's linear counting: when the raw estimate is
+    <= 2.5m and zero registers exist, E = m * ln(m/V) — computed as
+    (log2 m - log2 V) * ln2 in the same fixed-point integer micro scale
+    (_log2_micro), so the corrected estimate is still bit-identical
+    cross-engine.  (The 64-bit large-range correction is moot at this
+    hash width.)
+
+    Scale shape: ONE (event_type, bucket) partial-agg shuffle of at most
+    64*n_groups rows, then a per-group rollup — the register array is
+    the entire state, which is why HLL is THE 100 TB cardinality
+    pattern: mergeable across partitions/executors/days with max().
+    The exact branch (countDistinct) exists only because this is an
+    audit query; production drops it."""
+    ev = _tw(spark, sf_dir, "events")
+    hb = ev.select(
+        "event_type",
+        F.expr(
+            "((user_id % 2147483647) * 1103515245 + 12345) % 2147483647"
+        ).alias("hv"),
+    ).select(
+        "event_type",
+        F.expr("hv % 64").alias("bucket"),
+        F.expr("hv div 64").alias("w"),
+    )
+    regs = hb.groupBy("event_type", "bucket").agg(
+        F.expr(
+            "CAST(max(CASE WHEN w = 0 THEN 26"
+            " ELSE 26 - length(bin(w)) END) AS BIGINT)"
+        ).alias("reg")
+    )
+    sk = regs.groupBy("event_type").agg(
+        F.expr(
+            "CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST(26 - reg AS INT)))"
+            " + (64 - count(*)) * 67108864 AS BIGINT)"
+        ).alias("s"),
+        F.expr("CAST(64 - count(*) AS BIGINT)").alias("v"),
+    )
+    est = sk.select(
+        "event_type",
+        F.col("v").alias("n_zero_regs"),
+        F.expr(
+            "CASE WHEN (CAST(709 AS BIGINT) * 4096 * 67108864) div s <= 160000"
+            " AND v > 0"
+            f" THEN (64 * (((6000000 - {_log2_micro('v', 'spark')}) * 693147)"
+            " div 1000000)) div 1000"
+            " ELSE (CAST(709 AS BIGINT) * 4096 * 67108864) div s"
+            " END"
+        ).alias("hll_est_milli"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return ex.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.col("hll_est_milli").cast("long").alias("hll_est_milli"),
+        "n_zero_regs",
+        F.expr(
+            "CAST(abs(hll_est_milli - exact_distinct * 1000)"
+            " * 1000 div exact_distinct AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+_GOPHER_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT doc_id, source, unnest(toks) AS tok FROM t),
+    uni AS (
+      SELECT doc_id, source, tok, count(*) AS c
+      FROM tok GROUP BY doc_id, source, tok),
+    u AS (
+      SELECT doc_id, source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(max(c) AS BIGINT) AS top_c
+      FROM uni GROUP BY doc_id, source),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(toks[1:len(toks)-1],
+                                   (x, i) -> x || ' ' || toks[i + 1])) AS g
+      FROM t WHERE len(toks) >= 2),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup2
+      FROM bgc GROUP BY doc_id),
+    m AS (
+      SELECT u.source,
+             (u.top_c * 1000000) // u.n AS top_share_ppm,
+             CASE WHEN d.n2 IS NULL OR d.n2 = 0 THEN 0
+                  ELSE (d.dup2 * 1000000) // d.n2 END AS dup2_ppm
+      FROM u LEFT JOIN d ON u.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(top_share_ppm) // count(*) AS BIGINT)
+             AS mean_top_share_ppm,
+           CAST(sum(CASE WHEN top_share_ppm > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_top,
+           CAST(sum(dup2_ppm) // count(*) AS BIGINT) AS mean_dup2_ppm,
+           CAST(sum(CASE WHEN dup2_ppm > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flag_dup2
+    FROM m GROUP BY source
+"""
+
+
+@q("gopher_repetition_filter", _GOPHER_ORACLE)
+def gopher_repetition_filter(spark, sf_dir):
+    """The Gopher repetition quality screens (Rae et al. 2021 §A1.1,
+    token-mass variant): per document, (a) the share of token mass held
+    by the single most frequent token and (b) the share of bigram
+    occurrences belonging to bigrams seen >= 2 times in the doc — the
+    two cheapest signals that a page is keyword-stuffing / templated
+    boilerplate.  Both are integer ppm; the per-source rollup counts
+    docs breaching the published-style 20% thresholds.
+
+    Scale shape: tokens explode into the same (doc_id, tok) partial-agg
+    shuffle the corpus tokenization pass already pays; bigrams are built
+    ARRAY-SIDE (transform over the token array — zero extra shuffle
+    before the (doc_id, gram) agg).  Both per-doc frames reduce to one
+    row per doc before the left join, so the join is doc-cardinality,
+    and the final rollup is per-source.  No windows, no Python."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+    )
+    uni = (
+        t.select("doc_id", "source", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = uni.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"), F.max("c").alias("top_c")
+    )
+    bg = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    d = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n2"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup2"
+            ),
+        )
+    )
+    m = u.join(d, "doc_id", "left").select(
+        "source",
+        F.expr("(top_c * 1000000) div n").alias("top_share_ppm"),
+        F.expr(
+            "CASE WHEN n2 IS NULL OR n2 = 0 THEN 0"
+            " ELSE (dup2 * 1000000) div n2 END"
+        ).alias("dup2_ppm"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(sum(top_share_ppm) div count(*) AS BIGINT)").alias(
+            "mean_top_share_ppm"
+        ),
+        F.sum(F.when(F.col("top_share_ppm") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flag_top"),
+        F.expr("CAST(sum(dup2_ppm) div count(*) AS BIGINT)").alias(
+            "mean_dup2_ppm"
+        ),
+        F.sum(F.when(F.col("dup2_ppm") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flag_dup2"),
+    )
+
+
+_CONTAM_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 4],
+                                     ' ')
+                     FOR i IN range(1, len(toks) - 3)]) AS gram
+      FROM t WHERE len(toks) >= 5),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    contam AS (
+      SELECT DISTINCT g.doc_id, g.source
+      FROM g JOIN bench USING (gram)
+      WHERE g.source <> 'src0'),
+    train AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE source <> 'src0' GROUP BY source)
+    SELECT train.source, n_docs,
+           CAST(coalesce(c.nc, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(c.nc, 0) * 1000000 // n_docs AS BIGINT)
+             AS contamination_ppm
+    FROM train LEFT JOIN (
+      SELECT source, count(*) AS nc FROM contam GROUP BY source) c
+      USING (source)
+"""
+
+
+@q("contamination_ngram_overlap", _CONTAM_ORACLE)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM procedure,
+    5-token-gram variant): treating source 'src0' as the held-out eval
+    benchmark, flag every training document sharing at least one 5-token
+    n-gram with any benchmark doc, and report the per-source
+    contamination rate in ppm.  The join is on the raw n-gram STRING, so
+    the result is exact — no hash-collision caveat needed.
+
+    Scale shape: eval benchmarks are tiny relative to a 100 TB corpus,
+    so the distinct benchmark-gram set is BROADCAST and contamination is
+    a map-side left-semi join on the training side — no corpus-wide
+    shuffle at all (the plan's only exchanges are on the benchmark
+    branch and the per-source count).  At production scale the gram
+    would be xxhash64'd to 8 bytes before broadcast (the string form
+    here keeps the oracle proof exact)."""
+    docs = _tw(spark, sf_dir, "documents")
+    t = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= 5)
+    )
+    g = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4),"
+                " i -> concat_ws(' ', slice(toks, i, 5)))"
+            )
+        ).alias("gram"),
+    )
+    bench = g.filter(F.col("source") == "src0").select("gram").distinct()
+    contam = (
+        g.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram", "leftsemi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    train = (
+        docs.filter(F.col("source") != "src0")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    cc = contam.groupBy("source").agg(F.count(F.lit(1)).alias("nc"))
+    return train.join(F.broadcast(cc), "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("nc", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.expr(
+            "CAST(coalesce(nc, 0) * 1000000 div n_docs AS BIGINT)"
+        ).alias("contamination_ppm"),
+    )
+
+
+# Positivity offset making integer mean exact across engines for signed
+# sums (Spark `div` truncates toward zero, DuckDB `//` floors; shifting
+# the numerator positive makes both identical).  Per-doc |w_micro| is
+# bounded by ~3e9 (<= ~600 token occurrences x ~30e6 micro log-ratio),
+# far under 1e13.
+_DSIR_K = 10_000_000_000_000
+
+_DSIR_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    dc AS (
+      SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY doc_id, source, tok),
+    vocab AS (
+      SELECT tok,
+             CAST(sum(c) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN source IN ('src0','src1') THEN c ELSE 0 END)
+                  AS BIGINT) AS ct
+      FROM dc GROUP BY tok),
+    vs AS (
+      SELECT tok,
+             {_log2_micro('ctp', 'duckdb')} - {_log2_micro('crp', 'duckdb')}
+               AS ratio_micro
+      FROM (SELECT tok, ct + 1 AS ctp, cr + 1 AS crp FROM vocab) _v),
+    const AS (
+      SELECT {_log2_micro('nrb', 'duckdb')} - {_log2_micro('ntb', 'duckdb')}
+               AS const_micro
+      FROM (SELECT CAST(sum(cr) AS BIGINT) + count(*) AS nrb,
+                   CAST(sum(ct) AS BIGINT) + count(*) AS ntb
+            FROM vocab) _t),
+    dw AS (
+      SELECT dc.doc_id, dc.source,
+             CAST(sum(dc.c * (vs.ratio_micro + const.const_micro))
+                  AS BIGINT) AS w_micro
+      FROM dc JOIN vs USING (tok) CROSS JOIN const
+      GROUP BY dc.doc_id, dc.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(((sum(w_micro) + count(*) * {_DSIR_K}) // count(*))
+                - {_DSIR_K} AS BIGINT) AS mean_w_micro,
+           CAST(sum(CASE WHEN w_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected
+    FROM dw GROUP BY source
+"""
+
+
+@q("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): score every document by the log-likelihood ratio of a
+    target-domain unigram LM (sources src0/src1 as the 'quality'
+    target) over the raw-corpus unigram LM, with Laplace add-one
+    smoothing.  w(doc) = sum over token occurrences of
+    [log2 p_target(tok) - log2 p_raw(tok)], computed entirely in
+    fixed-point integer micro-bits (_log2_micro), so per-source mean
+    weight and the selected-count (w > 0, i.e. looks more target-like
+    than raw) hash-match DuckDB exactly.  The signed mean uses the
+    _DSIR_K positivity offset to make trunc-div == floor-div.
+
+    Scale shape: the vocab LM table is one (tok) partial-agg shuffle
+    (vocabulary-bounded, not corpus-bounded) and is BROADCAST back onto
+    the per-doc token counts — per-doc scoring is map-side.  At 100 TB
+    the paper's hashed-n-gram variant caps the feature table at 2^20
+    buckets, keeping the broadcast a few MB; the scoring join shape is
+    identical.  The two corpus scalars ride a broadcast scalar cross
+    join."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    dc = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = dc.groupBy("tok").agg(
+        F.sum("c").alias("cr"),
+        F.sum(
+            F.when(F.col("source").isin("src0", "src1"), F.col("c")).otherwise(
+                0
+            )
+        ).alias("ct"),
+    )
+    vs = vocab.select(
+        "tok",
+        (F.col("ct") + 1).alias("ctp"),
+        (F.col("cr") + 1).alias("crp"),
+    ).select(
+        "tok",
+        F.expr(
+            f"{_log2_micro('ctp', 'spark')} - {_log2_micro('crp', 'spark')}"
+        ).alias("ratio_micro"),
+    )
+    tot = (
+        vocab.agg(
+            F.sum("cr").alias("sr"),
+            F.sum("ct").alias("st"),
+            F.count(F.lit(1)).alias("b"),
+        )
+        .select(
+            (F.col("sr") + F.col("b")).alias("nrb"),
+            (F.col("st") + F.col("b")).alias("ntb"),
+        )
+        .select(
+            F.expr(
+                f"{_log2_micro('nrb', 'spark')} - {_log2_micro('ntb', 'spark')}"
+            ).alias("const_micro")
+        )
+    )
+    dw = (
+        dc.join(F.broadcast(vs), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.expr("c * (ratio_micro + const_micro)")).alias("w_micro")
+        )
+    )
+    return dw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            f"CAST((sum(w_micro) + count(*) * {_DSIR_K}) div count(*)"
+            f" - {_DSIR_K} AS BIGINT)"
+        ).alias("mean_w_micro"),
+        F.sum(F.when(F.col("w_micro") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+    )
+
+
+_SPLIT_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' ') AS k
+      FROM documents WHERE length(trim(text)) > 0),
+    gid AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS g FROM t),
+    grp AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(sum(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_naive_eval
+      FROM gid GROUP BY g)
+    SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN n_naive_eval > 0 AND n_naive_eval < sz
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS naive_straddle_groups,
+           CAST(sum(CASE WHEN n_naive_eval > 0 AND n_naive_eval < sz
+                         THEN sz ELSE 0 END) AS BIGINT) AS naive_leaked_docs,
+           CAST(sum(CASE WHEN n_naive_eval > 0 AND n_naive_eval < sz
+                         THEN sz ELSE 0 END) * 1000000 // sum(sz) AS BIGINT)
+             AS naive_leak_ppm,
+           CAST(sum(CASE WHEN g % 10 >= 8 THEN sz ELSE 0 END) AS BIGINT)
+             AS groupaware_eval_docs,
+           CAST(sum(CASE WHEN g % 10 >= 8 THEN sz ELSE 0 END) * 1000000
+                // sum(sz) AS BIGINT) AS groupaware_eval_ppm
+    FROM grp
+"""
+
+
+@q("cluster_aware_split", _SPLIT_ORACLE)
+def cluster_aware_split(spark, sf_dir):
+    """Dedup-aware train/eval splitting: duplicate documents must land
+    in the SAME split or eval leaks into train (the classic benchmark
+    inflation bug).  Documents are grouped by their exact token-SET
+    fingerprint (order- and multiplicity-insensitive — catches
+    shuffled/re-punctuated near-copies that byte-exact dedup misses),
+    each group is assigned to train/eval by its canonical id (min
+    doc_id, 20% eval via g % 10 >= 8), and the audit quantifies the
+    leakage a naive per-doc split (doc_id % 10) would have caused:
+    groups straddling the naive boundary and the doc mass inside them.
+    Group-aware leakage is 0 by construction; naive_leak_ppm is the
+    headline number.
+
+    Scale shape: one (k) hash shuffle for the min-doc_id window (key =
+    the set fingerprint; at 100 TB the fingerprint string would be
+    xxhash64'd to 8 bytes first), one (g) partial agg, then a single
+    global rollup over group-cardinality rows — partial-agg-guarded, so
+    the SinglePartition touches only the pre-aggregated slice."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                )
+            ),
+        ).alias("k"),
+    )
+    gid = t.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("k")).alias("g")
+    )
+    grp = gid.groupBy("g").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum(F.when(F.col("doc_id") % 10 >= 8, 1).otherwise(0)).alias(
+            "n_naive_eval"
+        ),
+    )
+    straddle = (F.col("n_naive_eval") > 0) & (
+        F.col("n_naive_eval") < F.col("sz")
+    )
+    return grp.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum(F.when(straddle, 1).otherwise(0))
+        .cast("long")
+        .alias("naive_straddle_groups"),
+        F.sum(F.when(straddle, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("naive_leaked_docs"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_naive_eval > 0 AND n_naive_eval < sz"
+            " THEN sz ELSE 0 END) * 1000000 div sum(sz) AS BIGINT)"
+        ).alias("naive_leak_ppm"),
+        F.sum(F.when(F.col("g") % 10 >= 8, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("groupaware_eval_docs"),
+        F.expr(
+            "CAST(sum(CASE WHEN g % 10 >= 8 THEN sz ELSE 0 END) * 1000000"
+            " div sum(sz) AS BIGINT)"
+        ).alias("groupaware_eval_ppm"),
+    )
+
+
 # Round-8 window: (a) the standing flagship (regression guard over the
 # whole ETL surface); (b) weighted_reservoir_topk, whose sampling key was
 # rewritten this round to integer-only fixed-point ln — in-window so the
-# driver confirms the cross-engine exactness claim; (c) the first 48
-# names of the never-driver-verified backlog in registration order
-# (118 at round start; this window takes evidence to 270/338, the
-# remaining 68 clear in ~1.5 more windows).  Rotated-out greens stay
+# driver confirms the cross-engine exactness claim; (c) VERDICT r7's
+# named priorities first — the four Spark-4 extension showcases +
+# variant shredding + the real-codec/graph siblings — then never-
+# driver-verified backlog in registration order (123 at round start;
+# this window takes evidence to 270/343).  Rotated-out greens stay
 # under the identical (driver-strict) local gate in
 # tests/test_oracle_parity.py.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     "weighted_reservoir_topk",
+    "python_datasource_scan",
+    "python_udtf_chunks",
+    "sql_udf_suite",
+    "collated_group_counts",
+    "variant_shredding_roundtrip",
     "image_resize_boxfilter",
     "audio_wav_features",
+    "winnowing_fingerprint_dedup",
+    "simhash_hamming_join",
+    "kcore_decomposition",
     "dp_randomized_response",
     "heavy_hitters_cms",
     "vocab_oov_rate",
@@ -19789,21 +20367,16 @@ _FIRST50: list[str] = [
     "survival_hazard_table",
     "poisson_bootstrap_ci",
     "cusum_changepoint",
-    "event_path_trigrams",
-    "item_item_cosine_topk",
-    "theil_sen_trend",
-    "neyman_allocation_sample",
-    "khop_reachability",
-    "grid_density_clusters",
-    "kmv_distinct_sketch",
-    "ivm_join_delta",
 ]
 # Round-9 rotation queue (never driver-verified; regenerate with `python
-# tools/backlog.py`): rrf_rank_fusion, islands_consecutive_runs,
-# cuped_variance_reduction, mutual_nn_pairs, feature_hashing_collisions,
-# markov_absorption_iter, split_conformal_coverage, higher_moment_stats,
-# scd2_asof_enrich, clustering_coefficient, point_in_time_features,
-# abc_pareto_classes, rle_sequence_compression, target_encoding_kfold,
+# tools/backlog.py`): event_path_trigrams, item_item_cosine_topk,
+# theil_sen_trend, neyman_allocation_sample, khop_reachability,
+# grid_density_clusters, kmv_distinct_sketch, ivm_join_delta,
+# rrf_rank_fusion, islands_consecutive_runs, cuped_variance_reduction,
+# mutual_nn_pairs, feature_hashing_collisions, markov_absorption_iter,
+# split_conformal_coverage, higher_moment_stats, scd2_asof_enrich,
+# clustering_coefficient, point_in_time_features, abc_pareto_classes,
+# rle_sequence_compression, target_encoding_kfold,
 # largest_remainder_allocation, cohort_overlap_jaccard,
 # daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
 # interarrival_cv_audit, temperature_sampling_mix,
@@ -19820,11 +20393,12 @@ _FIRST50: list[str] = [
 # shift_share_decomposition, peak_concurrency_minutes, ndcg_ranker_eval,
 # eb_shrinkage_ranking, bm25_topk_retrieval, fellegi_sunter_linkage,
 # phrase_match_positional, ucb1_arm_scores, brier_decomposition,
-# winnowing_fingerprint_dedup, krippendorff_alpha_nominal,
-# t_closeness_audit, ngram_novelty_profile, simhash_hamming_join,
-# curation_funnel_attrition, kcore_decomposition, hellinger_drift_exact,
-# variant_shredding_roundtrip, python_datasource_scan,
-# collated_group_counts, sql_udf_suite, python_udtf_chunks
+# krippendorff_alpha_nominal, t_closeness_audit, ngram_novelty_profile,
+# curation_funnel_attrition, hellinger_drift_exact, token_entropy_quality,
+# bigram_entropy_rate, zipf_slope_corpus, padding_waste_batching,
+# python_datasource_write_roundtrip, hll_distinct_audit,
+# gopher_repetition_filter, contamination_ngram_overlap,
+# dsir_importance_weights, cluster_aware_split
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer

@@ -3172,12 +3172,14 @@ def test_simhash_hamming_join_lossless_vs_bruteforce(spark):
 
 def test_weighted_reservoir_topk_python_recompute(spark):
     """Keys and per-source top-5 must match an exact Python recompute of
-    the quantized Efraimidis-Spirakis keys; ranks are 1..5 dense per
-    source; and incremental stability holds: every key is a pure function
-    of (doc_id, n_chars), so recomputing on any subset containing the
-    winners yields the same keys."""
+    the quantized Efraimidis-Spirakis keys (the round-8 integer-only
+    fixed-point ln — b*ln2 + 4-term mantissa series, truncating BIGINT
+    divisions in the query's pinned order; every intermediate is
+    non-negative so Python's floor-div == Spark's trunc-div); ranks are
+    1..5 dense per source; and incremental stability holds: every key is
+    a pure function of (doc_id, n_chars), so recomputing on any subset
+    containing the winners yields the same keys."""
     import hashlib
-    import math
 
     import pandas as pd
 
@@ -3188,8 +3190,18 @@ def test_weighted_reservoir_topk_python_recompute(spark):
     keyed = []
     for r in docs.itertuples():
         w = max(int(r.n_chars), 1)
-        u = int(hashlib.md5(f"wrs:{int(r.doc_id)}".encode()).hexdigest()[:8], 16) / 2**32
-        key = math.floor(1_000_000.0 * math.log(max(u, 1e-12)) / w)
+        h = max(
+            int(hashlib.md5(f"wrs:{int(r.doc_id)}".encode()).hexdigest()[:8], 16),
+            1,
+        )
+        b = h.bit_length() - 1
+        z = (h * 1048576) // (1 << b) - 1048576
+        x2 = (z * z) // 1048576
+        x3 = (x2 * z) // 1048576
+        x4 = (x3 * z) // 1048576
+        poly = z - x2 // 2 + x3 // 3 - x4 // 4
+        neg = (32 - b) * 693147 - (poly * 1000000) // 1048576
+        key = -((neg + w - 1) // w)
         keyed.append((r.source, int(r.doc_id), w, key))
     expect: dict[str, list] = {}
     for src in {k[0] for k in keyed}:
@@ -3356,3 +3368,230 @@ def test_hellinger_python_recompute_and_bounds(spark):
         assert r["hellinger_sq_micro"] == 1_000_000 - r["bc_micro"]
         assert 0 <= r["hellinger_sq_micro"] <= 1_000_000
         assert r["drifted"] == (r["hellinger_sq_micro"] > 50_000)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 curation additions: exact Python recomputes at sf0.001
+# ---------------------------------------------------------------------------
+
+
+def _log2_micro_py(v: int) -> int:
+    """Python mirror of __spark_entry__._log2_micro (all intermediates
+    non-negative, so // == the engines' truncating div)."""
+    b = v.bit_length() - 1
+    z = (v * 1048576) // (1 << b) - 1048576
+    x2 = (z * z) // 1048576
+    x3 = (x2 * z) // 1048576
+    x4 = (x3 * z) // 1048576
+    poly = z - x2 // 2 + x3 // 3 - x4 // 4
+    return b * 1_000_000 + (poly * 1_000_000) // 726817
+
+
+def test_hll_distinct_audit_python_recompute(spark):
+    """The m=64 HLL registers, fixed-scale harmonic sum, estimate, and
+    err_ppm must all match an exact integer recompute; the estimate must
+    be within 50% of truth (m=64 => ~13% standard error; the bound is
+    loose on purpose — the point is exactness of the pipeline, accuracy
+    is the sketch's published property)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    P = 2147483647
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for r in ev.itertuples():
+        hv = ((int(r.user_id) % P) * 1103515245 + 12345) % P
+        bucket, w = hv % 64, hv // 64
+        rho = 26 if w == 0 else 26 - w.bit_length()
+        d = regs.setdefault(r.event_type, {})
+        d[bucket] = max(d.get(bucket, 0), rho)
+        exact.setdefault(r.event_type, set()).add(int(r.user_id))
+    rows = entrymod.queries()["hll_distinct_audit"](spark, sf).collect()
+    assert {r["event_type"] for r in rows} == set(regs)
+    for r in rows:
+        d = regs[r["event_type"]]
+        s = sum(1 << (26 - reg) for reg in d.values()) + (64 - len(d)) * 67108864
+        est_milli = (709 * 4096 * 67108864) // s
+        v = 64 - len(d)
+        if est_milli <= 160000 and v > 0:
+            # linear counting, fixed-point integer mirror
+            est_milli = (
+                64 * (((6_000_000 - _log2_micro_py(v)) * 693147) // 1_000_000)
+            ) // 1000
+        ex = len(exact[r["event_type"]])
+        assert r["exact_distinct"] == ex
+        assert r["hll_est_milli"] == est_milli
+        assert r["n_zero_regs"] == v
+        assert r["err_ppm"] == abs(est_milli - ex * 1000) * 1000 // ex
+        assert abs(est_milli / 1000 - ex) <= 0.35 * ex, (est_milli, ex)
+
+
+def test_contamination_ngram_overlap_python_recompute(spark):
+    """Exact set equality with a brute-force Python 5-gram overlap
+    against the src0 benchmark."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+
+    def grams(text):
+        toks = text.strip().lower().split()
+        return {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        } if len(toks) >= 5 else set()
+
+    bench: set = set()
+    for r in docs.itertuples():
+        if r.source == "src0" and r.text.strip():
+            bench |= grams(r.text)
+    n_docs: dict[str, int] = {}
+    n_cont: dict[str, int] = {}
+    for r in docs.itertuples():
+        if r.source == "src0":
+            continue
+        n_docs[r.source] = n_docs.get(r.source, 0) + 1
+        if r.text.strip() and grams(r.text) & bench:
+            n_cont[r.source] = n_cont.get(r.source, 0) + 1
+    rows = entrymod.queries()["contamination_ngram_overlap"](spark, sf).collect()
+    assert {r["source"] for r in rows} == set(n_docs)
+    for r in rows:
+        nd, nc = n_docs[r["source"]], n_cont.get(r["source"], 0)
+        assert r["n_docs"] == nd
+        assert r["n_contaminated"] == nc
+        assert r["contamination_ppm"] == nc * 1_000_000 // nd
+
+
+def test_cluster_aware_split_python_recompute(spark):
+    """Single-row audit must match a Python recompute; group-aware
+    assignment leaks zero groups by construction, and every duplicate
+    token-set group lands wholly in one split."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    groups: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        if not r.text.strip():
+            continue
+        k = " ".join(sorted(set(r.text.strip().lower().split())))
+        groups.setdefault(k, []).append(int(r.doc_id))
+    n_docs = sum(len(v) for v in groups.values())
+    straddle = leaked = dup_docs = ga_eval = 0
+    for ids in groups.values():
+        g = min(ids)
+        ne = sum(1 for d in ids if d % 10 >= 8)
+        if len(ids) >= 2:
+            dup_docs += len(ids)
+        if 0 < ne < len(ids):
+            straddle += 1
+            leaked += len(ids)
+        if g % 10 >= 8:
+            ga_eval += len(ids)
+    [row] = entrymod.queries()["cluster_aware_split"](spark, sf).collect()
+    assert row["n_docs"] == n_docs
+    assert row["n_groups"] == len(groups)
+    assert row["n_dup_docs"] == dup_docs
+    assert row["naive_straddle_groups"] == straddle
+    assert row["naive_leaked_docs"] == leaked
+    assert row["naive_leak_ppm"] == leaked * 1_000_000 // n_docs
+    assert row["groupaware_eval_docs"] == ga_eval
+    assert row["groupaware_eval_ppm"] == ga_eval * 1_000_000 // n_docs
+
+
+def test_dsir_importance_weights_python_recompute(spark):
+    """Per-source DSIR stats must match an exact integer recompute of
+    the add-one-smoothed unigram log-likelihood ratios (fixed-point
+    log2; trunc-vs-floor guarded by the _DSIR_K offset)."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    K = entrymod._DSIR_K
+    cr: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    per_doc: list[tuple[str, dict]] = []
+    for r in docs.itertuples():
+        if not r.text.strip():
+            continue
+        counts: dict[str, int] = {}
+        for tok in r.text.strip().lower().split():
+            counts[tok] = counts.get(tok, 0) + 1
+        per_doc.append((r.source, counts))
+        for tok, c in counts.items():
+            cr[tok] = cr.get(tok, 0) + c
+            if r.source in ("src0", "src1"):
+                ct[tok] = ct.get(tok, 0) + c
+    nr, nt, b = sum(cr.values()), sum(ct.values()), len(cr)
+    const = _log2_micro_py(nr + b) - _log2_micro_py(nt + b)
+    sums: dict[str, list[int]] = {}
+    for src, counts in per_doc:
+        w = sum(
+            c
+            * (
+                _log2_micro_py(ct.get(tok, 0) + 1)
+                - _log2_micro_py(cr[tok] + 1)
+                + const
+            )
+            for tok, c in counts.items()
+        )
+        slot = sums.setdefault(src, [0, 0, 0])
+        slot[0] += 1
+        slot[1] += w
+        slot[2] += 1 if w > 0 else 0
+    rows = entrymod.queries()["dsir_importance_weights"](spark, sf).collect()
+    assert {r["source"] for r in rows} == set(sums)
+    for r in rows:
+        n, s, sel = sums[r["source"]]
+        assert r["n_docs"] == n
+        assert r["mean_w_micro"] == (s + n * K) // n - K
+        assert r["n_selected"] == sel
+
+
+def test_gopher_repetition_filter_python_recompute(spark):
+    """Per-source repetition screens must match an exact Python
+    recompute of top-token share and duplicate-bigram mass."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    per_src: dict[str, list[tuple[int, int]]] = {}
+    for r in docs.itertuples():
+        if not r.text.strip():
+            continue
+        toks = r.text.strip().lower().split()
+        uni: dict[str, int] = {}
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        top_ppm = max(uni.values()) * 1_000_000 // len(toks)
+        if len(toks) >= 2:
+            bg: dict[str, int] = {}
+            for i in range(len(toks) - 1):
+                g = toks[i] + " " + toks[i + 1]
+                bg[g] = bg.get(g, 0) + 1
+            n2 = sum(bg.values())
+            dup2 = sum(c for c in bg.values() if c >= 2)
+            dup_ppm = dup2 * 1_000_000 // n2
+        else:
+            dup_ppm = 0
+        per_src.setdefault(r.source, []).append((top_ppm, dup_ppm))
+    rows = entrymod.queries()["gopher_repetition_filter"](spark, sf).collect()
+    assert {r["source"] for r in rows} == set(per_src)
+    for r in rows:
+        vals = per_src[r["source"]]
+        n = len(vals)
+        assert r["n_docs"] == n
+        assert r["mean_top_share_ppm"] == sum(v[0] for v in vals) // n
+        assert r["n_flag_top"] == sum(1 for v in vals if v[0] > 200_000)
+        assert r["mean_dup2_ppm"] == sum(v[1] for v in vals) // n
+        assert r["n_flag_dup2"] == sum(1 for v in vals if v[1] > 200_000)

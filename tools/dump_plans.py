@@ -157,6 +157,12 @@ HEADLINE = [
     "sql_udf_suite",
     "collated_group_counts",
     "variant_shredding_roundtrip",
+    # round 8: curation additions (sketches, screens, decontamination)
+    "hll_distinct_audit",
+    "gopher_repetition_filter",
+    "contamination_ngram_overlap",
+    "dsir_importance_weights",
+    "cluster_aware_split",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Build a synthetic sf1-scale dataset (10x sf0.1) in /tmp and time the
+two PERF.md scaling-table outliers (tpch_q1_pricing_summary,
+setsim_prefix_join) on it.
+
+Scaling-fairness design (this is a measurement harness, NOT driver
+testdata — driver correctness always runs on /root/testdata):
+
+- lineitem: 10 replicas of sf0.1 with l_orderkey offset per replica.
+  Q1 is filter+groupBy over 4 tiny groups; replication with distinct
+  keys is exactly what 10x more data looks like to that plan.
+- documents: 10 replicas where replica k applies a Caesar rotation (by
+  k) to the ASCII letters of `text` and offsets doc_id. A per-replica
+  bijective character map preserves string length and makes each
+  replica's 12-char-shingle similarity graph ISOMORPHIC to the
+  original corpus, while making shingles from different replicas
+  (almost surely) disjoint — so the similar-pair count grows ~10x,
+  i.e. linearly, the way a genuinely 10x-larger crawl with the same
+  per-document statistics would. Naive replication without the cipher
+  would make every doc a 10-way exact duplicate and blow the pair
+  count up ~100x by construction — a quadratic artifact, not scaling.
+
+Usage: python tools/scale_probe.py [--rebuild]
+Prints one timing line per (query, sf) and a JSON summary.
+"""
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+SCALE_DIR = "/tmp/sfscale/sf1"
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+
+def build():
+    # single-FILE parquet, matching /root/testdata's layout (the repo's
+    # table_read_schema reads footer schema via pq.read_schema(path))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(SCALE_DIR):
+        shutil.rmtree(SCALE_DIR)
+    os.makedirs(SCALE_DIR, exist_ok=True)
+
+    li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+    ok = li.column("l_orderkey")
+    import pyarrow.compute as pc
+
+    max_ok = pc.max(ok).as_py() + 1
+    parts = []
+    for k in range(REPLICAS):
+        t = li.set_column(
+            li.schema.get_field_index("l_orderkey"),
+            "l_orderkey",
+            pc.add(ok, k * max_ok),
+        )
+        parts.append(t)
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(SCALE_DIR, "lineitem.parquet"),
+        row_group_size=200_000,
+    )
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
+    max_doc = int(docs["doc_id"].max()) + 1
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    frames = []
+    for k in range(REPLICAS):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * max_doc
+        tab = str.maketrans(
+            lower + upper, lower[k:] + lower[:k] + upper[k:] + upper[:k]
+        )
+        d["text"] = d["text"].map(lambda s: s.translate(tab))
+        frames.append(d)
+    import pandas as pd
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(frames, ignore_index=True)),
+        os.path.join(SCALE_DIR, "documents.parquet"),
+        row_group_size=10_000,
+    )
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as ent
+    from domanda_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+
+    if "--rebuild" in sys.argv or not os.path.exists(SCALE_DIR):
+        t0 = time.time()
+        build()
+        print(f"built {SCALE_DIR} in {time.time() - t0:.1f} s")
+
+    qs = ent.queries()
+    targets = ["tpch_q1_pricing_summary", "setsim_prefix_join"]
+    results = {}
+    for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
+        # warm the scan cache with a cheap count first, like PERF.md's
+        # protocol, so the measured number is the query not the I/O cold
+        # start
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        for q in targets:
+            # two reps; report the warm one (PERF.md's table protocol —
+            # first rep pays one-time janino codegen for the plan shape)
+            best = None
+            n = None
+            for _ in range(2):
+                t0 = time.time()
+                n = qs[q](spark, sf_dir).count()
+                best = time.time() - t0
+            results[f"{q}@{sf_name}"] = round(best, 2)
+            print(f"{q} @ {sf_name}: {best:.2f} s warm ({n} rows)")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
