@@ -85,6 +85,35 @@ def build():
     )
 
 
+SCALE10_DIR = "/tmp/sfscale/sf10"
+
+
+def build_decade3():
+    """100x-sf0.1 lineitem (~60 M rows) for tpch_q1's third decade —
+    q1 was flat 0.6M->6M; this decade shows where data-proportional
+    work finally overtakes the fixed costs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(SCALE10_DIR, exist_ok=True)
+    li = pq.read_table(os.path.join(SCALE_DIR, "lineitem.parquet"))
+    ok = li.column("l_orderkey")
+    max_ok = pc.max(ok).as_py() + 1
+    out = os.path.join(SCALE10_DIR, "lineitem.parquet")
+    w = pq.ParquetWriter(out, li.schema)
+    for k in range(REPLICAS):
+        w.write_table(
+            li.set_column(
+                li.schema.get_field_index("l_orderkey"),
+                "l_orderkey",
+                pc.add(ok, k * max_ok),
+            ),
+            row_group_size=1_000_000,
+        )
+    w.close()
+
+
 def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as ent
@@ -117,6 +146,19 @@ def main():
                 best = time.time() - t0
             results[f"{q}@{sf_name}"] = round(best, 2)
             print(f"{q} @ {sf_name}: {best:.2f} s warm ({n} rows)")
+    if "--decade3" in sys.argv:
+        if not os.path.exists(os.path.join(SCALE10_DIR, "lineitem.parquet")):
+            t0 = time.time()
+            build_decade3()
+            print(f"built {SCALE10_DIR} in {time.time() - t0:.1f} s")
+        spark.read.parquet(os.path.join(SCALE10_DIR, "lineitem.parquet")).count()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = qs["tpch_q1_pricing_summary"](spark, SCALE10_DIR).count()
+            best = time.time() - t0
+        results["tpch_q1_pricing_summary@sf10"] = round(best, 2)
+        print(f"tpch_q1_pricing_summary @ sf10: {best:.2f} s warm ({n} rows)")
     print(json.dumps(results))
 
 
