@@ -13379,10 +13379,16 @@ def markov_absorption_iter(spark, sf_dir):
 
     Scale shape: ONE row-scale pass (the lead() window per user — the
     irreducible per-user-sequence shuffle, shared shape with
-    `event_markov_transitions`); the transition matrix is |types|² ≤ 25
-    rows, and each of the 10 iterations is a join+groupBy on that
-    bounded table (broadcast, sub-millisecond at any corpus size). The
-    oracle chains the identical 10 steps as generated CTEs."""
+    `event_markov_transitions`) produces the transition matrix, which is
+    |types|² <= 25 rows by construction — so the 10 matrix-vector rounds
+    iterate DRIVER-SIDE over the collected matrix (bounded collect,
+    annotated: cardinality is the square of the event-type vocabulary,
+    independent of corpus size).  The earlier all-lazy form chained 10
+    broadcast join+groupBy rounds into one DAG; Catalyst re-analyzed the
+    window subtree once per round (15.8 s cold / 2.5 s warm at sf0.1 vs
+    0.9 s cold for this form — A/B in PERF.md round 8).  Production at
+    100 TB does exactly this: heavy pass distributed, 25-row linear
+    algebra local."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
@@ -13393,30 +13399,24 @@ def markov_absorption_iter(spark, sf_dir):
     tr = cnt.select(
         "s", "t", F.expr("n * 1000000").alias("n6"), F.sum("n").over(ws).alias("tot")
     ).select("s", "t", F.expr("n6 div tot").alias("p_micro"))
-    h = (
-        cnt.select("s")
-        .distinct()
-        .select(
-            F.col("s").alias("state"),
-            F.when(F.col("s") == "purchase", F.lit(1000000))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("h"),
-        )
-    )
+    # bounded collect: |event_types|^2 rows (<= 25 here)
+    m = [(r["s"], r["t"], int(r["p_micro"])) for r in tr.collect()]
+    h = {s: (1000000 if s == "purchase" else 0) for s in {s for s, _, _ in m}}
     for _ in range(10):
-        h = (
-            tr.join(F.broadcast(h), tr.t == h.state)
-            .groupBy("s")
-            .agg(F.sum(F.col("p_micro") * F.col("h")).alias("acc"))
-            .select(
-                F.col("s").alias("state"),
-                F.when(F.col("s") == "purchase", F.lit(1000000).cast("bigint"))
-                .otherwise(F.expr("acc div 1000000"))
-                .alias("h"),
-            )
-        )
-    return h.select("state", F.col("h").alias("p_absorb_micro"))
+        acc: dict[str, int] = {}
+        for s, t, p in m:
+            if t in h:
+                acc[s] = acc.get(s, 0) + p * h[t]
+        # inner-join semantics: states with no in-vocabulary successor
+        # drop out, exactly like the join+groupBy form
+        h = {
+            s: (1000000 if s == "purchase" else v // 1000000)
+            for s, v in acc.items()
+        }
+    return spark.createDataFrame(
+        [(s, v) for s, v in sorted(h.items())],
+        "state string, p_absorb_micro bigint",
+    )
 
 
 @q(
