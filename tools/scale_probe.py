@@ -114,6 +114,43 @@ def build_decade3():
     w.close()
 
 
+def build_decade3_docs():
+    """100x-sf0.1 documents (500 K docs) for setsim's third decade.
+    Same isomorphism argument as the sf1 Caesar build, but 100 replicas
+    need more than 26 rotations: replica k applies a seeded random
+    PERMUTATION of the letters (bijective, so each replica's shingle
+    graph stays isomorphic to the original and cross-replica shingles
+    are disjoint — similar pairs scale exactly linearly)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    os.makedirs(SCALE10_DIR, exist_ok=True)
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
+    max_doc = int(docs["doc_id"].max()) + 1
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    out = os.path.join(SCALE10_DIR, "documents.parquet")
+    writer = None
+    for k in range(100):
+        rng = random.Random(1000 + k)
+        pl = list(lower)
+        pu = list(upper)
+        rng.shuffle(pl)
+        rng.shuffle(pu)
+        tab = str.maketrans(lower + upper, "".join(pl) + "".join(pu))
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * max_doc
+        d["text"] = d["text"].map(lambda s: s.translate(tab))
+        t = pa.Table.from_pandas(d, preserve_index=False)
+        if writer is None:
+            writer = pq.ParquetWriter(out, t.schema)
+        writer.write_table(t, row_group_size=50_000)
+    writer.close()
+
+
 def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as ent
@@ -159,6 +196,17 @@ def main():
             best = time.time() - t0
         results["tpch_q1_pricing_summary@sf10"] = round(best, 2)
         print(f"tpch_q1_pricing_summary @ sf10: {best:.2f} s warm ({n} rows)")
+    if "--decade3-docs" in sys.argv:
+        if not os.path.exists(os.path.join(SCALE10_DIR, "documents.parquet")):
+            t0 = time.time()
+            build_decade3_docs()
+            print(f"built sf10 documents in {time.time() - t0:.1f} s")
+        spark.read.parquet(os.path.join(SCALE10_DIR, "documents.parquet")).count()
+        t0 = time.time()
+        n = qs["setsim_prefix_join"](spark, SCALE10_DIR).count()
+        dt = time.time() - t0
+        results["setsim_prefix_join@sf10"] = round(dt, 2)
+        print(f"setsim_prefix_join @ sf10: {dt:.2f} s single-rep ({n} rows)")
     print(json.dumps(results))
 
 
