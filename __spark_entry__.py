@@ -175,6 +175,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 def q(name: str, sql: str | None):
     def deco(fn):
+        # Duplicate registration is an import-time error, never a silent
+        # overwrite: round 8 registered a second "dsir_importance_weights"
+        # that shadowed the r7-driver-verified one for a full round before
+        # anyone noticed (found in r9; the older operator now lives as
+        # dsir_doc_scores_bucketed).
+        assert name not in _REGISTRY, f"duplicate query registration: {name}"
         _REGISTRY[name] = (fn, sql)
         return fn
 
@@ -8051,7 +8057,7 @@ def semdedup_cluster_prune(spark, sf_dir):
 
 
 @q(
-    "dsir_importance_weights",
+    "dsir_doc_scores_bucketed",
     """
     WITH toks AS (
       SELECT doc_id, source,
@@ -8078,9 +8084,16 @@ def semdedup_cluster_prune(spark, sf_dir):
     GROUP BY t.doc_id
     """,
 )
-def dsir_importance_weights(spark, sf_dir):
-    """DSIR-style data selection (Xie et al. 2023): score every raw
-    document by how target-like its hashed-feature distribution is.
+def dsir_doc_scores_bucketed(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023), PER-DOCUMENT variant:
+    score every raw document by how target-like its hashed-feature
+    distribution is.  (Registered as `dsir_importance_weights` until
+    round 9: a round-8 commit registered a second query under that name
+    — the per-source smoothed-LM summary at the end of this file — and
+    the decorator silently let the newer one shadow this one.  This
+    function is byte-identical to the code the driver verified green in
+    CORRECTNESS_r07.json under the old name; only the registration name
+    changed.  The q() decorator now asserts on duplicates.)
     Features are md5-bucketed unigrams (256 buckets via the first two
     md5 hex chars — the same portable-hash convention the split/sample
     ops use); the target domain is source='src0' (the
@@ -20306,99 +20319,90 @@ def cluster_aware_split(spark, sf_dir):
     )
 
 
-# Round-8 window: (a) the standing flagship (regression guard over the
-# whole ETL surface); (b) weighted_reservoir_topk, whose sampling key was
-# rewritten this round to integer-only fixed-point ln — in-window so the
-# driver confirms the cross-engine exactness claim; (c) VERDICT r7's
-# named priorities first — the four Spark-4 extension showcases +
-# variant shredding + the real-codec/graph siblings — then never-
-# driver-verified backlog in registration order (123 at round start;
-# this window takes evidence to 270/343).  Rotated-out greens stay
-# under the identical (driver-strict) local gate in
-# tests/test_oracle_parity.py.
+# Round-9 window (VERDICT r8 §next#1): (a) the standing flagship —
+# regression guard over the whole ETL surface, in every window; (b) the
+# six round-8 additions that shipped after the r8 window ran —
+# hll_distinct_audit, gopher_repetition_filter,
+# contamination_ngram_overlap, dsir_importance_weights (the r8
+# smoothed-LM operator; the r7-verified per-doc variant it had silently
+# shadowed is re-registered as dsir_doc_scores_bucketed),
+# cluster_aware_split, and markov_absorption_iter (the driver-side
+# iteration rewrite needs contract-level evidence); (c) the verdict's
+# named long-tail picks; (d) never-driver-verified backlog in
+# registration order.  78 never-checked at round start; this window
+# takes cumulative evidence to 318/348.  Rotated-out greens stay under
+# the identical (driver-strict) local gate in
+# tests/test_oracle_parity.py on every pytest run.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
-    "weighted_reservoir_topk",
-    "python_datasource_scan",
-    "python_udtf_chunks",
-    "sql_udf_suite",
-    "collated_group_counts",
-    "variant_shredding_roundtrip",
-    "image_resize_boxfilter",
-    "audio_wav_features",
-    "winnowing_fingerprint_dedup",
-    "simhash_hamming_join",
-    "kcore_decomposition",
-    "dp_randomized_response",
-    "heavy_hitters_cms",
-    "vocab_oov_rate",
-    "embedding_power_iteration",
-    "event_markov_transitions",
-    "domain_cap_sample",
-    "twophase_distinct_agg",
-    "rolling_active_users",
-    "score_decile_lift",
-    "scd2_daily_snapshot",
-    "impute_group_mean",
-    "temporal_split_audit",
-    "incremental_dedup_newbatch",
-    "linear_quality_inference",
-    "quarantine_bad_rows",
-    "referential_integrity_check",
-    "seasonal_baseline_residuals",
-    "table_stats_profile",
-    "benford_digit_audit",
-    "robust_scaler_groups",
-    "embedding_int8_quantization",
-    "corpus_fertility_by_lang",
-    "quantization_recall_audit",
-    "twostage_rerank_retrieval",
-    "ohlc_resample",
-    "streaming_session_window",
-    "quantile_transform_uniform",
-    "pareto_frontier_2d",
-    "weighted_median_groups",
-    "ab_test_proportions_ztest",
-    "period_over_period_growth",
-    "embedding_dimension_stats",
-    "rfm_segmentation",
-    "exact_auc_ranksum",
-    "diff_in_differences",
-    "survival_hazard_table",
-    "poisson_bootstrap_ci",
-    "cusum_changepoint",
+    "hll_distinct_audit",
+    "gopher_repetition_filter",
+    "contamination_ngram_overlap",
+    "dsir_importance_weights",
+    "cluster_aware_split",
+    "markov_absorption_iter",
+    "bm25_topk_retrieval",
+    "theil_sen_trend",
+    "fellegi_sunter_linkage",
+    "horvitz_thompson_estimate",
+    "python_datasource_write_roundtrip",
+    "event_path_trigrams",
+    "item_item_cosine_topk",
+    "neyman_allocation_sample",
+    "khop_reachability",
+    "grid_density_clusters",
+    "kmv_distinct_sketch",
+    "ivm_join_delta",
+    "rrf_rank_fusion",
+    "islands_consecutive_runs",
+    "cuped_variance_reduction",
+    "mutual_nn_pairs",
+    "feature_hashing_collisions",
+    "split_conformal_coverage",
+    "higher_moment_stats",
+    "scd2_asof_enrich",
+    "clustering_coefficient",
+    "point_in_time_features",
+    "abc_pareto_classes",
+    "rle_sequence_compression",
+    "target_encoding_kfold",
+    "largest_remainder_allocation",
+    "cohort_overlap_jaccard",
+    "daily_percentile_bands",
+    "attribution_time_decay",
+    "phonetic_blocking_audit",
+    "interarrival_cv_audit",
+    "temperature_sampling_mix",
+    "implicit_negative_sampling",
+    "cohens_kappa_labelers",
+    "churn_label_windows",
+    "kfold_metric_stability",
+    "selectivity_independence_audit",
+    "encoding_size_model",
+    "leaderboard_churn",
+    "recsys_exposure_coverage",
+    "pinball_loss_eval",
+    "new_vs_returning_daily",
+    "heaps_law_curve",
 ]
-# Round-9 rotation queue (never driver-verified; regenerate with `python
-# tools/backlog.py`): event_path_trigrams, item_item_cosine_topk,
-# theil_sen_trend, neyman_allocation_sample, khop_reachability,
-# grid_density_clusters, kmv_distinct_sketch, ivm_join_delta,
-# rrf_rank_fusion, islands_consecutive_runs, cuped_variance_reduction,
-# mutual_nn_pairs, feature_hashing_collisions, markov_absorption_iter,
-# split_conformal_coverage, higher_moment_stats, scd2_asof_enrich,
-# clustering_coefficient, point_in_time_features, abc_pareto_classes,
-# rle_sequence_compression, target_encoding_kfold,
-# largest_remainder_allocation, cohort_overlap_jaccard,
-# daily_percentile_bands, attribution_time_decay, phonetic_blocking_audit,
-# interarrival_cv_audit, temperature_sampling_mix,
-# horvitz_thompson_estimate, implicit_negative_sampling,
-# cohens_kappa_labelers, churn_label_windows, kfold_metric_stability,
-# selectivity_independence_audit, encoding_size_model, leaderboard_churn,
-# recsys_exposure_coverage, pinball_loss_eval, new_vs_returning_daily,
-# heaps_law_curve, token_mass_coverage, consistent_hash_resharding,
-# leadlag_crosscorrelation, array_lambda_functions,
-# content_defined_chunking, l_diversity_audit, sampled_join_bias,
-# session_definition_sensitivity, equidepth_histogram_bounds,
-# covariate_balance_smd, degree_assortativity, hierarchical_share_rollup,
+# Round-10 rotation queue (never driver-verified after the r9 window
+# lands; 30 names — one full r10 window clears it; regenerate with
+# `python tools/backlog.py`): token_mass_coverage,
+# consistent_hash_resharding, leadlag_crosscorrelation,
+# array_lambda_functions, content_defined_chunking, l_diversity_audit,
+# sampled_join_bias, session_definition_sensitivity,
+# equidepth_histogram_bounds, covariate_balance_smd,
+# degree_assortativity, hierarchical_share_rollup,
 # rollup_consistency_proof, maxmin_fair_allocation,
 # shift_share_decomposition, peak_concurrency_minutes, ndcg_ranker_eval,
-# eb_shrinkage_ranking, bm25_topk_retrieval, fellegi_sunter_linkage,
-# phrase_match_positional, ucb1_arm_scores, brier_decomposition,
-# krippendorff_alpha_nominal, t_closeness_audit, ngram_novelty_profile,
-# curation_funnel_attrition, hellinger_drift_exact, token_entropy_quality,
-# bigram_entropy_rate, zipf_slope_corpus, padding_waste_batching,
-# python_datasource_write_roundtrip, hll_distinct_audit,
-# gopher_repetition_filter, contamination_ngram_overlap,
-# dsir_importance_weights, cluster_aware_split
+# eb_shrinkage_ranking, phrase_match_positional, ucb1_arm_scores,
+# brier_decomposition, krippendorff_alpha_nominal, t_closeness_audit,
+# ngram_novelty_profile, curation_funnel_attrition,
+# hellinger_drift_exact, token_entropy_quality, bigram_entropy_rate,
+# zipf_slope_corpus, padding_waste_batching — plus
+# dsir_doc_scores_bucketed, whose code is byte-identical to the
+# CORRECTNESS_r07 green "dsir_importance_weights" row (renamed in r9
+# when the duplicate registration was found).
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer

@@ -34,6 +34,39 @@ SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
 
+def caesar_table(k: int) -> dict:
+    """Per-replica bijective character map: rotate the 26 lowercase and 26
+    uppercase letters by k.  Bijectivity (length-preserving, injective on
+    shingles) is what makes each replica's shingle similarity graph
+    isomorphic to the original's — see the module docstring."""
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    return str.maketrans(
+        lower + upper, lower[k:] + lower[:k] + upper[k:] + upper[:k]
+    )
+
+
+def build_doc_replicas(docs, replicas: int):
+    """The cipher-replica corpus construction, extracted so
+    tests/test_scale_probe_invariants.py can pin its two claims
+    (replica isomorphism, linear pair growth) at a small scale.
+
+    `docs` is a pandas documents frame; returns a pandas frame of
+    `replicas` copies where replica k has doc_id offset k*(max_id+1) and
+    text passed through caesar_table(k) (replica 0 is the identity)."""
+    import pandas as pd
+
+    max_doc = int(docs["doc_id"].max()) + 1
+    frames = []
+    for k in range(replicas):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * max_doc
+        tab = caesar_table(k)
+        d["text"] = d["text"].map(lambda s: s.translate(tab))
+        frames.append(d)
+    return pd.concat(frames, ignore_index=True)
+
+
 def build():
     # single-FILE parquet, matching /root/testdata's layout (the repo's
     # table_read_schema reads footer schema via pq.read_schema(path))
@@ -64,22 +97,8 @@ def build():
     )
 
     docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
-    max_doc = int(docs["doc_id"].max()) + 1
-    lower = string.ascii_lowercase
-    upper = string.ascii_uppercase
-    frames = []
-    for k in range(REPLICAS):
-        d = docs.copy()
-        d["doc_id"] = d["doc_id"] + k * max_doc
-        tab = str.maketrans(
-            lower + upper, lower[k:] + lower[:k] + upper[k:] + upper[:k]
-        )
-        d["text"] = d["text"].map(lambda s: s.translate(tab))
-        frames.append(d)
-    import pandas as pd
-
     pq.write_table(
-        pa.Table.from_pandas(pd.concat(frames, ignore_index=True)),
+        pa.Table.from_pandas(build_doc_replicas(docs, REPLICAS)),
         os.path.join(SCALE_DIR, "documents.parquet"),
         row_group_size=10_000,
     )
