@@ -179,8 +179,11 @@ def q(name: str, sql: str | None):
         # overwrite: round 8 registered a second "dsir_importance_weights"
         # that shadowed the r7-driver-verified one for a full round before
         # anyone noticed (found in r9; the older operator now lives as
-        # dsir_doc_scores_bucketed).
-        assert name not in _REGISTRY, f"duplicate query registration: {name}"
+        # dsir_doc_scores_bucketed).  A real raise, not `assert`: python -O
+        # strips asserts, which would silently reintroduce exactly the
+        # shadowing failure mode this guard exists to prevent.
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         _REGISTRY[name] = (fn, sql)
         return fn
 
@@ -20319,90 +20322,71 @@ def cluster_aware_split(spark, sf_dir):
     )
 
 
-# Round-9 window (VERDICT r8 §next#1): (a) the standing flagship —
-# regression guard over the whole ETL surface, in every window; (b) the
-# six round-8 additions that shipped after the r8 window ran —
-# hll_distinct_audit, gopher_repetition_filter,
-# contamination_ngram_overlap, dsir_importance_weights (the r8
-# smoothed-LM operator; the r7-verified per-doc variant it had silently
-# shadowed is re-registered as dsir_doc_scores_bucketed),
-# cluster_aware_split, and markov_absorption_iter (the driver-side
-# iteration rewrite needs contract-level evidence); (c) the verdict's
-# named long-tail picks; (d) never-driver-verified backlog in
-# registration order.  78 never-checked at round start; this window
-# takes cumulative evidence to 318/348.  Rotated-out greens stay under
-# the identical (driver-strict) local gate in
+# Round-10 window (VERDICT r9 §next#1): (a) the standing flagship —
+# regression guard over the whole ETL surface, in every window; (b) ALL
+# 31 never-driver-verified queries (tools/backlog.py order), led by
+# dsir_doc_scores_bucketed (byte-identical to the CORRECTNESS_r07 green
+# "dsir_importance_weights" row, renamed in r9 when the duplicate
+# registration was found) — clearing this list makes the full registry
+# driver-verified for the first time; (c) the heaviest rotated-out
+# greens (verdict-named setsim_prefix_join / dedup_canonical_selection /
+# pagerank_purchases first, then by BENCH_LOCAL cost).  Rotated-out
+# greens stay under the identical (driver-strict) local gate in
 # tests/test_oracle_parity.py on every pytest run.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
-    "hll_distinct_audit",
-    "gopher_repetition_filter",
-    "contamination_ngram_overlap",
-    "dsir_importance_weights",
-    "cluster_aware_split",
-    "markov_absorption_iter",
-    "bm25_topk_retrieval",
-    "theil_sen_trend",
-    "fellegi_sunter_linkage",
-    "horvitz_thompson_estimate",
-    "python_datasource_write_roundtrip",
-    "event_path_trigrams",
-    "item_item_cosine_topk",
-    "neyman_allocation_sample",
-    "khop_reachability",
-    "grid_density_clusters",
-    "kmv_distinct_sketch",
-    "ivm_join_delta",
-    "rrf_rank_fusion",
-    "islands_consecutive_runs",
-    "cuped_variance_reduction",
-    "mutual_nn_pairs",
-    "feature_hashing_collisions",
-    "split_conformal_coverage",
-    "higher_moment_stats",
-    "scd2_asof_enrich",
-    "clustering_coefficient",
-    "point_in_time_features",
-    "abc_pareto_classes",
-    "rle_sequence_compression",
-    "target_encoding_kfold",
-    "largest_remainder_allocation",
-    "cohort_overlap_jaccard",
-    "daily_percentile_bands",
-    "attribution_time_decay",
-    "phonetic_blocking_audit",
-    "interarrival_cv_audit",
-    "temperature_sampling_mix",
-    "implicit_negative_sampling",
-    "cohens_kappa_labelers",
-    "churn_label_windows",
-    "kfold_metric_stability",
-    "selectivity_independence_audit",
-    "encoding_size_model",
-    "leaderboard_churn",
-    "recsys_exposure_coverage",
-    "pinball_loss_eval",
-    "new_vs_returning_daily",
-    "heaps_law_curve",
+    # --- (b) the 31-query backlog: cumulative driver evidence 317 -> all
+    "dsir_doc_scores_bucketed",
+    "token_mass_coverage",
+    "consistent_hash_resharding",
+    "leadlag_crosscorrelation",
+    "array_lambda_functions",
+    "content_defined_chunking",
+    "l_diversity_audit",
+    "sampled_join_bias",
+    "session_definition_sensitivity",
+    "equidepth_histogram_bounds",
+    "covariate_balance_smd",
+    "degree_assortativity",
+    "hierarchical_share_rollup",
+    "rollup_consistency_proof",
+    "maxmin_fair_allocation",
+    "shift_share_decomposition",
+    "peak_concurrency_minutes",
+    "ndcg_ranker_eval",
+    "eb_shrinkage_ranking",
+    "phrase_match_positional",
+    "ucb1_arm_scores",
+    "brier_decomposition",
+    "krippendorff_alpha_nominal",
+    "t_closeness_audit",
+    "ngram_novelty_profile",
+    "curation_funnel_attrition",
+    "hellinger_drift_exact",
+    "token_entropy_quality",
+    "bigram_entropy_rate",
+    "zipf_slope_corpus",
+    "padding_waste_batching",
+    # --- (c) heaviest rotated-out greens (re-confirm the expensive plans)
+    "setsim_prefix_join",
+    "dedup_canonical_selection",
+    "pagerank_purchases",
+    "kcore_decomposition",
+    "stream_stream_join_equiv",
+    "streaming_watermark_late_drop",
+    "dedup_cluster_assignment",
+    "small_file_compaction",
+    "partitioned_delete_roundtrip",
+    "streaming_dedup_equiv",
+    "semdedup_cluster_prune",
+    "winnowing_fingerprint_dedup",
+    "minhash_estimate_audit",
+    "similarity_topk_lsh",
+    "quantization_recall_audit",
+    "streaming_stateful_totals",
+    "versioned_retention_roundtrip",
+    "cli_load_roundtrip",
 ]
-# Round-10 rotation queue (never driver-verified after the r9 window
-# lands; 30 names — one full r10 window clears it; regenerate with
-# `python tools/backlog.py`): token_mass_coverage,
-# consistent_hash_resharding, leadlag_crosscorrelation,
-# array_lambda_functions, content_defined_chunking, l_diversity_audit,
-# sampled_join_bias, session_definition_sensitivity,
-# equidepth_histogram_bounds, covariate_balance_smd,
-# degree_assortativity, hierarchical_share_rollup,
-# rollup_consistency_proof, maxmin_fair_allocation,
-# shift_share_decomposition, peak_concurrency_minutes, ndcg_ranker_eval,
-# eb_shrinkage_ranking, phrase_match_positional, ucb1_arm_scores,
-# brier_decomposition, krippendorff_alpha_nominal, t_closeness_audit,
-# ngram_novelty_profile, curation_funnel_attrition,
-# hellinger_drift_exact, token_entropy_quality, bigram_entropy_rate,
-# zipf_slope_corpus, padding_waste_batching — plus
-# dsir_doc_scores_bucketed, whose code is byte-identical to the
-# CORRECTNESS_r07 green "dsir_importance_weights" row (renamed in r9
-# when the duplicate registration was found).
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer
@@ -20474,9 +20458,15 @@ def _bigint_normalized(name: str, sql: str) -> str:
 
 
 def _ordered_names() -> list[str]:
+    # real raises (not assert — python -O strips those): a window typo must
+    # be a loud failure, not a silently shorter CORRECTNESS file
     missing = [n for n in _FIRST50 if n not in _REGISTRY]
-    assert not missing, f"_FIRST50 references unregistered queries: {missing}"
-    assert len(_FIRST50) <= 50, "driver window is 50 entries"
+    if missing:
+        raise ValueError(f"_FIRST50 references unregistered queries: {missing}")
+    if len(_FIRST50) > 50:
+        raise ValueError("driver window is 50 entries")
+    if len(set(_FIRST50)) != len(_FIRST50):
+        raise ValueError("_FIRST50 contains duplicate names")
     rest = [n for n in _REGISTRY if n not in set(_FIRST50)]
     return _FIRST50 + rest
 

@@ -42,7 +42,13 @@ def main() -> None:
     except Exception:
         pass
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    try:
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    except ValueError:
+        # a malformed override must not kill the run before the one
+        # parseable JSON line the contract promises even on failure
+        print("BENCH WARN: bad SPARK_GRAFT_BENCH_REPS, using 2", file=sys.stderr)
+        reps = 2
     timings: dict[str, float] = {}
     first_rep: dict[str, float] = {}
     for name in sorted(qs):
@@ -54,6 +60,10 @@ def main() -> None:
                 dt = time.perf_counter() - t0
             except Exception as e:  # keep the bench line parseable even on failure
                 best = -1.0
+                # a rep-1 success followed by a rep-2 failure must not leave
+                # the query in cold_total_sec while total_sec excludes it —
+                # both totals cover the same (successful) query set
+                first_rep.pop(name, None)
                 print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
                 break
             if r == 0:

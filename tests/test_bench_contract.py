@@ -18,6 +18,9 @@ def test_bench_emits_one_json_line_with_zero_errors():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        # pin reps: an externally set SPARK_GRAFT_BENCH_REPS would leak in
+        # through os.environ and make the d["reps"] == 2 assert fail spuriously
+        SPARK_GRAFT_BENCH_REPS="2",
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],

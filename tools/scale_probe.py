@@ -56,6 +56,12 @@ def build_doc_replicas(docs, replicas: int):
     text passed through caesar_table(k) (replica 0 is the identity)."""
     import pandas as pd
 
+    if not 1 <= replicas <= 26:
+        # caesar_table only yields 26 distinct bijections; k >= 26 would
+        # silently repeat the identity rotation and produce exact-duplicate
+        # replicas, breaking the documented linear-pair-growth claim (the
+        # 100-replica decade-3 build uses seeded random permutations instead)
+        raise ValueError(f"replicas must be in 1..26, got {replicas}")
     max_doc = int(docs["doc_id"].max()) + 1
     frames = []
     for k in range(replicas):
