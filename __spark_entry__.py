@@ -20714,7 +20714,11 @@ def label_propagation_communities(spark, sf_dir):
     (both partitioned by vertex), one (v, lbl) partial agg, one per-v
     window on the aggregated (bounded-by-degree) table — the standard
     distributed LPA step; rounds are a fixed constant (3), not
-    data-dependent. Community rollup + TakeOrdered top-50 at the end."""
+    data-dependent.  The edge list is loop-invariant with 4 consumers
+    (init + one join per round), so it is localCheckpoint-ed once, the
+    same hoisting as operators/graph.py's pagerank (A/B at sf0.1:
+    cold 8.2 -> 2.8 s, warm 2.3 -> 2.1 s).  Community rollup +
+    TakeOrdered top-50 at the end."""
     customer = _t(spark, sf_dir, "customer")
     mx = customer.agg(F.max("c_custkey").alias("m"))
     ed = (
@@ -20735,7 +20739,8 @@ def label_propagation_communities(spark, sf_dir):
     )
     e = ed.unionByName(
         ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+        # loop-invariant, 4 consumers: materialize once
+    ).localCheckpoint(eager=True)
     lbl = e.select(F.col("a").alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
@@ -20814,9 +20819,13 @@ def resource_allocation_linkpred(spark, sf_dir):
     with the 1e6 div deg weight attached at generation — the
     z-partitioned window, collect, and deg join reuse ONE exchange, so
     the only corpus-scale shuffles are the edge distinct, the candidate
-    anti-join, and the final (x,y) rollup (A/B at sf0.1: wedge-self-join
-    form 5.2 s warm, this form 4.1 s).  Anti-join removes existing
-    edges; TakeOrdered top-30."""
+    anti-join, and the final (x,y) rollup.  The edge list has THREE
+    consumers (the two und legs and the anti-join build side) whose
+    differing projections defeat ReusedExchange, so it is
+    localCheckpoint-ed once — the same edges-are-loop-invariant call as
+    operators/graph.py's pagerank (A/B at sf0.1 warm: wedge-self-join
+    5.2 s, array-side 8.9 s bench-context, + checkpoint 4.0 s).
+    Anti-join removes existing edges; TakeOrdered top-30."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
@@ -20833,6 +20842,8 @@ def resource_allocation_linkpred(spark, sf_dir):
         )
         .select("p.x", "p.y")
         .distinct()
+        # three consumers below; checkpoint so the basket pass runs once
+        .localCheckpoint(eager=True)
     )
     und = e0.select(F.col("x").alias("z"), F.col("y").alias("nb")).unionByName(
         e0.select(F.col("y").alias("z"), F.col("x").alias("nb"))

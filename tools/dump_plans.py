@@ -163,6 +163,13 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "dsir_importance_weights",
     "cluster_aware_split",
+    # round 10: curation/eval additions
+    "chao1_unseen_vocab",
+    "psi_drift_bins",
+    "wilson_lower_bound_ranking",
+    "ipw_ate_estimate",
+    "label_propagation_communities",
+    "resource_allocation_linkpred",
 ]
 
 
