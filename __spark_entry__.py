@@ -19311,8 +19311,9 @@ def _log2_micro(col: str, engine: str) -> str:
     """SQL text computing round-down fixed-point log2(col)*1e6 for a BIGINT
     column/alias `col` (must be a simple identifier; callers stage complex
     expressions in a prior CTE).  engine: 'spark' (div/shiftleft) or
-    'duckdb' (///<<).  Max |input| 2^43 (the *2^20 mantissa staging must
-    not overflow BIGINT)."""
+    'duckdb' (///<<).  Max input 2^43 - 1: the *2^20 mantissa staging of
+    c = 2^43 is exactly 2^63 and overflows BIGINT (property-pinned in
+    tests/test_log2_micro_properties.py)."""
     if engine == "spark":
         b = f"(length(bin({col})) - 1)"
         z = f"((({col} * 1048576) div shiftleft(CAST(1 AS BIGINT), {b})) - 1048576)"
