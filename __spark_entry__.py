@@ -17008,7 +17008,11 @@ def degree_assortativity(spark, sf_dir):
     equi-join (oracle) / array expansion (engine heritage from
     `item_item_cosine_topk`); degrees are one partial agg; the
     edge⋈degree joins are keyed equi-joins; the readout is a 1-row
-    co-moment agg."""
+    co-moment agg.  `co` (2 union legs) and `deg` (d1/d2/nodes = 3
+    consumers) are localCheckpoint-ed — their consumers' differing
+    projections defeat ReusedExchange, so each was recomputing the whole
+    basket pass (r10 A/B at sf0.1: warm 3.8 -> 2.8 s, cold 8.9 ->
+    3.9 s)."""
     li = _t(spark, sf_dir, "lineitem")
     grouped = (
         li.select("l_orderkey", "l_partkey")
@@ -17031,11 +17035,18 @@ def degree_assortativity(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 2)
         .select("pk1", "pk2")
+        # two union legs below re-project this; materialize once
+        .localCheckpoint(eager=True)
     )
     e = co.select(F.col("pk1").alias("s"), F.col("pk2").alias("d")).unionByName(
         co.select(F.col("pk2").alias("s"), F.col("pk1").alias("d"))
     )
-    deg = e.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("dg"))
+    deg = (
+        e.groupBy(F.col("s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("dg"))
+        # three consumers (d1, d2, nodes); materialize once
+        .localCheckpoint(eager=True)
+    )
     d1 = deg.select(F.col("v").alias("s"), F.col("dg").alias("ds"))
     d2 = deg.select(F.col("v").alias("d"), F.col("dg").alias("dd"))
     ed = e.join(d1, "s").join(d2, "d")

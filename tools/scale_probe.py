@@ -189,7 +189,14 @@ def main():
         print(f"built {SCALE_DIR} in {time.time() - t0:.1f} s")
 
     qs = ent.queries()
-    targets = ["tpch_q1_pricing_summary", "setsim_prefix_join"]
+    # chao1 added round 10: a pure tokenization-pass text op — its wall
+    # should track document volume ~linearly (vocab content of the cipher
+    # corpus is synthetic, but the RUNTIME scaling claim is real)
+    targets = [
+        "tpch_q1_pricing_summary",
+        "setsim_prefix_join",
+        "chao1_unseen_vocab",
+    ]
     results = {}
     for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
         # warm the scan cache with a cheap count first, like PERF.md's
