@@ -3549,7 +3549,8 @@ def versioned_sink_roundtrip(spark, sf_dir):
     if not table.verify_write(spark, {"o_orderkey": probe_key}):
         raise RuntimeError("post-write verification failed")  # S9, loud
     restored = table.restore(spark)  # back to v1 = thirds 0 and 1
-    assert restored == v1
+    if restored != v1:  # loud under -O too (unlike assert)
+        raise RuntimeError(f"restore returned v{restored}, expected v{v1}")
     return table.read(spark)
 
 
@@ -3586,7 +3587,8 @@ def versioned_retention_roundtrip(spark, sf_dir):
     for lo in (5, 10, 15, 20):  # v1..v4, O(delta) appends
         table.append(nation.filter(F.col("n_nationkey").between(lo, lo + 4)))
     hist = table.history()
-    assert [e["id"] for e in hist] == [4, 3, 2], f"retention kept {hist}"
+    if [e["id"] for e in hist] != [4, 3, 2]:  # loud under -O too
+        raise RuntimeError(f"retention kept {hist}")
     for vacuumed in (0, 1):
         try:
             table.read(spark, version=vacuumed)
@@ -17781,10 +17783,18 @@ def cli_load_roundtrip(spark, sf_dir):
     import io
 
     with contextlib.redirect_stdout(io.StringIO()) as cli_out:
-        assert cli_main(["load", src_a, table], stop_session=False) == 0
-        assert cli_main(["load", src_b, table], stop_session=False) == 0
-        assert cli_main(["restore", table, "--version", "0"], stop_session=False) == 0
-    assert '"op": "restore"' in cli_out.getvalue()  # CLI really ran
+        # plain statements, NOT asserts: these cli_main calls are the
+        # side effects under test — python -O would skip them entirely
+        for argv in (
+            ["load", src_a, table],
+            ["load", src_b, table],
+            ["restore", table, "--version", "0"],
+        ):
+            rc = cli_main(argv, stop_session=False)
+            if rc != 0:
+                raise RuntimeError(f"cli {argv[0]} exited {rc}")
+    if '"op": "restore"' not in cli_out.getvalue():  # CLI really ran
+        raise RuntimeError("restore status line missing from CLI output")
 
     from domanda_etl_spark.sinks import VersionedTable
 

@@ -390,9 +390,10 @@ def load_output(
     version = table.overwrite(filtered)
     metrics = dict(obs.get)
     if verify_row is not None:
-        assert table.verify_write(df.sparkSession, verify_row), (
-            "post-write verification failed (S9)"
-        )
+        # real raise, not assert: S9's post-write verification is
+        # load-bearing and must not be strippable by python -O
+        if not table.verify_write(df.sparkSession, verify_row):
+            raise RuntimeError("post-write verification failed (S9)")
     return version, metrics
 
 

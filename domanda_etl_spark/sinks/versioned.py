@@ -189,8 +189,9 @@ class VersionedTable:
                 raise FileNotFoundError(f"{self.path}: no prior version to restore")
             version = max(older)
         self._version_entry(m, version)  # raises if vacuumed
-        n = self.read(spark, version).count()
-        assert n >= 0
+        # verification read BEFORE the pointer flip (S7) — a plain
+        # statement, not an assert, so `python -O` cannot strip the read
+        self.read(spark, version).count()
         m["current"] = version
         self._write_manifest(m)
         return version
@@ -449,7 +450,8 @@ class PartitionedVersionedTable:
                 raise FileNotFoundError(f"{self.path}: no prior version to restore")
             version = max(older)
         self._entry(m, version)
-        assert self.read(spark, version).count() >= 0
+        # plain statement (not assert): the verification read must survive -O
+        self.read(spark, version).count()
         m["current"] = version
         self._write_manifest(m)
         return version
