@@ -104,8 +104,14 @@ def main() -> None:
 
     full_payload = _payload(timings, False)
     # redundant on-disk copy: a fixed-width stdout capture downstream can
-    # truncate the line; the file preserves the full structured payload
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+    # truncate the line; the file preserves the full structured payload.
+    # SPARK_GRAFT_BENCH_OUT redirects it (the contract test uses a temp
+    # file so smoke runs stop clobbering the committed sf0.1 artifact).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    with open(out_path, "w") as f:
         f.write(full_payload + "\n")
     # The driver records only the LAST 2000 bytes of stdout and JSON-parses
     # that capture — a line longer than the capture window arrives truncated

@@ -13,7 +13,7 @@ import pytest
 
 
 @pytest.mark.slow
-def test_bench_emits_one_json_line_with_zero_errors():
+def test_bench_emits_one_json_line_with_zero_errors(tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -21,6 +21,9 @@ def test_bench_emits_one_json_line_with_zero_errors():
         # pin reps: an externally set SPARK_GRAFT_BENCH_REPS would leak in
         # through os.environ and make the d["reps"] == 2 assert fail spuriously
         SPARK_GRAFT_BENCH_REPS="2",
+        # write the full map to a temp file: the committed BENCH_LOCAL.json
+        # is the sf0.1 sweep and must survive suite runs unmodified
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_local.json"),
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -49,8 +52,12 @@ def test_bench_emits_one_json_line_with_zero_errors():
     failed = [k for k, v in d["queries"].items() if v < 0]
     assert not failed, f"bench reported failed queries: {failed}"
     # full per-query map (stdout line may be trimmed to fit the capture)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_LOCAL.json")) as f:
+    with open(tmp_path / "bench_local.json") as f:
         full = json.loads(f.read())
     assert len(full["queries"]) >= 150
     assert not [k for k, v in full["queries"].items() if v < 0]
+    # the committed sf0.1 artifact must NOT have been touched by this run
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_LOCAL.json")) as f:
+        committed = json.loads(f.read())
+    assert committed["sf"] == 0.1, "committed BENCH_LOCAL.json clobbered by a smoke run"
