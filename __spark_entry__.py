@@ -20897,6 +20897,773 @@ def resource_allocation_linkpred(spark, sf_dir):
     return sc.orderBy(F.col("ra_score_micro").desc(), "x", "y").limit(30)
 
 
+def _ppm_sq(expr: str, times: int, dv: str) -> str:
+    """SQL text squaring a ppm-scaled value `times` times with floor
+    division after each multiply (exponent-by-squaring: times=3 is ^8).
+    Deterministic in both engines; dv is 'div' (Spark) or '//' (DuckDB)."""
+    out = expr
+    for _ in range(times):
+        out = f"(({out}) * ({out}) {dv} 1000000)"
+    return out
+
+
+def _scurve_sql(dv: str, grid: str) -> str:
+    """UNION of the three 16-hash LSH configs over the ppm similarity
+    grid; p_detect = 1e6 - (1e6 - s^r)^b, all integer-floored."""
+    arms = []
+    for bands, rows, sq_r, sq_b in ((16, 1, 0, 4), (8, 2, 1, 3), (4, 4, 2, 2)):
+        sr = _ppm_sq("s", sq_r, dv)
+        miss = f"(1000000 - {sr})"
+        pb = _ppm_sq(miss, sq_b, dv)
+        arms.append(
+            f"SELECT CAST({bands} AS BIGINT) AS bands,"
+            f" CAST({rows} AS BIGINT) AS rows_per_band,"
+            f" CAST(s AS BIGINT) AS s_ppm,"
+            f" CAST(1000000 - {pb} AS BIGINT) AS p_detect_ppm"
+            f" FROM {grid}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+@q(
+    "lsh_s_curve_audit",
+    _scurve_sql("//", "(SELECT unnest(range(50000, 1000000, 50000)) AS s)"),
+)
+def lsh_s_curve_audit(spark, sf_dir):
+    """The S-curve every banded-MinHash deployment is tuned by: detection
+    probability p(s) = 1 - (1 - s^r)^b for the three ways to spend a
+    16-hash budget — (b=16,r=1), (8,2), (4,4) — over a ppm similarity
+    grid. Reading the table picks the config whose inflection sits at
+    the dedup threshold (the repo's LSH ops use (8,2)-shaped banding):
+    more rows per band sharpens the curve (fewer false candidates below
+    threshold), more bands raises recall above it. Pure analytic audit —
+    no corpus input by design (the curve is a property of the CONFIG;
+    dedup_minhash_lsh_pairs measures the corpus side) — and all
+    arithmetic is ppm-integer exponent-by-squaring with floor division
+    at each step, so both engines produce identical BIGINTs (float pow()
+    would be faithfully- not correctly-rounded cross-engine).
+
+    Scale shape: 57 generated rows; nothing touches data."""
+    grid = spark.range(1, 20).select((F.col("id") * 50000).alias("s"))
+    grid.createOrReplaceTempView("__scurve_grid")
+    out = spark.sql(_scurve_sql("div", "__scurve_grid"))
+    spark.catalog.dropTempView("__scurve_grid")
+    return out
+
+
+@q(
+    "srm_audit",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+                  AS BIGINT) AS n_a,
+             CAST(count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+                  AS BIGINT) AS n_b
+      FROM events GROUP BY 1)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                AS BIGINT) AS srm_chi2_micro,
+           CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000
+                          // (n_a + n_b) > 3841459
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM c
+    """,
+)
+def srm_audit(spark, sf_dir):
+    """Daily sample-ratio-mismatch check — the first thing every
+    experimentation platform alerts on: with a 50/50 split by
+    user_id % 2, the per-day chi-square against equal allocation
+    collapses (two cells, e = (a+b)/2) to (a-b)^2/(a+b), computed in
+    exact integer micro-units and flagged against the chi2(1) 95%
+    critical value 3.841459. A flagged day means the assignment or
+    logging pipeline dropped one arm's traffic — invalidating any
+    metric read BEFORE you look at metrics.
+
+    Scale shape: one (day) partial-agg shuffle with two conditional
+    distinct-counts; the chi-square is O(1) per day row."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id"))
+        ).cast("long").alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("user_id") % 2 == 1, F.col("user_id"))
+        ).cast("long").alias("n_b"),
+    )
+    chi = "(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)"
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a",
+        "n_b",
+        F.expr(f"CAST({chi} AS BIGINT)").alias("srm_chi2_micro"),
+        F.expr(
+            f"CAST(CASE WHEN {chi} > 3841459 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("flagged"),
+    )
+
+
+@q(
+    "ab_power_mde",
+    """
+    WITH tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
+                 FROM events),
+    t AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS u_t
+      FROM events GROUP BY event_type),
+    p AS (
+      SELECT event_type, u_t, u, u // 2 AS n_arm,
+             CAST(u_t * 1000000 // u AS BIGINT) AS p_ppm
+      FROM t, tot)
+    SELECT event_type, u AS n_users_total, n_arm AS n_per_arm, p_ppm,
+           CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) // n_arm
+                                AS DOUBLE)) * 14) AS BIGINT) // 5
+             AS mde_abs_ppm,
+           CAST((CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) // n_arm
+                                      AS DOUBLE)) * 14) AS BIGINT) // 5)
+                * 1000000 // greatest(p_ppm, 1) AS BIGINT) AS mde_rel_ppm
+    FROM p
+    """,
+)
+def ab_power_mde(spark, sf_dir):
+    """Minimum detectable effect at current traffic — the power question
+    asked before EVERY experiment launch: with the observed per-type
+    user-conversion rate p and n users per 50/50 arm, the two-proportion
+    MDE at alpha=.05 / power=.80 is (z_a + z_b) * sqrt(2 p (1-p) / n)
+    with z_a + z_b = 1.96 + 0.84 = 2.8, kept exact as *14 div 5 around
+    an IEEE-correctly-rounded sqrt of an integer. Emitted absolute (ppm)
+    and relative to p (a 72k-ppm MDE on a 13% base rate means only
+    >=55% relative lifts are detectable — i.e., this metric needs more
+    traffic). Complements ab_test_proportions_ztest (the AFTER
+    analysis) with the BEFORE sizing.
+
+    Scale shape: two distinct-count aggs over the stream (one global,
+    one per type), then O(1) arithmetic per type row; the global count
+    broadcasts as a 1-row cross join."""
+    ev = _t(spark, sf_dir, "events")
+    tot = ev.agg(F.countDistinct("user_id").cast("long").alias("u"))
+    t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("u_t")
+    )
+    p = t.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "u",
+        F.expr("u div 2").alias("n_arm"),
+        F.expr("CAST(u_t * 1000000 div u AS BIGINT)").alias("p_ppm"),
+    )
+    mde = (
+        "CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) div n_arm"
+        " AS DOUBLE)) * 14) AS BIGINT) div 5"
+    )
+    return p.select(
+        "event_type",
+        F.col("u").alias("n_users_total"),
+        F.col("n_arm").alias("n_per_arm"),
+        "p_ppm",
+        F.expr(f"CAST({mde} AS BIGINT)").alias("mde_abs_ppm"),
+        F.expr(
+            f"CAST(({mde}) * 1000000 div greatest(p_ppm, 1) AS BIGINT)"
+        ).alias("mde_rel_ppm"),
+    )
+
+
+@q(
+    "fano_factor_dispersion",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n_hours,
+             CAST(sum(c) AS HUGEINT) AS n_events,
+             CAST(sum(c * c) AS HUGEINT) AS s2
+      FROM h GROUP BY 1)
+    SELECT event_type,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST((n_hours * s2 - n_events * n_events) * 1000000
+                // (n_hours * n_events) AS BIGINT) AS fano_micro,
+           CASE WHEN (n_hours * s2 - n_events * n_events) * 1000000
+                     // (n_hours * n_events) > 1100000 THEN 'overdispersed'
+                WHEN (n_hours * s2 - n_events * n_events) * 1000000
+                     // (n_hours * n_events) < 900000 THEN 'underdispersed'
+                ELSE 'poisson-ish' END AS verdict
+    FROM s
+    """,
+)
+def fano_factor_dispersion(spark, sf_dir):
+    """Fano factor (variance-to-mean ratio) of hourly event counts per
+    type — the standard overdispersion test: a Poisson arrival process
+    has F = 1, bursty/contagious traffic F > 1, rate-limited or
+    scheduled traffic F < 1. The population-variance identity
+    F = (H*sum(c^2) - (sum c)^2) / (H * sum c) runs on exact integer
+    counts with 128-bit (decimal38/HUGEINT) cross-multiplication — the
+    groupwise_ols pattern — and one final floor division to micro.
+    Observed hours only (an all-zero hour contributes no row; the
+    date-spine variant is date_spine_gapfill's job). Complements
+    interarrival_cv_audit, which tests the same burstiness on GAP times
+    rather than binned counts.
+
+    Scale shape: one (type, hour) partial agg over the stream, then a
+    per-type rollup of three sums; arithmetic on K rows."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = h.groupBy("event_type").agg(
+        d(F.count(F.lit(1))).alias("n_hours"),
+        d(F.sum("c")).alias("n_events"),
+        d(F.sum(F.col("c") * F.col("c"))).alias("s2"),
+    )
+    fano = (
+        "CAST((n_hours * s2 - n_events * n_events) * 1000000"
+        " div (n_hours * n_events) AS BIGINT)"
+    )
+    return s.select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr(fano).alias("fano_micro"),
+        F.expr(
+            f"CASE WHEN {fano} > 1100000 THEN 'overdispersed'"
+            f" WHEN {fano} < 900000 THEN 'underdispersed'"
+            " ELSE 'poisson-ish' END"
+        ).alias("verdict"),
+    )
+
+
+@q(
+    "survivorship_conflict_audit",
+    """
+    WITH k AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_lang,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_source,
+             CAST(count(DISTINCT n_chars) AS BIGINT) AS n_nchars
+      FROM k GROUP BY fp)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_groups,
+           CAST(sum(sz - 1) AS BIGINT) AS n_docs_dropped,
+           CAST(sum(CASE WHEN sz > 1 AND n_lang > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS lang_conflict_groups,
+           CAST(sum(CASE WHEN sz > 1 AND n_source > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS source_conflict_groups,
+           CAST(sum(CASE WHEN sz > 1 AND n_nchars > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nchars_conflict_groups,
+           CAST(sum(CASE WHEN sz > 1 AND (n_lang > 1 OR n_source > 1
+                                          OR n_nchars > 1)
+                         THEN 1 ELSE 0 END) * 1000000
+                // greatest(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS conflict_ppm
+    FROM g
+    """,
+)
+def survivorship_conflict_audit(spark, sf_dir):
+    """Survivorship audit for dedup: when token-set-identical documents
+    collapse to one survivor, how often do the DROPPED rows disagree
+    with each other on metadata (lang, source, n_chars)? High conflict
+    rates mean the dedup key is merging records that are NOT the same
+    document (classic master-data-management survivorship risk) — the
+    audit every latest-wins/canonical-selection pipeline should run
+    before trusting its keep decisions. Same token-set fingerprint as
+    cluster_aware_split (order/whitespace/dup-insensitive), md5-hashed
+    so the group key shuffles as 32 bytes instead of a document-length
+    string.
+
+    Scale shape: one tokenize+hash map pass, one (fp) partial-agg
+    shuffle with conditional distinct-counts, one 1-row rollup."""
+    docs = _tw(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    k = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(
+                        F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                    )
+                ),
+            )
+        ).alias("fp"),
+    )
+    g = k.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_source"),
+        F.countDistinct("n_chars").alias("n_nchars"),
+    )
+    multi = F.when(F.col("sz") > 1, 1).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(multi).cast("long").alias("n_multi_groups"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_docs_dropped"),
+        F.sum(F.when((F.col("sz") > 1) & (F.col("n_lang") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("lang_conflict_groups"),
+        F.sum(
+            F.when((F.col("sz") > 1) & (F.col("n_source") > 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("source_conflict_groups"),
+        F.sum(
+            F.when((F.col("sz") > 1) & (F.col("n_nchars") > 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("nchars_conflict_groups"),
+        F.expr(
+            "CAST(sum(CASE WHEN sz > 1 AND (n_lang > 1 OR n_source > 1"
+            " OR n_nchars > 1) THEN 1 ELSE 0 END) * 1000000"
+            " div greatest(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END), 1)"
+            " AS BIGINT)"
+        ).alias("conflict_ppm"),
+    )
+
+
+_IG_ORACLE = f"""
+    WITH u AS (
+      SELECT label, i,
+             CASE WHEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       AS BIGINT) >= 0 THEN 1 ELSE 0 END AS f
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+    cell AS (
+      SELECT i, f, label, CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY i, f, label),
+    slf AS (
+      SELECT i, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * {_log2_micro('c', 'duckdb')}) AS BIGINT) AS s_lf
+      FROM cell GROUP BY i),
+    byf AS (SELECT i, f, CAST(sum(c) AS BIGINT) AS c FROM cell GROUP BY i, f),
+    sf_ AS (
+      SELECT i, CAST(sum(c * {_log2_micro('c', 'duckdb')}) AS BIGINT) AS s_f
+      FROM byf GROUP BY i),
+    byl AS (
+      SELECT i, label, CAST(sum(c) AS BIGINT) AS c FROM cell GROUP BY i, label),
+    sl AS (
+      SELECT i, CAST(sum(c * {_log2_micro('c', 'duckdb')}) AS BIGINT) AS s_l
+      FROM byl GROUP BY i)
+    SELECT CAST(slf.i AS BIGINT) AS dim,
+           CAST({_log2_micro('n', 'duckdb')}
+                - (s_l + s_f - s_lf) // n AS BIGINT) AS ig_micro_bits
+    FROM slf JOIN sf_ ON sf_.i = slf.i JOIN sl ON sl.i = slf.i
+    ORDER BY ig_micro_bits DESC, dim LIMIT 10
+"""
+
+
+@q("information_gain_features", _IG_ORACLE)
+def information_gain_features(spark, sf_dir):
+    """Mutual information I(label; sign(dim)) for each embedding
+    dimension — the filter-style feature selection every tabular/probe
+    pipeline runs: which dimensions carry label signal? Each dim is
+    binarized by sign (the 1-bit quantization used in SimHash/SRP), and
+    IG = H(label) - H(label | bit) expands to
+    (N lg N - Σ_l c_l lg c_l - Σ_f N_f lg N_f + Σ_lf c_lf lg c_lf)/N —
+    four count aggregates, every log through the shared fixed-point
+    _log2_micro so the micro-bit output hash-matches DuckDB exactly.
+    Top-10 dims by IG.
+
+    Scale shape: one posexplode (the embedding-matrix pass), one
+    (dim, bit, label) partial agg whose cardinality is 64*2*|labels| —
+    bounded by schema, not corpus — then three rollups of that tiny
+    table and a 64-row three-way join. TakeOrdered top-10."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.when(F.floor(F.col("x") * 1000000).cast("long") >= 0, 1)
+        .otherwise(0)
+        .alias("f"),
+    )
+    cell = u.groupBy("i", "f", "label").agg(F.count(F.lit(1)).alias("c"))
+    lgm = lambda col: _log2_micro(col, "spark")  # noqa: E731
+    slf = cell.groupBy("i").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr(f"c * {lgm('c')}")).alias("s_lf"),
+    )
+    byf = cell.groupBy("i", "f").agg(F.sum("c").alias("c"))
+    sf_ = byf.groupBy("i").agg(F.sum(F.expr(f"c * {lgm('c')}")).alias("s_f"))
+    byl = cell.groupBy("i", "label").agg(F.sum("c").alias("c"))
+    sl = byl.groupBy("i").agg(F.sum(F.expr(f"c * {lgm('c')}")).alias("s_l"))
+    out = (
+        slf.join(sf_, "i")
+        .join(sl, "i")
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            F.expr(
+                f"CAST({lgm('n')} - (s_l + s_f - s_lf) div n AS BIGINT)"
+            ).alias("ig_micro_bits"),
+        )
+    )
+    return out.orderBy(F.col("ig_micro_bits").desc(), "dim").limit(10)
+
+
+@q(
+    "centroid_silhouette_audit",
+    """
+    WITH pt AS (
+      SELECT vec_id, label, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+    m AS (SELECT label, i, SUM(q) AS s, COUNT(*) AS n
+          FROM pt GROUP BY label, i),
+    ctr AS (SELECT label AS c_lbl, i,
+                   CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                        ELSE -((2 * (-s) + n) // (2 * n)) END AS mu6
+            FROM m),
+    d AS (
+      SELECT pt.vec_id, pt.label, ctr.c_lbl,
+             CAST(sum((pt.q - ctr.mu6) * (pt.q - ctr.mu6)) AS BIGINT) AS d2
+      FROM pt JOIN ctr ON ctr.i = pt.i
+      GROUP BY pt.vec_id, pt.label, ctr.c_lbl),
+    ab AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN c_lbl = label THEN d2 END) AS a2,
+             MIN(CASE WHEN c_lbl <> label THEN d2 END) AS b2
+      FROM d GROUP BY vec_id, label),
+    sil AS (
+      SELECT label,
+             CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                        / sqrt(CAST(greatest(a2, b2, 1) AS DOUBLE))
+                        * 1000000) AS BIGINT) AS s_micro
+      FROM ab)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(s_micro) // count(*) AS BIGINT) AS mean_silhouette_micro,
+           CAST(sum(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM sil GROUP BY label
+    """,
+)
+def centroid_silhouette_audit(spark, sf_dir):
+    """Centroid-based (simplified) silhouette per label over the
+    embedding table — the clustering-quality audit run after k-means /
+    before trusting label-conditioned sampling: s = (b - a)/max(a, b)
+    with a = distance to own centroid, b = nearest other centroid; a
+    negative s marks a point sitting closer to a foreign class.
+    Determinism: embeddings quantize to integer micros (floor, exact),
+    centroids use embedding_centroids' round-half-away integer mean,
+    squared distances are exact BIGINTs, and the only doubles are IEEE
+    sqrt + one floor-quantized ratio per point, integer-summed (never a
+    float sum across partitions).
+
+    Scale shape: the point-centroid distance join fans out |points| x
+    |labels| (the kmeans_assign shape) with the centroid side bounded by
+    schema (labels x 64) and broadcast; per-point reduction rides the
+    same groupBy; final rollup is |labels| rows."""
+    emb = _tw(spark, sf_dir, "embeddings")
+    pt = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x") * 1000000).cast("long").alias("q"),
+    )
+    m = pt.groupBy(F.col("label").alias("c_lbl"), "i").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    ctr = m.select(
+        "c_lbl",
+        "i",
+        F.expr(
+            "CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n)"
+            " ELSE -((2 * (-s) + n) div (2 * n)) END"
+        ).alias("mu6"),
+    )
+    d = (
+        pt.join(F.broadcast(ctr), "i")
+        .groupBy("vec_id", "label", "c_lbl")
+        .agg(
+            F.sum((F.col("q") - F.col("mu6")) * (F.col("q") - F.col("mu6")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_lbl") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("c_lbl") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    sil = ab.select(
+        "label",
+        F.expr(
+            "CAST(floor((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))"
+            " / sqrt(CAST(greatest(a2, b2, 1) AS DOUBLE))"
+            " * 1000000) AS BIGINT)"
+        ).alias("s_micro"),
+    )
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.expr("CAST(sum(s_micro) div count(*) AS BIGINT)").alias(
+            "mean_silhouette_micro"
+        ),
+        F.sum(F.when(F.col("s_micro") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+
+
+@q(
+    "regression_discontinuity",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) - 60 AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                    THEN CAST(value AS DECIMAL(30,6)) END),
+                           0) * 1000000 AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    b AS (SELECT x, y, CASE WHEN x >= 0 THEN 'right' ELSE 'left' END AS side
+          FROM u WHERE x BETWEEN -30 AND 30),
+    s AS (
+      SELECT side,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM b GROUP BY side),
+    fit AS (
+      SELECT side, CAST(n AS BIGINT) AS n,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             END AS icept,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             END AS slope
+      FROM s)
+    SELECT l.n AS n_left, r.n AS n_right,
+           l.icept AS intercept_left_micro, r.icept AS intercept_right_micro,
+           round(r.icept - l.icept, 6) AS rd_jump_micro,
+           l.slope AS slope_left, r.slope AS slope_right
+    FROM (SELECT * FROM fit WHERE side = 'left') l,
+         (SELECT * FROM fit WHERE side = 'right') r
+    """,
+)
+def regression_discontinuity(spark, sf_dir):
+    """Sharp regression discontinuity at a 60-events activity cutoff:
+    fit OLS(y ~ x) separately on each side within a +/-30 bandwidth
+    (x = events - 60, y = purchase micro-value) and read the treatment
+    jump as the difference of the two intercepts AT the cutoff — the
+    standard quasi-experimental estimator when treatment switches on a
+    running-variable threshold (spend tiers, rate limits, eligibility
+    scores). Completes the causal family: DiD (panel), CUPED
+    (randomized), IPW (confounded selection), RD (threshold rules).
+    Exactness: y through DECIMAL(30,6) micro, co-moments in 128-bit
+    decimal38/HUGEINT (the groupwise_ols pattern), one double division
+    rounded to 6; a degenerate side (constant x) yields NULL rather
+    than an engine-dependent infinity.
+
+    Scale shape: one (user) partial agg over the stream, bandwidth
+    filter, one 2-group co-moment agg, then 1-row algebra via a
+    broadcast self-product of the 2-row fit table."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.count(F.lit(1)) - 60).cast("long").alias("x"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(30,6)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(30,6)"),
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    b = u.filter(F.col("x").between(-30, 30)).select(
+        "x", "y", F.when(F.col("x") >= 0, "right").otherwise("left").alias("side")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = b.groupBy("side").agg(
+        d(F.count(F.lit(1))).alias("n"),
+        d(F.sum("x")).alias("sx"),
+        d(F.sum("y")).alias("sy"),
+        d(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = s.select(
+        "side",
+        F.col("n").cast("long").alias("n"),
+        F.when(den == 0, F.lit(None)).otherwise(
+            F.round(
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                    "double"
+                )
+                / den.cast("double"),
+                6,
+            )
+        ).alias("icept"),
+        F.when(den == 0, F.lit(None)).otherwise(
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / den.cast("double"),
+                6,
+            )
+        ).alias("slope"),
+    )
+    left = fit.filter(F.col("side") == "left").select(
+        F.col("n").alias("n_left"),
+        F.col("icept").alias("intercept_left_micro"),
+        F.col("slope").alias("slope_left"),
+    )
+    right = fit.filter(F.col("side") == "right").select(
+        F.col("n").alias("n_right"),
+        F.col("icept").alias("intercept_right_micro"),
+        F.col("slope").alias("slope_right"),
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_left",
+        "n_right",
+        "intercept_left_micro",
+        "intercept_right_micro",
+        F.round(
+            F.col("intercept_right_micro") - F.col("intercept_left_micro"), 6
+        ).alias("rd_jump_micro"),
+        "slope_left",
+        "slope_right",
+    )
+
+
+@q(
+    "cramers_v_association",
+    """
+    WITH ub AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY count(*), user_id) AS bucket
+      FROM events GROUP BY user_id),
+    obs AS (
+      SELECT e.event_type, ub.bucket, CAST(count(*) AS HUGEINT) AS o
+      FROM events e JOIN ub ON ub.user_id = e.user_id
+      GROUP BY e.event_type, ub.bucket),
+    -- complete the grid: a (type, bucket) pair with NO events still
+    -- contributes its expected count to the chi-square
+    cell AS (
+      SELECT g.event_type, g.bucket, COALESCE(obs.o, 0::HUGEINT) AS o
+      FROM (SELECT t.event_type, b.bucket
+            FROM (SELECT DISTINCT event_type FROM obs) t,
+                 (SELECT DISTINCT bucket FROM obs) b) g
+      LEFT JOIN obs ON obs.event_type = g.event_type
+                   AND obs.bucket = g.bucket),
+    tot AS (
+      SELECT CAST(sum(o) AS HUGEINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT bucket) AS BIGINT) AS n_cols
+      FROM cell),
+    marg AS (
+      SELECT c.event_type, c.bucket, c.o,
+             CAST(sum(c.o) OVER (PARTITION BY c.event_type) AS HUGEINT) AS r,
+             CAST(sum(c.o) OVER (PARTITION BY c.bucket) AS HUGEINT) AS col
+      FROM cell c),
+    chi AS (
+      SELECT CAST(sum((o * n - r * col) * (o * n - r * col) * 1000000
+                      // (n * r * col)) AS BIGINT) AS chi2_micro
+      FROM marg, tot)
+    SELECT CAST(n AS BIGINT) AS n_events, n_rows, n_cols, chi2_micro,
+           CAST(floor(sqrt(CAST(chi2_micro * 1000000
+                                // (CAST(n AS BIGINT)
+                                    * least(n_rows - 1, n_cols - 1))
+                                AS DOUBLE))) AS BIGINT) AS cramers_v_ppm
+    FROM chi, tot
+    """,
+)
+def cramers_v_association(spark, sf_dir):
+    """Cramer's V between event type and user-activity quartile — the
+    normalized effect size for two categoricals (chi-square alone grows
+    with N; V in [0,1] answers 'is behavior actually different across
+    activity tiers?'). V = sqrt(chi2 / (N * min(r-1, c-1))), with the
+    chi-square in cross-multiplied 128-bit integers — per cell
+    (o*N - r*c)^2 * 1e6 div (N*r*c), no float expected counts — and the
+    final square root IEEE-exact, floored to ppm. Extends
+    chi2_contingency (significance) with the effect-size readout.
+
+    Scale shape: one (user) agg + NTILE window over users (users <<
+    events), one broadcast join back to the stream, one (type, bucket)
+    partial agg bounded by schema, then windowed marginals on that tiny
+    cell table."""
+    ev = _t(spark, sf_dir, "events")
+    ub = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .select(
+            "user_id",
+            F.ntile(4).over(Window.orderBy("n_ev", "user_id")).alias("bucket"),
+        )
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    obs = (
+        ev.join(F.broadcast(ub), "user_id")
+        .groupBy("event_type", "bucket")
+        .agg(dd(F.count(F.lit(1))).alias("o"))
+    )
+    # complete the grid: a (type, bucket) pair with NO events still
+    # contributes its expected count to the chi-square (a bug the
+    # known-answer test caught that oracle parity could not — both
+    # engines shared the missing-zero-cell derivation)
+    grid = obs.select("event_type").distinct().crossJoin(
+        F.broadcast(obs.select("bucket").distinct())
+    )
+    cell = grid.join(obs, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("o"), F.lit(0).cast("decimal(38,0)")).alias("o"),
+    )
+    tot = cell.agg(
+        dd(F.sum("o")).alias("n"),
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("bucket").cast("long").alias("n_cols"),
+    )
+    marg = cell.select(
+        "o",
+        dd(F.sum("o").over(Window.partitionBy("event_type"))).alias("r"),
+        dd(F.sum("o").over(Window.partitionBy("bucket"))).alias("col"),
+    )
+    chi = marg.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(sum((o * n - r * col) * (o * n - r * col) * 1000000"
+            " div (n * r * col)) AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.max("n").alias("n"),
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_cols").alias("n_cols"),
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_events"),
+        "n_rows",
+        "n_cols",
+        "chi2_micro",
+        F.expr(
+            "CAST(floor(sqrt(CAST(chi2_micro * 1000000"
+            " div (CAST(n AS BIGINT) * least(n_rows - 1, n_cols - 1))"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("cramers_v_ppm"),
+    )
+
+
 # Round-10 window (VERDICT r9 §next#1): (a) the standing flagship —
 # regression guard over the whole ETL surface, in every window; (b) ALL
 # 31 never-driver-verified queries (tools/backlog.py order), led by
@@ -20942,27 +21709,28 @@ _FIRST50: list[str] = [
     "bigram_entropy_rate",
     "zipf_slope_corpus",
     "padding_waste_batching",
-    # --- (c) heaviest rotated-out greens (re-confirm the expensive plans)
+    # --- (c) the verdict-named heaviest rotated-out greens
     "setsim_prefix_join",
     "dedup_canonical_selection",
     "pagerank_purchases",
-    "kcore_decomposition",
-    "stream_stream_join_equiv",
-    "streaming_watermark_late_drop",
-    "dedup_cluster_assignment",
-    "small_file_compaction",
-    "partitioned_delete_roundtrip",
-    "streaming_dedup_equiv",
-    "semdedup_cluster_prune",
-    "winnowing_fingerprint_dedup",
-    # --- (d) the six round-10 additions: first driver evidence THIS round
-    # (the r8 lesson — never ship a new operator after the window runs)
+    # --- (d) the fifteen round-10 additions: first driver evidence THIS
+    # round (the r8 lesson — never ship a new operator after the window
+    # runs). Displaced greens stay under the driver-strict local gate.
     "chao1_unseen_vocab",
     "psi_drift_bins",
     "wilson_lower_bound_ranking",
     "ipw_ate_estimate",
     "label_propagation_communities",
     "resource_allocation_linkpred",
+    "lsh_s_curve_audit",
+    "srm_audit",
+    "ab_power_mde",
+    "fano_factor_dispersion",
+    "survivorship_conflict_audit",
+    "information_gain_features",
+    "centroid_silhouette_audit",
+    "regression_discontinuity",
+    "cramers_v_association",
 ]
 
 

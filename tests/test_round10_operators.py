@@ -206,3 +206,204 @@ def test_ra_linkpred_known_graph(spark, tmp_path):
     assert out == [
         {"x": 3, "y": 4, "n_common": 2, "ra_score_micro": 666_666}
     ]
+
+
+# ---- batch 2 (nine more round-10 operators) -------------------------------
+
+
+def test_lsh_s_curve_known_values(spark, tmp_path):
+    """Hand-computed p(s=0.5) for all three 16-hash configs (integer
+    exponent-by-squaring, floor at each step)."""
+    rows = {
+        (r["bands"], r["rows_per_band"], r["s_ppm"]): r["p_detect_ppm"]
+        for r in (
+            row.asDict() for row in QS["lsh_s_curve_audit"](spark, str(tmp_path)).collect()
+        )
+    }
+    assert rows[(8, 2, 500000)] == 899_888
+    assert rows[(16, 1, 500000)] == 999_985
+    assert rows[(4, 4, 500000)] == 227_525
+    assert len(rows) == 57
+    # more rows per band => sharper curve: below threshold (s=0.2) the
+    # (4,4) config admits far fewer candidates than (16,1)
+    assert rows[(4, 4, 200000)] < rows[(8, 2, 200000)] < rows[(16, 1, 200000)]
+
+
+def _events_table(rows):
+    import datetime
+
+    return pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def test_srm_audit_known_values(spark, tmp_path):
+    """day1: 2v1 arms -> chi2 = 1e6/3; day3: 8v0 -> 8e6, flagged."""
+    import datetime
+
+    d1, d3 = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 3)
+    rows = [(d1, u, "view", 1.0) for u in (2, 4, 1)]
+    rows += [(d3, u, "view", 1.0) for u in (2, 4, 6, 8, 10, 12, 14, 16)]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = {r["day"]: r.asDict() for r in QS["srm_audit"](spark, sf).collect()}
+    assert got["2024-01-01"]["srm_chi2_micro"] == 333_333
+    assert got["2024-01-01"]["flagged"] == 0
+    assert got["2024-01-03"]["n_a"] == 8 and got["2024-01-03"]["n_b"] == 0
+    assert got["2024-01-03"]["srm_chi2_micro"] == 8_000_000
+    assert got["2024-01-03"]["flagged"] == 1
+
+
+def test_fano_factor_known_values(spark, tmp_path):
+    """constant hourly counts -> F=0; counts [1,7] -> F=2.25."""
+    import datetime
+
+    rows = []
+    for h in range(4):  # type 'flat': 2 events in each of 4 hours
+        ts = datetime.datetime(2024, 1, 1, h)
+        rows += [(ts, 1, "flat", 1.0)] * 2
+    rows += [(datetime.datetime(2024, 1, 1, 0), 1, "bursty", 1.0)] * 1
+    rows += [(datetime.datetime(2024, 1, 1, 1), 1, "bursty", 1.0)] * 7
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = {
+        r["event_type"]: r.asDict()
+        for r in QS["fano_factor_dispersion"](spark, sf).collect()
+    }
+    assert got["flat"]["fano_micro"] == 0
+    assert got["flat"]["verdict"] == "underdispersed"
+    # H=2, sum=8, sum_sq=50: (2*50-64)*1e6 // (2*8) = 2_250_000
+    assert got["bursty"]["fano_micro"] == 2_250_000
+    assert got["bursty"]["verdict"] == "overdispersed"
+
+
+def test_regression_discontinuity_exact_linear(spark, tmp_path):
+    """Perfectly linear sides: left y = 10e6 + 2e6*x, right y = 50e6 +
+    1e6*x -> intercepts recovered exactly, jump = 40e6."""
+    import datetime
+
+    day = datetime.datetime(2024, 1, 1)
+    rows = []
+    uid = 0
+    for x, slope, icept in [(-3, 2, 10), (-2, 2, 10), (-1, 2, 10),
+                            (0, 1, 50), (1, 1, 50), (2, 1, 50)]:
+        uid += 1
+        y = icept + slope * x  # whole currency units -> micro exact
+        rows += [(day, uid, "purchase", float(y))]
+        rows += [(day, uid, "view", 0.0)] * (60 + x - 1)  # total = 60 + x
+    sf = _write(tmp_path, "events", _events_table(rows))
+    [r] = QS["regression_discontinuity"](spark, sf).collect()
+    assert r["n_left"] == 3 and r["n_right"] == 3
+    assert r["intercept_left_micro"] == 10_000_000.0
+    assert r["intercept_right_micro"] == 50_000_000.0
+    assert r["rd_jump_micro"] == 40_000_000.0
+    assert r["slope_left"] == 2_000_000.0 and r["slope_right"] == 1_000_000.0
+
+
+def test_ab_power_mde_known_values(spark, tmp_path):
+    """4 users: all 'view' (p=1 -> MDE 0); 2 of 4 'click' (p=0.5,
+    n_arm=2 -> inner=2*5e5*5e5/2, sqrt=500000, *14 div 5 = 1.4e6)."""
+    import datetime
+
+    day = datetime.datetime(2024, 1, 1)
+    rows = [(day, u, "view", 1.0) for u in (1, 2, 3, 4)]
+    rows += [(day, u, "click", 1.0) for u in (1, 2)]
+    sf = _write(tmp_path, "events", _events_table(rows))
+    got = {
+        r["event_type"]: r.asDict() for r in QS["ab_power_mde"](spark, sf).collect()
+    }
+    assert got["view"]["p_ppm"] == 1_000_000
+    assert got["view"]["mde_abs_ppm"] == 0
+    assert got["click"]["p_ppm"] == 500_000
+    assert got["click"]["n_per_arm"] == 2
+    assert got["click"]["mde_abs_ppm"] == 1_400_000
+
+
+def test_survivorship_conflict_known_values(spark, tmp_path):
+    """Two token-set-identical docs disagreeing on lang + one singleton:
+    1 multi group, 1 lang conflict, conflict_ppm = 1e6."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma", "beta  gamma alpha", "something else"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "de", "en"], pa.string()),
+            "source": pa.array(["s1", "s1", "s2"], pa.string()),
+            "n_chars": pa.array([16, 17, 14], pa.int64()),
+        }
+    )
+    sf = _write(tmp_path, "documents", t)
+    [r] = QS["survivorship_conflict_audit"](spark, sf).collect()
+    assert r["n_groups"] == 2
+    assert r["n_multi_groups"] == 1
+    assert r["n_docs_dropped"] == 1
+    assert r["lang_conflict_groups"] == 1
+    assert r["source_conflict_groups"] == 0
+    assert r["nchars_conflict_groups"] == 1  # 16 vs 17 chars
+    assert r["conflict_ppm"] == 1_000_000
+
+
+def _embeddings_table(vecs, labels):
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+def test_information_gain_perfect_and_null_dims(spark, tmp_path):
+    """dim 1 sign == label -> IG = 1 bit exactly; a constant dim -> 0."""
+    vecs = []
+    for lbl in (0, 0, 1, 1):
+        v = [0.5] * 64  # constant positive dims: IG 0
+        v[0] = 1.0 if lbl == 1 else -1.0  # dim 1 separates perfectly
+        vecs.append(v)
+    sf = _write(tmp_path, "embeddings", _embeddings_table(vecs, [0, 0, 1, 1]))
+    rows = {r["dim"]: r["ig_micro_bits"] for r in QS["information_gain_features"](spark, sf).collect()}
+    assert rows[1] == 1_000_000  # exactly one bit (powers of two are exact)
+    assert all(v == 0 for d, v in rows.items() if d != 1)
+
+
+def test_centroid_silhouette_perfect_clusters(spark, tmp_path):
+    """Points identical to their centroid: a=0 -> s = 1 for every point."""
+    v0, v1 = [0.0] * 64, [0.0] * 64
+    v1[0] = 1.0
+    sf = _write(
+        tmp_path, "embeddings", _embeddings_table([v0, v0, v1, v1], [0, 0, 1, 1])
+    )
+    got = {
+        r["label"]: r.asDict()
+        for r in QS["centroid_silhouette_audit"](spark, sf).collect()
+    }
+    for lbl in (0, 1):
+        assert got[lbl]["n_points"] == 2
+        assert got[lbl]["mean_silhouette_micro"] == 1_000_000
+        assert got[lbl]["n_negative"] == 0
+
+
+def test_cramers_v_perfect_association(spark, tmp_path):
+    """Each activity quartile does exactly one event type -> V = 1
+    (floored ppm within 1 of 1e6)."""
+    import datetime
+
+    day = datetime.datetime(2024, 1, 1)
+    rows = []
+    uid = 0
+    # 4 users with strictly increasing activity -> ntile(4) puts each in
+    # its own bucket; each does a distinct event type
+    for k, ty in enumerate(["a", "b", "c", "d"]):
+        uid += 1
+        rows += [(day, uid, ty, 1.0)] * (10 + k)
+    sf = _write(tmp_path, "events", _events_table(rows))
+    [r] = QS["cramers_v_association"](spark, sf).collect()
+    assert r["n_rows"] == 4 and r["n_cols"] == 4
+    assert r["cramers_v_ppm"] >= 999_000  # 1.0 minus integer flooring

@@ -170,6 +170,16 @@ HEADLINE = [
     "ipw_ate_estimate",
     "label_propagation_communities",
     "resource_allocation_linkpred",
+    # round 10, batch 2
+    "lsh_s_curve_audit",
+    "srm_audit",
+    "ab_power_mde",
+    "fano_factor_dispersion",
+    "survivorship_conflict_audit",
+    "information_gain_features",
+    "centroid_silhouette_audit",
+    "regression_discontinuity",
+    "cramers_v_association",
 ]
 
 
