@@ -7176,9 +7176,20 @@ def skew_profile(spark, sf_dir):
 @q(
     "chi2_contingency",
     """
-    WITH c AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
-                      count(*) AS observed
-               FROM events GROUP BY event_type, CAST(isodow(ts) AS INT)),
+    WITH c0 AS (SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+                       count(*) AS observed
+                FROM events GROUP BY event_type, CAST(isodow(ts) AS INT)),
+    -- complete the grid: a (type, weekday) pair with NO events is still
+    -- a contingency cell (observed 0, expected > 0) — dropping it
+    -- understates any chi-square summed over these rows (the cramers_v
+    -- zero-cell bug class; both engines shared it, so only a
+    -- known-answer test could see it)
+    c AS (
+      SELECT g.event_type, g.dow, COALESCE(c0.observed, 0) AS observed
+      FROM (SELECT t.event_type, d.dow
+            FROM (SELECT DISTINCT event_type FROM c0) t,
+                 (SELECT DISTINCT dow FROM c0) d) g
+      LEFT JOIN c0 ON c0.event_type = g.event_type AND c0.dow = g.dow),
     rt AS (SELECT event_type, sum(observed) AS row_tot FROM c GROUP BY event_type),
     ct AS (SELECT dow, sum(observed) AS col_tot FROM c GROUP BY dow),
     n AS (SELECT sum(observed) AS grand FROM c)
@@ -7191,15 +7202,29 @@ def chi2_contingency(spark, sf_dir):
     """Chi-square contingency table (event_type × ISO weekday): observed
     cell counts and the independence-model expectation row_tot·col_tot/N
     in exact integer micro-units — the input to an association test
-    without the float division that would be hash-fragile. The marginals
-    are group-cardinality-sized -> broadcast back onto the cells; the
-    only fact-scale shuffle is the first groupBy. weekday parity:
-    Spark's weekday() is Mon=0, DuckDB's isodow is Mon=1 — offset by
-    one."""
+    without the float division that would be hash-fragile. The grid is
+    COMPLETED (observed-types × observed-weekdays, zero cells kept):
+    an empty cell still carries expected mass, and a consumer summing
+    (o−e)²/e over these rows would otherwise understate the statistic —
+    the cramers_v zero-cell bug class (round-10 find), audited here per
+    VERDICT r10 §next#5. The marginals are group-cardinality-sized ->
+    broadcast back onto the cells; the only fact-scale shuffle is the
+    first groupBy. The expectation numerator is staged through
+    decimal(38,0) (oracle: HUGEINT sums) so row_tot·col_tot·1e6 cannot
+    wrap at cluster-scale N. weekday parity: Spark's weekday() is
+    Mon=0, DuckDB's isodow is Mon=1 — offset by one."""
     ev = _t(spark, sf_dir, "events")
-    c = ev.groupBy(
+    c0 = ev.groupBy(
         "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
     ).agg(F.count(F.lit(1)).alias("observed"))
+    grid = c0.select("event_type").distinct().crossJoin(
+        F.broadcast(c0.select("dow").distinct())
+    )
+    c = grid.join(c0, ["event_type", "dow"], "left").select(
+        "event_type",
+        "dow",
+        F.coalesce(F.col("observed"), F.lit(0).cast("long")).alias("observed"),
+    )
     rt = c.groupBy("event_type").agg(F.sum("observed").alias("row_tot"))
     ct = c.groupBy("dow").agg(F.sum("observed").alias("col_tot"))
     n = c.agg(F.sum("observed").alias("grand"))
@@ -7211,9 +7236,10 @@ def chi2_contingency(spark, sf_dir):
             "event_type",
             "dow",
             "observed",
-            F.expr("row_tot * col_tot * 1000000 div grand").alias(
-                "expected_micro"
-            ),
+            F.expr(
+                "CAST(CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000"
+                " div grand AS BIGINT)"
+            ).alias("expected_micro"),
         )
     )
 
@@ -20598,8 +20624,9 @@ def wilson_lower_bound_ranking(spark, sf_dir):
     w AS (
       SELECT st.stratum, p.n_users, p.n_treated, p.p_ppm,
              CASE WHEN st.t = 1
-                  THEN st.y_micro * 1000000 // p.p_ppm
-                  ELSE -(st.y_micro * 1000000 // (1000000 - p.p_ppm)) END
+                  THEN CAST(st.y_micro AS HUGEINT) * 1000000 // p.p_ppm
+                  ELSE -(CAST(st.y_micro AS HUGEINT) * 1000000
+                         // (1000000 - p.p_ppm)) END
                AS contrib
       FROM st JOIN pr p ON p.stratum = st.stratum)
     SELECT stratum, n_users, n_treated, CAST(p_ppm AS BIGINT) AS p_ppm,
@@ -20669,13 +20696,20 @@ def ipw_ate_estimate(spark, sf_dir):
         "n_users",
         "n_treated",
         "p_ppm",
+        # numerator staged through decimal(38,0) / HUGEINT: a per-user
+        # outcome sum above ~9.2e6 value units would wrap y_micro * 1e6
+        # on BIGINT — Spark (non-ANSI) silently, the oracle loudly
         F.expr(
-            "CASE WHEN t = 1 THEN y_micro * 1000000 div p_ppm"
-            " ELSE -(y_micro * 1000000 div (1000000 - p_ppm)) END"
+            "CASE WHEN t = 1"
+            " THEN CAST(y_micro AS DECIMAL(38,0)) * 1000000 div p_ppm"
+            " ELSE -(CAST(y_micro AS DECIMAL(38,0)) * 1000000"
+            " div (1000000 - p_ppm)) END"
         ).alias("contrib"),
     )
     return w.groupBy("stratum", "n_users", "n_treated", "p_ppm").agg(
-        F.expr("CAST(sum(contrib) div n_users AS BIGINT)").alias("ate_micro")
+        F.expr(
+            "CAST(sum(CAST(contrib AS DECIMAL(38,0))) div n_users AS BIGINT)"
+        ).alias("ate_micro")
     )
 
 
@@ -20945,9 +20979,24 @@ def lsh_s_curve_audit(spark, sf_dir):
 
     Scale shape: 57 generated rows; nothing touches data."""
     grid = spark.range(1, 20).select((F.col("id") * 50000).alias("s"))
-    grid.createOrReplaceTempView("__scurve_grid")
-    out = spark.sql(_scurve_sql("div", "__scurve_grid"))
-    spark.catalog.dropTempView("__scurve_grid")
+    # build each arm straight off the grid DataFrame (no named temp view:
+    # a fixed session-global name would collide if two queries ever ran
+    # concurrently on one session)
+    arms = []
+    for bands, rows, sq_r, sq_b in ((16, 1, 0, 4), (8, 2, 1, 3), (4, 4, 2, 2)):
+        sr = _ppm_sq("s", sq_r, "div")
+        pb = _ppm_sq(f"(1000000 - {sr})", sq_b, "div")
+        arms.append(
+            grid.selectExpr(
+                f"CAST({bands} AS BIGINT) AS bands",
+                f"CAST({rows} AS BIGINT) AS rows_per_band",
+                "CAST(s AS BIGINT) AS s_ppm",
+                f"CAST(1000000 - {pb} AS BIGINT) AS p_detect_ppm",
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
     return out
 
 
@@ -21496,12 +21545,15 @@ def regression_discontinuity(spark, sf_dir):
         "x", "y", F.when(F.col("x") >= 0, "right").otherwise("left").alias("side")
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # products/sums staged through decimal(38,0) BEFORE the aggregate:
+    # Spark (non-ANSI) sums BIGINT with silent wraparound, so casting
+    # only the finished sum would launder an overflow the oracle catches
     s = b.groupBy("side").agg(
         d(F.count(F.lit(1))).alias("n"),
-        d(F.sum("x")).alias("sx"),
-        d(F.sum("y")).alias("sy"),
-        d(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
-        d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(d(F.col("x")) * F.col("x")).cast("decimal(38,0)").alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     fit = s.select(
@@ -21664,73 +21716,80 @@ def cramers_v_association(spark, sf_dir):
     )
 
 
-# Round-10 window (VERDICT r9 §next#1): (a) the standing flagship —
-# regression guard over the whole ETL surface, in every window; (b) ALL
-# 31 never-driver-verified queries (tools/backlog.py order), led by
-# dsir_doc_scores_bucketed (byte-identical to the CORRECTNESS_r07 green
-# "dsir_importance_weights" row, renamed in r9 when the duplicate
-# registration was found) — clearing this list makes the full registry
-# driver-verified for the first time; (c) the heaviest rotated-out
-# greens (verdict-named setsim_prefix_join / dedup_canonical_selection /
-# pagerank_purchases first, then by BENCH_LOCAL cost).  Rotated-out
-# greens stay under the identical (driver-strict) local gate in
-# tests/test_oracle_parity.py on every pytest run.
+# WINDOW ROTATION POLICY (adopted round 11, VERDICT r10 §next#1 —
+# "staleness-first"; the never-checked backlog was cleared in r10, so
+# this is the standing successor rule).  Every round's _FIRST50 =
+#   (a) the standing flagship `domanda_pipeline_full` — regression
+#       guard over the whole ETL surface, in EVERY window;
+#   (b) every query ADDED or whose plan/SQL was MODIFIED this round —
+#       first-run driver evidence before the round closes (the r8
+#       lesson: never register or change a query after the window runs);
+#   (c) the remaining slots filled OLDEST-DRIVER-EVIDENCE-FIRST
+#       (ties alphabetical) — `python tools/backlog.py` prints the
+#       per-query latest-green round and the resulting candidate order.
+# Done-when: max evidence age across the registry keeps dropping each
+# round; rotated-out greens stay under the identical driver-strict
+# local gate in tests/test_oracle_parity.py on every pytest run.
+#
+# Round-11 window: flagship + 3 modified (ipw_ate_estimate staged its
+# IPW numerator through decimal38/HUGEINT, regression_discontinuity
+# pre-staged its co-moment sums, lsh_s_curve_audit dropped its named
+# temp view) + the 44 queries whose newest driver evidence was ROUND 1
+# + the 2 alphabetically-first round-2 rows.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
-    # --- (b) the 31-query backlog: cumulative driver evidence 317 -> all
-    "dsir_doc_scores_bucketed",
-    "token_mass_coverage",
-    "consistent_hash_resharding",
-    "leadlag_crosscorrelation",
-    "array_lambda_functions",
-    "content_defined_chunking",
-    "l_diversity_audit",
-    "sampled_join_bias",
-    "session_definition_sensitivity",
-    "equidepth_histogram_bounds",
-    "covariate_balance_smd",
-    "degree_assortativity",
-    "hierarchical_share_rollup",
-    "rollup_consistency_proof",
-    "maxmin_fair_allocation",
-    "shift_share_decomposition",
-    "peak_concurrency_minutes",
-    "ndcg_ranker_eval",
-    "eb_shrinkage_ranking",
-    "phrase_match_positional",
-    "ucb1_arm_scores",
-    "brier_decomposition",
-    "krippendorff_alpha_nominal",
-    "t_closeness_audit",
-    "ngram_novelty_profile",
-    "curation_funnel_attrition",
-    "hellinger_drift_exact",
-    "token_entropy_quality",
-    "bigram_entropy_rate",
-    "zipf_slope_corpus",
-    "padding_waste_batching",
-    # --- (c) the verdict-named heaviest rotated-out greens
-    "setsim_prefix_join",
-    "dedup_canonical_selection",
-    "pagerank_purchases",
-    # --- (d) the fifteen round-10 additions: first driver evidence THIS
-    # round (the r8 lesson — never ship a new operator after the window
-    # runs). Displaced greens stay under the driver-strict local gate.
-    "chao1_unseen_vocab",
-    "psi_drift_bins",
-    "wilson_lower_bound_ranking",
+    # --- (b) modified this round
     "ipw_ate_estimate",
-    "label_propagation_communities",
-    "resource_allocation_linkpred",
-    "lsh_s_curve_audit",
-    "srm_audit",
-    "ab_power_mde",
-    "fano_factor_dispersion",
-    "survivorship_conflict_audit",
-    "information_gain_features",
-    "centroid_silhouette_audit",
     "regression_discontinuity",
-    "cramers_v_association",
+    "lsh_s_curve_audit",
+    "chi2_contingency",
+    # --- (c) all 44 queries with round-1 evidence (oldest first)
+    "anti_join_no_orders",
+    "any_notnull_filter",
+    "blank_to_null",
+    "cast_compare_filter",
+    "cube_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_adjacent",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "ensure_columns",
+    "group_agg_pricing_summary",
+    "grouping_sets_sql",
+    "horizontal_nonnull_count",
+    "lang_id_vote",
+    "media_metadata",
+    "multiway_left_join",
+    "normalized_key_join",
+    "predicate_split_source",
+    "regex_validity_filter",
+    "rollup_revenue",
+    "scalar_airline_code",
+    "scalar_dates",
+    "scalar_duration_minutes",
+    "scalar_flight_canonical",
+    "scalar_guarded_long",
+    "scalar_join_date_normalize",
+    "scalar_luggage",
+    "scalar_placeholder_ws",
+    "scalar_split_flight_class",
+    "scalar_time_hhmm",
+    "scan_filter_distinct",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "similarity_topk_bruteforce",
+    "sort_limit_topk",
+    "sort_offset",
+    "text_quality_score",
+    "text_stats",
+    "union_by_name",
+    "wide_projection",
+    "window_topk_per_group",
+    # --- (c) cont.: oldest round-2 row (alphabetical)
+    "array_agg_sorted",
 ]
 
 

@@ -99,10 +99,9 @@ def main() -> None:
         }
         if truncated:
             d["queries_truncated"] = True
-            d["full_map"] = "BENCH_LOCAL.json"
+            d["full_map"] = os.path.basename(out_path)
         return json.dumps(d, separators=(",", ":"))
 
-    full_payload = _payload(timings, False)
     # redundant on-disk copy: a fixed-width stdout capture downstream can
     # truncate the line; the file preserves the full structured payload.
     # SPARK_GRAFT_BENCH_OUT redirects it (the contract test uses a temp
@@ -111,8 +110,14 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
-    with open(out_path, "w") as f:
-        f.write(full_payload + "\n")
+    full_payload = _payload(timings, False)
+    # the one-parseable-stdout-line contract must survive an unwritable
+    # redirect path: warn on stderr, keep going
+    try:
+        with open(out_path, "w") as f:
+            f.write(full_payload + "\n")
+    except OSError as exc:
+        print(f"bench: WARN could not write {out_path}: {exc}", file=sys.stderr)
     # The driver records only the LAST 2000 bytes of stdout and JSON-parses
     # that capture — a line longer than the capture window arrives truncated
     # and parses to null (observed in BENCH_r04/r05). If the full per-query

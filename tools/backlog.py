@@ -1,34 +1,62 @@
-"""Print the driver-verification backlog: registered queries that have
-never appeared in any CORRECTNESS_r*.json window and are not in the
-current _FIRST50 window.  Used to plan each round's window rotation
-(VERDICT r6 §next#3/#6: never let new batches outpace verification).
+"""Print the driver-verification backlog AND the evidence-age ranking
+that drives the staleness-first window rotation (policy documented next
+to `_FIRST50` in __spark_entry__.py, adopted round 11 per VERDICT r10
+§next#1):
 
-Usage: python tools/backlog.py
+- backlog: registered queries never seen in any CORRECTNESS_r*.json and
+  not in the current _FIRST50 window (must reach zero every round);
+- age report: for every registered query, the LATEST round it appeared
+  in a driver window, sorted oldest-first (ties alphabetical) — the
+  window's slot-(c) candidates are read straight off the top.
+
+Usage: python tools/backlog.py [--ages N]   (N = rows to print, def 60)
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import re
 import sys
 import textwrap
+from collections import Counter
 
 sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
 
 
-def main() -> None:
-    ever: set[str] = set()
+def evidence_rounds() -> dict[str, int]:
+    """name -> latest CORRECTNESS round that checked it (0 = never)."""
+    last: dict[str, int] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        ever |= set(json.load(open(f)).keys())
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for k in json.load(open(f)):
+            last[k] = max(last.get(k, 0), rnd)
+    return last
+
+
+def main() -> None:
+    n_show = 60
+    if "--ages" in sys.argv:
+        n_show = int(sys.argv[sys.argv.index("--ages") + 1])
+    last = evidence_rounds()
     names = list(entrymod.queries().keys())
     window = set(entrymod._FIRST50)
+    ever = {n for n in names if last.get(n, 0) > 0}
     backlog = [n for n in names if n not in ever and n not in window]
     print(
-        f"registry={len(names)} ever-verified={len(ever & set(names))} "
+        f"registry={len(names)} ever-verified={len(ever)} "
         f"window={len(window)} backlog={len(backlog)}"
     )
-    print(textwrap.fill(", ".join(backlog), width=74))
+    if backlog:
+        print(textwrap.fill(", ".join(backlog), width=74))
+    dist = Counter(last.get(n, 0) for n in names)
+    print("evidence-round distribution:", dict(sorted(dist.items())))
+    ranked = sorted(names, key=lambda n: (last.get(n, 0), n))
+    print(f"oldest-evidence-first (top {n_show}; * = in current window):")
+    for n in ranked[:n_show]:
+        mark = "*" if n in window else " "
+        print(f"  r{last.get(n, 0):02d} {mark} {n}")
 
 
 if __name__ == "__main__":
