@@ -3378,8 +3378,8 @@ def image_decode_roundtrip(spark, sf_dir):
     Average/Sub/Up unfiltering, CRC-checked) and reduced to exact pixel
     statistics.  The oracle recomputes the quantization from the raw
     floats in SQL — a decoder that mis-unfilters a single byte, or an
-    encoder that mis-frames a chunk, breaks px_sum/min/max.  JPEG remains
-    honestly out of scope (needs a codec library; decode_image raises).
+    encoder that mis-frames a chunk, breaks px_sum/min/max.  (JPEG has
+    its own codec and query since round 11: image_decode_jpeg.)
 
     Scale shape: two Arrow-batched mapInPandas stages (encode, decode+
     reduce) with zero shuffles — pure map pipeline, embarrassingly
@@ -3388,6 +3388,50 @@ def image_decode_roundtrip(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     payload = multimodal.encode_embedding_png(emb, "vec_id", "embedding", side=8)
     return multimodal.image_pixel_stats(payload, "id")
+
+
+@q(
+    "image_decode_jpeg",
+    """
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding[1:4],
+               x -> 64 + 2 * least(63, greatest(0,
+                    CAST(floor((CAST(x AS DOUBLE) + 1.0) * 31.5) AS BIGINT))))
+               AS v
+      FROM embeddings)
+    SELECT id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           'L' AS mode,
+           CAST(v[1] AS BIGINT) AS b0, CAST(v[2] AS BIGINT) AS b1,
+           CAST(v[3] AS BIGINT) AS b2, CAST(v[4] AS BIGINT) AS b3,
+           CAST(64 * (v[1] + v[2] + v[3] + v[4]) AS BIGINT) AS px_sum
+    FROM q
+    """,
+)
+def image_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end — the codec that was an
+    honest NotImplementedError through round 10 (VERDICT r10 §next#4):
+    each embedding's first 4 dims render as a genuine 16x16 grayscale
+    baseline JPEG (four uniform 8x8 quadrants, Annex K tables, SOI/JFIF/
+    DQT/SOF0/DHT/SOS framing; every third row adds DRI + restart
+    markers), then the pure-stdlib decoder (operators/jpeg_codec.py —
+    canonical Huffman decode, DC prediction, EXTEND, dequant, float
+    IDCT) reduces it to exact per-quadrant means and the image pixel
+    sum.  Exactness despite lossy JPEG: uniform blocks with EVEN level
+    offsets have a single DC coefficient 8*(v-128) that is an exact
+    multiple of Q[0,0]=16, so quantization drops nothing and the oracle
+    recomputes every decoded pixel from the raw floats in integer SQL.
+    One wrong Huffman bit, a missed byte-unstuff, or a restart desync
+    shifts a DC diff and breaks b0..b3/px_sum.  The full lossy pipeline
+    (AC runs, ZRL, 4:2:0 chroma, real third-party libjpeg files) is
+    covered by tests/test_jpeg_codec.py known-answer tests.
+
+    Scale shape: two Arrow-batched mapInPandas map stages (encode,
+    decode+reduce), zero shuffles — decode where the bytes live, ship
+    only the 9-column stats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    payload = multimodal.encode_embedding_jpeg(emb, "vec_id", "embedding")
+    return multimodal.image_jpeg_block_stats(payload, "id")
 
 
 @q(
@@ -21731,11 +21775,12 @@ def cramers_v_association(spark, sf_dir):
 # round; rotated-out greens stay under the identical driver-strict
 # local gate in tests/test_oracle_parity.py on every pytest run.
 #
-# Round-11 window: flagship + 3 modified (ipw_ate_estimate staged its
-# IPW numerator through decimal38/HUGEINT, regression_discontinuity
+# Round-11 window: flagship + 5 added/modified (ipw_ate_estimate staged
+# its IPW numerator through decimal38/HUGEINT, regression_discontinuity
 # pre-staged its co-moment sums, lsh_s_curve_audit dropped its named
-# temp view) + the 44 queries whose newest driver evidence was ROUND 1
-# + the 2 alphabetically-first round-2 rows.
+# temp view, chi2_contingency completed its zero cells, image_decode_jpeg
+# is NEW — the baseline-JPEG codec) + all 44 queries whose newest driver
+# evidence was ROUND 1.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) modified this round
@@ -21743,6 +21788,7 @@ _FIRST50: list[str] = [
     "regression_discontinuity",
     "lsh_s_curve_audit",
     "chi2_contingency",
+    "image_decode_jpeg",
     # --- (c) all 44 queries with round-1 evidence (oldest first)
     "anti_join_no_orders",
     "any_notnull_filter",
@@ -21788,8 +21834,6 @@ _FIRST50: list[str] = [
     "union_by_name",
     "wide_projection",
     "window_topk_per_group",
-    # --- (c) cont.: oldest round-2 row (alphabetical)
-    "array_agg_sorted",
 ]
 
 

@@ -91,21 +91,27 @@ def frame_extract(
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Image decode.  PNG payloads are decoded FOR REAL by the pure-
-    stdlib codec in `png_codec` (zlib + scanline unfiltering — no media
-    library needed), returning width/height/mode plus the pixel array.
-    The deterministic fake path is kept for the legacy fixtures.  Other
-    formats (JPEG etc.) genuinely need a codec library this container
-    does not ship and still raise; a real deployment swaps PIL/libvips
-    in here without touching the mapInPandas plumbing."""
+    stdlib codec in `png_codec` (zlib + scanline unfiltering), baseline
+    JPEG payloads by the pure-stdlib codec in `jpeg_codec` (Huffman +
+    dequant + IDCT, 4:4:4/4:2:0, restart markers) — no media library
+    needed for either.  The deterministic fake path is kept for the
+    legacy fixtures.  Progressive/arithmetic JPEG and other formats
+    still raise (NotImplementedError names the mode); a real deployment
+    swaps PIL/libvips in here without touching the mapInPandas
+    plumbing."""
     if fake:
         return {"width": len(payload) % 1024, "height": (len(payload) * 7) % 1024, "mode": "FAKE"}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .png_codec import decode_png
 
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        "only PNG is decodable without a codec library; got "
-        f"magic {bytes(payload[:4]).hex()}"
+        "only PNG and baseline JPEG are decodable without a codec "
+        f"library; got magic {bytes(payload[:4]).hex()}"
     )
 
 
@@ -169,6 +175,92 @@ def encode_embedding_png(
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
     return df.select(id_col, vec_col).mapInPandas(compute, "id bigint, payload binary")
+
+
+def encode_embedding_jpeg(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Render the first 4 dims of each float vector as a real 16x16
+    grayscale baseline JPEG of four uniform 8x8 quadrants, value
+    v_k = 64 + 2*clamp(floor((x_k + 1.0) * 31.5), 0, 63).
+
+    The even level offset makes the round-trip EXACT despite JPEG being
+    lossy: a uniform block's only nonzero coefficient is DC = 8*(v-128),
+    and with v-128 even that is an exact multiple of the Annex K luma
+    table's Q[0,0] = 16 — quantization loses nothing, so an oracle can
+    recompute every decoded pixel from the raw floats in integer SQL.
+    Rows with id % 3 == 0 are encoded with a restart interval of 1 so
+    the decoder's DRI/RSTn resync path runs in production, not just in
+    unit tests (the PNG query cycles filters the same way)."""
+    import numpy as np
+
+    from ..shipping import ensure_package_on_executors
+    from .jpeg_codec import encode_jpeg
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, vec in zip(pdf[id_col], pdf[vec_col]):
+                a = np.asarray(vec, dtype=np.float64)[:4]
+                v = 64 + 2 * np.clip(np.floor((a + 1.0) * 31.5), 0, 63).astype(np.int64)
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[0:8, 0:8] = v[0]
+                img[0:8, 8:16] = v[1]
+                img[8:16, 0:8] = v[2]
+                img[8:16, 8:16] = v[3]
+                payloads.append(
+                    encode_jpeg(img, restart_interval=1 if int(i) % 3 == 0 else 0)
+                )
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, vec_col).mapInPandas(compute, "id bigint, payload binary")
+
+
+JPEG_BLOCK_STATS_SCHEMA = (
+    "id bigint, width int, height int, mode string, "
+    "b0 bigint, b1 bigint, b2 bigint, b3 bigint, px_sum bigint"
+)
+
+
+def image_jpeg_block_stats(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode JPEG payloads with the real codec and reduce to exact
+    per-quadrant means plus the whole-image pixel sum (oracle-
+    recomputable for the DC-exact payloads of `encode_embedding_jpeg`;
+    px_sum catches any single mis-decoded pixel)."""
+    from ..shipping import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                d = decode_image(bytes(b))
+                px = d["pixels"][:, :, 0].astype("int64")
+                rows.append(
+                    (
+                        int(i),
+                        d["width"],
+                        d["height"],
+                        d["mode"],
+                        int(px[0:8, 0:8].sum() // 64),
+                        int(px[0:8, 8:16].sum() // 64),
+                        int(px[8:16, 0:8].sum() // 64),
+                        int(px[8:16, 8:16].sum() // 64),
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "mode",
+                    "b0", "b1", "b2", "b3", "px_sum",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(compute, JPEG_BLOCK_STATS_SCHEMA)
 
 
 def box_resize(pixels, factor: int):

@@ -24,11 +24,12 @@ def test_image_features_fake_codec(spark):
     assert (row["width"], row["height"], row["mode"]) == (100, 700, "FAKE")
 
 
-def test_non_png_formats_still_raise():
-    # JPEG (and anything else needing a codec library) stays an honest
-    # NotImplementedError; PNG is decoded for real (see test_png_codec_*)
+def test_unknown_formats_still_raise():
+    # PNG and baseline JPEG are decoded for real (test_png_codec_*,
+    # test_jpeg_codec.py); anything else (here: a GIF magic) stays an
+    # honest NotImplementedError naming the magic bytes
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 16)
 
 
 def test_png_codec_roundtrip_all_filters_and_modes():
