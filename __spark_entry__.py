@@ -1064,6 +1064,89 @@ def scalar_split_flight_class(spark, sf_dir):
 # Text-analysis / dedup / similarity queries (training-data pipeline ops)
 # ==========================================================================
 @q(
+    "encoding_artifact_audit",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN length(text) - length(replace(text, 'Ã', ''))
+                         > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_latin1_artifact,
+           CAST(sum(CASE WHEN length(text) - length(replace(text, 'â€', ''))
+                         > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_smartquote_mojibake,
+           CAST(sum(length(text) - length(replace(text, chr(65533), '')))
+                AS BIGINT) AS replacement_chars,
+           CAST(sum(length(regexp_replace(text,
+                    '[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))
+                AS BIGINT) AS control_chars,
+           CAST(sum(length(regexp_replace(text, '[ -~\\t\\n\\r]', '', 'g')))
+                AS BIGINT) AS non_ascii_chars,
+           CAST(CAST(sum(length(regexp_replace(text, '[ -~\\t\\n\\r]', '',
+                                               'g'))) AS HUGEINT)
+                * 1000000 // greatest(1, sum(length(text))) AS BIGINT)
+             AS non_ascii_ppm
+    FROM documents GROUP BY source
+    """,
+)
+def encoding_artifact_audit(spark, sf_dir):
+    """Encoding-artifact (mojibake) audit per source — the curation
+    check every web-crawl pipeline runs BEFORE language ID and quality
+    scoring, because a double-decoded document poisons both: counts of
+    the two classic UTF-8-as-Latin-1 signatures ('Ã' from mangled
+    multibyte leads, 'â€' from mangled smart punctuation), U+FFFD
+    replacement characters (a decoder already gave up), raw control
+    characters (binary contamination; tab/newline/CR exempt), and the
+    non-ASCII character mass as a ppm rate (legitimate for non-English
+    sources, a red flag for ASCII-expected ones — the reader compares
+    against the source's declared language mix).  Substring counts use
+    the length-minus-replace identity and character classes use
+    codepoint-exact regexes, so both engines count identically; the ppm
+    numerator is staged through HUGEINT/decimal38.  The synthetic corpus
+    is clean ASCII (all artifact counts 0 — itself the assertion);
+    tests/test_round11_operators.py pins the nonzero path on a
+    hand-built mojibake fixture.
+
+    Scale shape: one (source) partial-agg shuffle over a pure map —
+    zero joins, output bounded by the source vocabulary."""
+    docs = _tw(spark, sf_dir, "documents")
+    occ = lambda pat: F.length("text") - F.length(  # noqa: E731
+        F.replace(F.col("text"), F.lit(pat))
+    )
+    non_ascii = F.length(F.regexp_replace("text", r"[ -~\t\n\r]", ""))
+    ctrl = F.length(
+        F.regexp_replace("text", r"[^\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum((occ("Ã") > 0).cast("long")).cast("long").alias(
+            "docs_latin1_artifact"
+        ),
+        F.sum((occ("â€") > 0).cast("long")).cast("long").alias(
+            "docs_smartquote_mojibake"
+        ),
+        F.sum(occ("�")).cast("long").alias("replacement_chars"),
+        F.sum(ctrl).cast("long").alias("control_chars"),
+        F.sum(non_ascii).cast("long").alias("non_ascii_chars"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "docs_latin1_artifact",
+        "docs_smartquote_mojibake",
+        "replacement_chars",
+        "control_chars",
+        "non_ascii_chars",
+        F.expr(
+            "CAST(CAST(non_ascii_chars AS DECIMAL(38,0)) * 1000000"
+            " div greatest(1, total_chars) AS BIGINT)"
+        ).alias("non_ascii_ppm"),
+    )
+
+
+@q(
     "text_stats",
     """
     SELECT doc_id, n_chars,
@@ -6925,6 +7008,89 @@ def _pagerank_oracle_sql(iters: int = 8) -> str:
         "WITH "
         + ",\n    ".join(ctes)
         + f"\n    SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r{iters}"
+    )
+
+
+def _hits_oracle_sql(iters: int = 4) -> str:
+    """Unrolled-iteration HITS oracle (same pattern as
+    _pagerank_oracle_sql): per round an authority half-step (sum of
+    in-neighbor hub scores, max-normalized to ppm) then a hub half-step;
+    HUGEINT sums so the cross-multiplied normalization cannot wrap."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS HUGEINT) AS v
+           FROM pairs)"""
+    ]
+    # each CTE references its predecessor exactly ONCE (the per-step max
+    # is a window function, not a second scalar-subquery reference) and
+    # is MATERIALIZED — a doubly-referenced inlined CTE would double the
+    # plan tree per half-round, 2^iters blowup (observed: DuckDB planning
+    # ran away on the scalar-subquery formulation even at sf0.001)
+    for i in range(iters):
+        ctes.append(
+            f"""a{i + 1} AS MATERIALIZED (
+      SELECT node, s * 1000000 // max(s) OVER () AS v
+      FROM (SELECT e.dst AS node, CAST(sum(h.v) AS HUGEINT) AS s
+            FROM pairs e JOIN h{i} h ON e.src = h.node GROUP BY e.dst)),
+    h{i + 1} AS MATERIALIZED (
+      SELECT node, s * 1000000 // max(s) OVER () AS v
+      FROM (SELECT e.src AS node, CAST(sum(a.v) AS HUGEINT) AS s
+            FROM pairs e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , both_sides AS (
+      SELECT node, 'hub' AS side, CAST(v AS BIGINT) AS score_ppm FROM h{iters}
+      UNION ALL
+      SELECT node, 'auth' AS side, CAST(v AS BIGINT) AS score_ppm FROM a{iters})
+    SELECT node, side, score_ppm, CAST(rk AS INT) AS rk FROM (
+      SELECT node, side, score_ppm,
+             ROW_NUMBER() OVER (PARTITION BY side
+                                ORDER BY score_ppm DESC, node) AS rk
+      FROM both_sides)
+    WHERE rk <= 25"""
+    )
+
+
+@q("hits_purchase_graph", _hits_oracle_sql(4))
+def hits_purchase_graph(spark, sf_dir):
+    """HITS hubs-and-authorities on the bipartite customer->supplier
+    purchase graph — the second classic eigenvector ranking after
+    PageRank, and the one whose two-sided readout (who are the
+    power-buyers, who are the consensus suppliers) PageRank's single
+    score cannot give. 4 synchronous rounds, each an authority then hub
+    half-step with L-INFINITY (max) ppm normalization — exact integer
+    cross-engine where the textbook L2 norm's sqrt-of-sum-of-squares is
+    not; power iteration's ranking is norm-invariant. Top 25 per side.
+
+    Scale shape (operators/graph.py:hits_integer): edge list
+    localCheckpoint-ed once (loop-invariant, 8 consumers); per half-step
+    one edge-side shuffle join + partial-agg groupBy + broadcast 1-row
+    max; score tables are node-scale. At 100 TB: bucket the edge list
+    by src/dst and both half-step joins co-locate, exactly like
+    pagerank's posture."""
+    from domanda_etl_spark.operators.graph import hits_integer
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits_integer(pairs, iterations=4)
+    w = Window.partitionBy("side").orderBy(F.col("score_ppm").desc(), "node")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("node", "side", "score_ppm", F.col("rk").cast("int").alias("rk"))
     )
 
 
@@ -21775,12 +21941,15 @@ def cramers_v_association(spark, sf_dir):
 # round; rotated-out greens stay under the identical driver-strict
 # local gate in tests/test_oracle_parity.py on every pytest run.
 #
-# Round-11 window: flagship + 5 added/modified (ipw_ate_estimate staged
+# Round-11 window: flagship + 7 added/modified (ipw_ate_estimate staged
 # its IPW numerator through decimal38/HUGEINT, regression_discontinuity
 # pre-staged its co-moment sums, lsh_s_curve_audit dropped its named
-# temp view, chi2_contingency completed its zero cells, image_decode_jpeg
-# is NEW — the baseline-JPEG codec) + all 44 queries whose newest driver
-# evidence was ROUND 1.
+# temp view, chi2_contingency completed its zero cells; NEW:
+# image_decode_jpeg — the baseline-JPEG codec, hits_purchase_graph —
+# integer HITS, encoding_artifact_audit — mojibake curation audit) + the
+# 42 alphabetically-first of the 44 queries whose newest driver evidence
+# was ROUND 1 (wide_projection / window_topk_per_group rotate in next
+# round).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) modified this round
@@ -21789,6 +21958,8 @@ _FIRST50: list[str] = [
     "lsh_s_curve_audit",
     "chi2_contingency",
     "image_decode_jpeg",
+    "hits_purchase_graph",
+    "encoding_artifact_audit",
     # --- (c) all 44 queries with round-1 evidence (oldest first)
     "anti_join_no_orders",
     "any_notnull_filter",
@@ -21832,8 +22003,6 @@ _FIRST50: list[str] = [
     "text_quality_score",
     "text_stats",
     "union_by_name",
-    "wide_projection",
-    "window_topk_per_group",
 ]
 
 
