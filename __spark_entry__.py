@@ -18310,6 +18310,227 @@ def phrase_match_positional(spark, sf_dir):
 
 
 @q(
+    "group_sequential_obf_audit",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na_d,
+             sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS xa_d,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb_d,
+             sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS xb_d
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT day,
+             sum(na_d) OVER w AS na, sum(xa_d) OVER w AS xa,
+             sum(nb_d) OVER w AS nb, sum(xb_d) OVER w AS xb,
+             sum(na_d + nb_d) OVER w AS n_cum,
+             sum(na_d + nb_d) OVER () AS n_tot
+      FROM d
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT day, na, xa, nb, xb,
+             CASE WHEN na > 0 AND nb > 0
+                       AND xa + xb > 0 AND xa + xb < na + nb
+                  THEN round((CAST(xa AS DOUBLE) / na
+                              - CAST(xb AS DOUBLE) / nb)
+                             / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                                    * (1.0 - CAST(xa + xb AS DOUBLE)
+                                             / (na + nb))
+                                    * (1.0 / na + 1.0 / nb)), 6)
+             END AS z_stat,
+             round(1.959964 / sqrt(CAST(n_cum AS DOUBLE) / n_tot), 6)
+               AS obf_boundary
+      FROM c)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(na AS BIGINT) AS na, CAST(xa AS BIGINT) AS xa,
+           CAST(nb AS BIGINT) AS nb, CAST(xb AS BIGINT) AS xb,
+           z_stat, obf_boundary,
+           CASE WHEN z_stat IS NULL THEN NULL
+                ELSE abs(z_stat) > obf_boundary END AS crossed
+    FROM z
+    """,
+)
+def group_sequential_obf_audit(spark, sf_dir):
+    """Group-sequential monitoring with an O'Brien-Fleming-SHAPED
+    boundary — the guardrail that makes daily peeking at a running A/B
+    test statistically honest (fixed-horizon z > 1.96 peeked daily
+    inflates false positives several-fold; OBF spends almost no alpha
+    early).  Each day is a 'look': cumulative two-proportion z-statistic
+    (purchase rate, arms by user parity) against boundary
+    z_alpha / sqrt(t), t = information fraction (cumulative events /
+    final events).  Degenerate looks (an empty arm, pooled rate 0 or 1)
+    yield NULL rather than an engine-dependent infinity.  Cross-engine
+    exactness: every float op here is +,-,*,/ or sqrt — all IEEE
+    CORRECTLY ROUNDED (deterministic bit-for-bit in both engines,
+    unlike libm ln/exp) — with round(·,6) at the boundary; the crossing
+    flag compares the two rounded values.  Complements srm_audit
+    (validity before metrics) and ab_power_mde (design before launch)
+    with the during-flight stopping rule.
+
+    Scale shape: one (day) partial-agg shuffle over the stream; the
+    cumulative windows and 1-row total run over the DAY table (bounded
+    by calendar, not corpus)."""
+    ev = _t(spark, sf_dir, "events")
+    is_a = F.col("user_id") % 2 == 0
+    is_p = F.col("event_type") == "purchase"
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(is_a.cast("long")).alias("na_d"),
+        F.sum((is_a & is_p).cast("long")).alias("xa_d"),
+        F.sum((~is_a).cast("long")).alias("nb_d"),
+        F.sum(((~is_a) & is_p).cast("long")).alias("xb_d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = d.select(
+        "day",
+        F.sum("na_d").over(w).alias("na"),
+        F.sum("xa_d").over(w).alias("xa"),
+        F.sum("nb_d").over(w).alias("nb"),
+        F.sum("xb_d").over(w).alias("xb"),
+        F.sum(F.col("na_d") + F.col("nb_d")).over(w).alias("n_cum"),
+        F.sum(F.col("na_d") + F.col("nb_d")).over(wall).alias("n_tot"),
+    )
+    pooled = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = F.when(
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (F.col("xa") + F.col("xb") > 0)
+        & (F.col("xa") + F.col("xb") < F.col("na") + F.col("nb")),
+        F.round(
+            (
+                F.col("xa").cast("double") / F.col("na")
+                - F.col("xb").cast("double") / F.col("nb")
+            )
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+            ),
+            6,
+        ),
+    )
+    zb = F.round(
+        F.lit(1.959964) / F.sqrt(F.col("n_cum").cast("double") / F.col("n_tot")),
+        6,
+    )
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("na").cast("long").alias("na"),
+        F.col("xa").cast("long").alias("xa"),
+        F.col("nb").cast("long").alias("nb"),
+        F.col("xb").cast("long").alias("xb"),
+        z.alias("z_stat"),
+        zb.alias("obf_boundary"),
+        F.when(z.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > zb)
+        .alias("crossed"),
+    )
+
+
+@q(
+    "bandit_replay_eval",
+    """
+    WITH da AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+             CAST(count(*) AS BIGINT) AS n_d,
+             CAST(sum(CASE WHEN value >= 245.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS w_d
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT day, arm, n_d, w_d,
+             coalesce(sum(n_d) OVER (PARTITION BY arm ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_prev,
+             coalesce(sum(w_d) OVER (PARTITION BY arm ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS w_prev
+      FROM da),
+    rk AS (
+      SELECT day, arm, n_d, w_d,
+             CASE WHEN n_prev = 0 THEN 1000001
+                  ELSE w_prev * 1000000 // n_prev END AS prior_rate_ppm,
+             ROW_NUMBER() OVER (
+               PARTITION BY day
+               ORDER BY CASE WHEN n_prev = 0 THEN 1000001
+                             ELSE w_prev * 1000000 // n_prev END DESC,
+                        arm) AS r
+      FROM cum)
+    SELECT strftime(day, '%Y-%m-%d') AS day, arm AS chosen_arm,
+           CAST(prior_rate_ppm AS BIGINT) AS prior_rate_ppm,
+           n_d AS matched_plays, w_d AS matched_wins,
+           CAST(w_d * 1000000 // n_d AS BIGINT) AS day_reward_ppm
+    FROM rk WHERE r = 1
+    """,
+)
+def bandit_replay_eval(spark, sf_dir):
+    """Offline bandit-policy REPLAY evaluation (Li et al.'s unbiased
+    replay method, the standard way to score a policy on logged data
+    before deploying it): the greedy policy picks, each day, the arm
+    (event_type) with the best prior cumulative win rate (reward =
+    value >= 245, the ucb1_arm_scores convention) among arms logged that
+    day, then is credited with exactly that day's logged plays/wins for
+    the chosen arm — the estimator only 'matches' impressions the log
+    actually served, which is what makes it unbiased.  Unseen arms get
+    an optimistic 1000001-ppm prior (forced first exploration).  All
+    ranking is integer: rates are floor-divided ppm and ties break
+    alphabetically, so both engines choose identical arms — no float
+    argmax hazard.  Complements ucb1_arm_scores (the allocator's index)
+    with the evaluator's side: what WOULD this policy have earned.
+
+    Scale shape: one (day, arm) partial-agg shuffle over the stream;
+    cumulative windows and the per-day argmax run over the day x arm
+    table (calendar x vocabulary, corpus-size independent)."""
+    ev = _t(spark, sf_dir, "events")
+    da = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum(F.when(F.col("value") >= 245.0, 1).otherwise(0))
+        .cast("long")
+        .alias("w_d"),
+    )
+    wprev = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = da.select(
+        "day",
+        "arm",
+        "n_d",
+        "w_d",
+        F.coalesce(F.sum("n_d").over(wprev), F.lit(0)).alias("n_prev"),
+        F.coalesce(F.sum("w_d").over(wprev), F.lit(0)).alias("w_prev"),
+    )
+    rate = F.when(F.col("n_prev") == 0, F.lit(1000001)).otherwise(
+        F.expr("w_prev * 1000000 div n_prev")
+    )
+    rk = cum.select(
+        "day", "arm", "n_d", "w_d", rate.alias("prior_rate_ppm")
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("day").orderBy(
+                F.col("prior_rate_ppm").desc(), "arm"
+            )
+        ),
+    )
+    return rk.filter(F.col("r") == 1).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("arm").alias("chosen_arm"),
+        F.col("prior_rate_ppm").cast("long").alias("prior_rate_ppm"),
+        F.col("n_d").alias("matched_plays"),
+        F.col("w_d").alias("matched_wins"),
+        F.expr("CAST(w_d * 1000000 div n_d AS BIGINT)").alias(
+            "day_reward_ppm"
+        ),
+    )
+
+
+@q(
     "ucb1_arm_scores",
     """
     WITH arms AS (
@@ -21941,15 +22162,17 @@ def cramers_v_association(spark, sf_dir):
 # round; rotated-out greens stay under the identical driver-strict
 # local gate in tests/test_oracle_parity.py on every pytest run.
 #
-# Round-11 window: flagship + 7 added/modified (ipw_ate_estimate staged
+# Round-11 window: flagship + 9 added/modified (ipw_ate_estimate staged
 # its IPW numerator through decimal38/HUGEINT, regression_discontinuity
 # pre-staged its co-moment sums, lsh_s_curve_audit dropped its named
 # temp view, chi2_contingency completed its zero cells; NEW:
 # image_decode_jpeg — the baseline-JPEG codec, hits_purchase_graph —
-# integer HITS, encoding_artifact_audit — mojibake curation audit) + the
-# 42 alphabetically-first of the 44 queries whose newest driver evidence
-# was ROUND 1 (wide_projection / window_topk_per_group rotate in next
-# round).
+# integer HITS, encoding_artifact_audit — mojibake curation audit,
+# group_sequential_obf_audit — peeking-safe A/B stopping boundaries,
+# bandit_replay_eval — offline policy replay) + the 40 alphabetically-
+# first of the 44 queries whose newest driver evidence was ROUND 1
+# (text_stats / union_by_name / wide_projection / window_topk_per_group
+# rotate in next round).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) modified this round
@@ -21960,6 +22183,8 @@ _FIRST50: list[str] = [
     "image_decode_jpeg",
     "hits_purchase_graph",
     "encoding_artifact_audit",
+    "group_sequential_obf_audit",
+    "bandit_replay_eval",
     # --- (c) all 44 queries with round-1 evidence (oldest first)
     "anti_join_no_orders",
     "any_notnull_filter",
@@ -22001,8 +22226,6 @@ _FIRST50: list[str] = [
     "sort_limit_topk",
     "sort_offset",
     "text_quality_score",
-    "text_stats",
-    "union_by_name",
 ]
 
 

@@ -101,3 +101,102 @@ def test_encoding_artifact_known_values(spark, tmp_path):
     assert wiki["docs_latin1_artifact"] == 0
     assert wiki["non_ascii_chars"] == 5
     assert wiki["non_ascii_ppm"] == 1_000_000  # every char non-ascii
+
+
+def _events_table(rows):
+    """rows: (ts, user_id, event_type, value)."""
+    import datetime
+
+    return pa.table(
+        {
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_group_sequential_obf_known_values(spark, tmp_path):
+    """3 looks, hand-computed: day1 has arm B empty (z NULL), day2 is
+    balanced-null-ish, day3 crosses the final-look 1.959964 boundary."""
+    import datetime
+    import math
+
+    UTC = datetime.timezone.utc
+    d1 = datetime.datetime(2024, 1, 1, 9, tzinfo=UTC)
+    d2 = datetime.datetime(2024, 1, 2, 9, tzinfo=UTC)
+    d3 = datetime.datetime(2024, 1, 3, 9, tzinfo=UTC)
+    rows = []
+    # day1: only arm A (even users): 2 events, 1 purchase -> z NULL
+    rows += [(d1, 2, "purchase", 1.0), (d1, 4, "view", 1.0)]
+    # day2: A += 2 events 0 purch (na=4, xa=1); B: 4 events 1 purch
+    rows += [(d2, 2, "view", 1.0), (d2, 4, "view", 1.0)]
+    rows += [(d2, 1, "purchase", 1.0), (d2, 3, "view", 1.0),
+             (d2, 5, "view", 1.0), (d2, 7, "view", 1.0)]
+    # day3: A += 6 views (na=10, xa=1); B += 6 all purchases (nb=10, xb=7)
+    rows += [(d3, 2, "view", 1.0)] * 6
+    rows += [(d3, 1, "purchase", 1.0), (d3, 3, "purchase", 1.0),
+             (d3, 5, "purchase", 1.0), (d3, 7, "purchase", 1.0),
+             (d3, 9, "purchase", 1.0), (d3, 11, "purchase", 1.0)]
+    pq.write_table(_events_table(rows), str(tmp_path / "events.parquet"))
+    got = {
+        r["day"]: r.asDict()
+        for r in QS["group_sequential_obf_audit"](spark, str(tmp_path)).collect()
+    }
+    l1 = got["2024-01-01"]
+    assert (l1["na"], l1["xa"], l1["nb"], l1["xb"]) == (2, 1, 0, 0)
+    assert l1["z_stat"] is None and l1["crossed"] is None
+    l2 = got["2024-01-02"]
+    assert (l2["na"], l2["xa"], l2["nb"], l2["xb"]) == (4, 1, 4, 1)
+    # pa = pb -> z exactly 0; boundary = 1.959964/sqrt(8/20)
+    assert l2["z_stat"] == 0.0
+    assert l2["obf_boundary"] == round(1.959964 / math.sqrt(8 / 20), 6)
+    assert bool(l2["crossed"]) is False
+    l3 = got["2024-01-03"]
+    assert (l3["na"], l3["xa"], l3["nb"], l3["xb"]) == (10, 1, 10, 7)
+    p = 8 / 20
+    z = (1 / 10 - 7 / 10) / math.sqrt(p * (1 - p) * (1 / 10 + 1 / 10))
+    assert abs(l3["z_stat"] - round(z, 6)) < 2e-6
+    assert l3["obf_boundary"] == 1.959964  # t = 1 at the final look
+    assert bool(l3["crossed"]) is True  # |z| ~ 2.7386 > 1.959964
+
+
+def test_bandit_replay_known_values(spark, tmp_path):
+    """Greedy replay, hand-traced: day1 all arms unseen -> optimistic
+    tie broken alphabetically; day2 exploits y's perfect day-1 rate and
+    is charged y's actual (losing) day-2 log; day3 only x is logged so
+    only x is matchable."""
+    import datetime
+
+    UTC = datetime.timezone.utc
+    d1 = datetime.datetime(2024, 2, 1, tzinfo=UTC)
+    d2 = datetime.datetime(2024, 2, 2, tzinfo=UTC)
+    d3 = datetime.datetime(2024, 2, 3, tzinfo=UTC)
+    WIN, LOSS = 250.0, 10.0
+    rows = []
+    rows += [(d1, 1, "x", LOSS), (d1, 2, "x", LOSS)]          # x: 0/2
+    rows += [(d1, 3, "y", WIN), (d1, 4, "y", WIN)]            # y: 2/2
+    rows += [(d2, 1, "x", WIN), (d2, 2, "x", LOSS), (d2, 3, "x", LOSS)]
+    rows += [(d2, 4, "y", LOSS)]                               # y: 0/1
+    rows += [(d3, 1, "x", WIN), (d3, 2, "x", WIN)]            # x only
+    pq.write_table(_events_table(rows), str(tmp_path / "events.parquet"))
+    got = {
+        r["day"]: r.asDict()
+        for r in QS["bandit_replay_eval"](spark, str(tmp_path)).collect()
+    }
+    g1 = got["2024-02-01"]
+    assert g1["chosen_arm"] == "x"  # optimistic tie, alphabetical
+    assert g1["prior_rate_ppm"] == 1_000_001
+    assert (g1["matched_plays"], g1["matched_wins"]) == (2, 0)
+    assert g1["day_reward_ppm"] == 0
+    g2 = got["2024-02-02"]
+    assert g2["chosen_arm"] == "y"  # prior 2/2 = 1e6 beats x's 0/2
+    assert g2["prior_rate_ppm"] == 1_000_000
+    assert (g2["matched_plays"], g2["matched_wins"]) == (1, 0)
+    assert g2["day_reward_ppm"] == 0
+    g3 = got["2024-02-03"]
+    assert g3["chosen_arm"] == "x"  # y not logged on day3
+    assert g3["prior_rate_ppm"] == 1 * 1_000_000 // 5  # x: 1 win / 5 plays
+    assert (g3["matched_plays"], g3["matched_wins"]) == (2, 2)
+    assert g3["day_reward_ppm"] == 1_000_000
