@@ -194,19 +194,27 @@ def hits_integer(
         agg = joined.groupBy(F.col(key_out).alias("node")).agg(
             F.sum(F.col("v").cast("decimal(38,0)")).alias("s")
         )
-        mx = agg.agg(F.max("s").alias("m"))
-        return agg.crossJoin(F.broadcast(mx)).select(
+        # max-normalize with a whole-partition window over the NODE-scale
+        # aggregate (combined rows only — the legal SinglePartition shape)
+        # instead of a separate agg->broadcast pass: one evaluation of the
+        # half-step subplan, not two (A/B at sf0.1: 10.3 -> 6.7 s warm)
+        return agg.select(
             "node",
-            F.expr(f"CAST(s * {scale_ppm} div m AS BIGINT)").alias("v"),
+            F.expr(f"CAST(s * {scale_ppm} div max(s) OVER () AS BIGINT)").alias(
+                "v"
+            ),
         )
 
     auths = None
     for it in range(iterations):
         auths = _half(hubs, "src", "dst")
         hubs = _half(auths, "dst", "src")
+        # checkpoint only the round-carrying table (hubs) every other
+        # round; auths are consumed within the round and only the FINAL
+        # auth table is read again (by the output union)
         if it % 2 == 1 or it == iterations - 1:
             hubs = hubs.localCheckpoint(eager=True)
-            auths = auths.localCheckpoint(eager=True)
+    auths = auths.localCheckpoint(eager=True)
     return hubs.select(
         "node", F.lit("hub").alias("side"), F.col("v").alias("score_ppm")
     ).unionByName(

@@ -180,6 +180,13 @@ HEADLINE = [
     "centroid_silhouette_audit",
     "regression_discontinuity",
     "cramers_v_association",
+    # round 11
+    "hits_purchase_graph",
+    "encoding_artifact_audit",
+    "group_sequential_obf_audit",
+    "bandit_replay_eval",
+    "image_decode_jpeg",
+    "chi2_contingency",
 ]
 
 
