@@ -7056,6 +7056,101 @@ def _hits_oracle_sql(iters: int = 4) -> str:
     )
 
 
+def _ppr_oracle_sql(iters: int = 8) -> str:
+    """Unrolled-iteration PERSONALIZED PageRank oracle (same mechanical
+    pattern as _pagerank_oracle_sql): teleport mass returns to the seed
+    set (customers with custkey % 97 == 0) instead of spreading
+    uniformly; non-seeds get 0 base."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+    nodes AS (
+      SELECT DISTINCT src AS node,
+             CASE WHEN src % 2 = 0 AND (src // 2) % 97 = 0
+                  THEN 1 ELSE 0 END AS is_seed
+      FROM edges),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS (
+      SELECT n.node, n.is_seed * 150000
+             + 850 * COALESCE(inc.s, 0) // 1000 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r // d.outdeg) AS s
+        FROM edges e JOIN r{i} p ON e.src = p.node
+                     JOIN outdeg d ON d.src = e.src
+        GROUP BY e.dst) inc ON n.node = inc.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node,
+           CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END AS side,
+           CAST(r AS BIGINT) AS rank_micro,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT node, r,
+                 ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rk
+          FROM r{iters})
+    WHERE rk <= 25"""
+    )
+
+
+@q("ppr_seeded_retrieval", _ppr_oracle_sql(8))
+def ppr_seeded_retrieval(spark, sf_dir):
+    """Personalized PageRank from a deterministic customer seed set
+    (custkey % 97 == 0) over the undirected customer<->supplier purchase
+    graph — the graph-retrieval primitive behind 'customers like these
+    also buy from' recommendations, and the personalized counterpart to
+    pagerank_purchases (global importance) and hits_purchase_graph
+    (two-sided importance): rank mass teleports back to the SEEDS, so
+    high scores mean 'close to the seed cohort', not 'globally central'.
+    8 fixed iterations in exact integer micro-units (the pagerank
+    recurrence with a seed-indicator base term); top 25 nodes with a
+    side label.
+
+    Scale shape (operators/graph.py:ppr_integer): pagerank's posture
+    plus one broadcast seed join per round (seed sets are small by
+    construction); TakeOrdered top-25 readout."""
+    from domanda_etl_spark.operators.graph import ppr_integer
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        orders.filter(F.col("o_custkey") % 97 == 0)
+        .select((F.col("o_custkey") * 2).alias("node"))
+        .distinct()
+    )
+    ranks = ppr_integer(edges, seeds, iterations=8)
+    # TakeOrdered top-25 FIRST (no node-scale global window), then the
+    # rank index over the 25 surviving rows only
+    top = ranks.orderBy(F.col("rank_micro").desc(), "node").limit(25)
+    w = Window.orderBy(F.col("rank_micro").desc(), "node")
+    return top.select(
+        "node",
+        F.when(F.col("node") % 2 == 1, "supplier")
+        .otherwise("customer")
+        .alias("side"),
+        "rank_micro",
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
 @q("hits_purchase_graph", _hits_oracle_sql(4))
 def hits_purchase_graph(spark, sf_dir):
     """HITS hubs-and-authorities on the bipartite customer->supplier
@@ -20231,6 +20326,8 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "domanda_unify_mini",
     "pagerank_purchases",
     "hits_purchase_graph",
+    "ppr_seeded_retrieval",
+    "lpa_modularity_audit",
     "csv_roundtrip",
     "json_roundtrip",
     "orc_roundtrip",
@@ -21260,6 +21357,170 @@ def label_propagation_communities(spark, sf_dir):
 
 
 @q(
+    "lpa_modularity_audit",
+    """
+    WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+    ed AS (
+      SELECT c_custkey AS a, c_custkey + d AS b
+      FROM customer, (SELECT unnest([1, 2, 3, 5, 8]) AS d), mx
+      WHERE c_custkey + d <= mx.m AND c_custkey // 20 = (c_custkey + d) // 20),
+    e AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+    l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e),
+    n1 AS (
+      SELECT e.a AS v, l.lbl AS nl, count(*) AS c
+      FROM e JOIN l0 l ON l.v = e.b GROUP BY 1, 2),
+    l1 AS (
+      SELECT v, nl AS lbl FROM (
+        SELECT v, nl, ROW_NUMBER() OVER (
+          PARTITION BY v ORDER BY c DESC, nl ASC) AS rn FROM n1)
+      WHERE rn = 1),
+    n2 AS (
+      SELECT e.a AS v, l.lbl AS nl, count(*) AS c
+      FROM e JOIN l1 l ON l.v = e.b GROUP BY 1, 2),
+    l2 AS (
+      SELECT v, nl AS lbl FROM (
+        SELECT v, nl, ROW_NUMBER() OVER (
+          PARTITION BY v ORDER BY c DESC, nl ASC) AS rn FROM n2)
+      WHERE rn = 1),
+    n3 AS (
+      SELECT e.a AS v, l.lbl AS nl, count(*) AS c
+      FROM e JOIN l2 l ON l.v = e.b GROUP BY 1, 2),
+    -- labels referenced three times below (self-join + degree rollup):
+    -- MATERIALIZED so DuckDB cannot triple the inlined LPA chain
+    lab AS MATERIALIZED (
+      SELECT v, nl AS lbl FROM (
+        SELECT v, nl, ROW_NUMBER() OVER (
+          PARTITION BY v ORDER BY c DESC, nl ASC) AS rn FROM n3)
+      WHERE rn = 1),
+    deg AS (SELECT a AS v, CAST(count(*) AS HUGEINT) AS d FROM e GROUP BY a),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS ne FROM e),
+    mc AS (
+      SELECT la.lbl AS c, CAST(count(*) AS HUGEINT) AS m_c
+      FROM e JOIN lab la ON la.v = e.a
+             JOIN lab lb ON lb.v = e.b AND lb.lbl = la.lbl
+      GROUP BY la.lbl),
+    dc AS (
+      SELECT la.lbl AS c, CAST(sum(d.d) AS HUGEINT) AS d_c
+      FROM lab la JOIN deg d ON d.v = la.v GROUP BY la.lbl),
+    num AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(COALESCE(mc.m_c, 0)) AS HUGEINT) AS internal_e,
+             CAST(sum(COALESCE(mc.m_c, 0) * tot.ne - dc.d_c * dc.d_c)
+                  AS HUGEINT) AS q_num
+      FROM dc LEFT JOIN mc ON mc.c = dc.c, tot)
+    SELECT CAST(tot.ne AS BIGINT) AS n_edges_directed,
+           num.n_communities,
+           CAST(num.internal_e AS BIGINT) AS internal_edges_directed,
+           CAST(CASE WHEN num.q_num >= 0
+                     THEN num.q_num * 1000000 // (tot.ne * tot.ne)
+                     ELSE -((-num.q_num) * 1000000 // (tot.ne * tot.ne))
+                END AS BIGINT) AS q_modularity_ppm
+    FROM num, tot
+    """,
+)
+def lpa_modularity_audit(spark, sf_dir):
+    """Newman modularity of the LPA communities — the audit that says
+    whether label propagation found REAL structure or noise (Q near 0 =
+    no better than random; the block-banded synthetic graph's planted
+    20-vertex blocks should score solidly positive).  Runs the SAME
+    deterministic 3-round synchronous LPA as label_propagation_communities
+    (its docstring has the tie-total-order construction), then
+    Q = SUM_c [ m_c/|E| - (d_c/|E|)^2 ] over the directed-double edge
+    list, cross-multiplied into one exact integer: q_ppm =
+    SUM_c(m_c*|E| - d_c^2) * 1e6 // |E|^2 with HUGEINT/decimal38
+    staging and SYMMETRIC (truncation-style) division on a possibly
+    negative numerator — DuckDB's // floors while Spark's div truncates,
+    so the negative branch is made explicit in both engines.
+
+    Scale shape: LPA's per-round partial aggs (edge list checkpointed
+    once, 6 consumers), then modularity needs one edge⋈label⋈label join
+    (shuffle on vertex — bucketable), one degree rollup, and a
+    community-bounded reduce to a single row."""
+    customer = _t(spark, sf_dir, "customer")
+    mx = customer.agg(F.max("c_custkey").alias("m"))
+    ed = (
+        customer.select("c_custkey")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_custkey").alias("a"),
+            F.explode(
+                F.array(*[F.col("c_custkey") + d for d in (1, 2, 3, 5, 8)])
+            ).alias("b"),
+            "m",
+        )
+        .filter(
+            (F.col("b") <= F.col("m"))
+            & (F.expr("a div 20") == F.expr("b div 20"))
+        )
+        .select("a", "b")
+    )
+    e = ed.unionByName(
+        ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        # loop-invariant, 6 consumers (label init + 3 rounds + degree +
+        # modularity join): materialize once
+    ).localCheckpoint(eager=True)
+    lbl = e.select(F.col("a").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    wv = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nl").asc())
+    for _ in range(3):
+        nb = (
+            e.join(lbl.select(F.col("v").alias("b"), "lbl"), "b")
+            .groupBy(F.col("a").alias("v"), F.col("lbl").alias("nl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lbl = (
+            nb.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("nl").alias("lbl"))
+        )
+    # labels consumed three times below: materialize the final round
+    lab = lbl.localCheckpoint(eager=True)
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    deg = e.groupBy(F.col("a").alias("v")).agg(
+        dd(F.count(F.lit(1))).alias("d")
+    )
+    tot = e.agg(dd(F.count(F.lit(1))).alias("ne"))
+    mc = (
+        e.join(lab.select(F.col("v").alias("a"), F.col("lbl").alias("la")), "a")
+        .join(lab.select(F.col("v").alias("b"), F.col("lbl").alias("lb2")), "b")
+        .filter(F.col("la") == F.col("lb2"))
+        .groupBy(F.col("la").alias("c"))
+        .agg(dd(F.count(F.lit(1))).alias("m_c"))
+    )
+    dc = (
+        lab.join(deg, "v")
+        .groupBy(F.col("lbl").alias("c"))
+        .agg(dd(F.sum("d")).alias("d_c"))
+    )
+    num = (
+        dc.join(mc, "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            dd(F.sum(F.coalesce(F.col("m_c"), F.lit(0)))).alias("internal_e"),
+            dd(
+                F.sum(
+                    F.coalesce(F.col("m_c"), F.lit(0).cast("decimal(38,0)"))
+                    * F.col("ne")
+                    - F.col("d_c") * F.col("d_c")
+                )
+            ).alias("q_num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(tot)).select(
+        F.col("ne").cast("long").alias("n_edges_directed"),
+        "n_communities",
+        F.col("internal_e").cast("long").alias("internal_edges_directed"),
+        F.expr(
+            "CAST(CASE WHEN q_num >= 0"
+            " THEN q_num * 1000000 div (ne * ne)"
+            " ELSE -((-q_num) * 1000000 div (ne * ne)) END AS BIGINT)"
+        ).alias("q_modularity_ppm"),
+    )
+
+
+@q(
     "resource_allocation_linkpred",
     """
     WITH e0 AS (
@@ -22177,9 +22438,10 @@ def cramers_v_association(spark, sf_dir):
 # image_decode_jpeg — the baseline-JPEG codec, hits_purchase_graph —
 # integer HITS, encoding_artifact_audit — mojibake curation audit,
 # group_sequential_obf_audit — peeking-safe A/B stopping boundaries,
-# bandit_replay_eval — offline policy replay) + the 40 alphabetically-
-# first of the 44 queries whose newest driver evidence was ROUND 1
-# (text_stats / union_by_name / wide_projection / window_topk_per_group
+# bandit_replay_eval — offline policy replay, ppr_seeded_retrieval —
+# personalized PageRank) + the 39 alphabetically-first of the 44 queries
+# whose newest driver evidence was ROUND 1 (text_quality_score /
+# text_stats / union_by_name / wide_projection / window_topk_per_group
 # rotate in next round).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
@@ -22193,6 +22455,8 @@ _FIRST50: list[str] = [
     "encoding_artifact_audit",
     "group_sequential_obf_audit",
     "bandit_replay_eval",
+    "ppr_seeded_retrieval",
+    "lpa_modularity_audit",
     # --- (c) all 44 queries with round-1 evidence (oldest first)
     "anti_join_no_orders",
     "any_notnull_filter",
@@ -22232,8 +22496,6 @@ _FIRST50: list[str] = [
     "set_union",
     "similarity_topk_bruteforce",
     "sort_limit_topk",
-    "sort_offset",
-    "text_quality_score",
 ]
 
 

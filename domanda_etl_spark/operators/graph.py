@@ -222,3 +222,76 @@ def hits_integer(
             "node", F.lit("auth").alias("side"), F.col("v").alias("score_ppm")
         )
     )
+
+
+def ppr_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    damping_milli: int = 850,
+    init_micro: int = 1_000_000,
+) -> DataFrame:
+    """Personalized PageRank in exact integer arithmetic — the graph-
+    retrieval primitive behind 'people who bought X' recommendations:
+    identical recurrence to pagerank_integer except the teleport mass
+    returns to the SEED set instead of spreading uniformly, so rank
+    concentrates in the seeds' neighborhoods.
+
+    r0(v) = init_micro * [v in seeds];
+    r'(v) = (1000 - damping_milli) * init_micro // 1000 * [v in seeds]
+          + damping_milli * SUM_{u->v}(r(u) // outdeg(u)) // 1000.
+
+    `seeds` is a DataFrame with a `node` column (deduplicated here).
+    Scale shape identical to pagerank_integer: edge list + outdeg folded
+    and checkpointed once; per round one edge-side shuffle join + one
+    partial-agg groupBy(dst) + one node-scale left join; the seed table
+    is broadcast (seed sets are small by construction).  Returns
+    (node, rank_micro)."""
+    e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
+        .localCheckpoint(eager=True)
+    )
+    base = (1000 - damping_milli) * init_micro // 1000
+    sd = seeds.select("node").distinct().withColumn(
+        "b", F.lit(base).cast("long")
+    )
+    ranks = (
+        nodes.join(F.broadcast(sd), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("b").isNotNull(), F.lit(init_micro))
+            .otherwise(0)
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    for it in range(iterations):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst"), F.expr("r div outdeg").alias("c")
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            .join(F.broadcast(sd), "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("b"), F.lit(0))
+                    + F.expr(f"{damping_milli} * coalesce(s, 0L) div 1000")
+                ).cast("long").alias("r"),
+            )
+        )
+        if it % 2 == 1 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_micro"))

@@ -200,3 +200,111 @@ def test_bandit_replay_known_values(spark, tmp_path):
     assert g3["prior_rate_ppm"] == 1 * 1_000_000 // 5  # x: 1 win / 5 plays
     assert (g3["matched_plays"], g3["matched_wins"]) == (2, 2)
     assert g3["day_reward_ppm"] == 1_000_000
+
+
+def test_ppr_known_values(spark, tmp_path):
+    """Seeds concentrate rank: same tiny bipartite graph as the HITS
+    test plus customer 97 (a seed, custkey % 97 == 0) attached only to
+    supplier 1. The expected ranks come from an independent Python
+    re-derivation of the integer recurrence (exact bigint floor math,
+    8 iterations) — and structurally, the seed must hold the top rank,
+    its only neighbor s1 must outrank s2, and NON-seed customers get
+    rank only via even-length paths from the seed."""
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 20, 30, 40], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 3, 97], pa.int64()),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([10, 11, 20, 30, 40], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 1, 2, 1], pa.int64()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(lineitem, str(tmp_path / "lineitem.parquet"))
+
+    # independent re-derivation: undirected edges, node ids 2c / 2s+1
+    pairs = {(2, 3), (2, 5), (4, 3), (6, 5), (194, 3)}
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    seeds = {194}
+    r = {n: 1_000_000 if n in seeds else 0 for n in nodes}
+    for _ in range(8):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += r[s] // outdeg[s]
+        r = {
+            n: (150_000 if n in seeds else 0) + 850 * inc[n] // 1000
+            for n in nodes
+        }
+    expect = sorted(nodes, key=lambda n: (-r[n], n))
+
+    rows = QS["ppr_seeded_retrieval"](spark, str(tmp_path)).collect()
+    got = {x["node"]: x for x in rows}
+    assert [x["node"] for x in sorted(rows, key=lambda x: x["rk"])] == expect
+    for n in nodes:
+        assert got[n]["rank_micro"] == r[n], n
+    # structure: the top two ranks are the seed's 1-hop neighbor s1
+    # (degree 4, receives the seed's FULL outflow every round — the
+    # seed's out-degree is 1) and the seed itself; s1 beats s2, which
+    # has no seed edge
+    assert set(expect[:2]) == {194, 3}
+    assert r[3] > r[5]
+    assert got[194]["side"] == "customer" and got[3]["side"] == "supplier"
+
+
+def test_lpa_modularity_known_values(spark, tmp_path):
+    """Planted 20-vertex blocks (custkeys 1..45 -> blocks {1..19},
+    {20..39}, {40..45}): expected Q from an independent pure-Python
+    re-derivation of the SAME deterministic LPA + modularity integer
+    math; structurally Q must be solidly positive (planted structure)
+    and every quantity exact."""
+    custkeys = list(range(1, 46))
+    t = pa.table({"c_custkey": pa.array(custkeys, pa.int64())})
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+
+    # independent re-derivation
+    m = max(custkeys)
+    ed = [
+        (a, a + d)
+        for a in custkeys
+        for d in (1, 2, 3, 5, 8)
+        if a + d <= m and a // 20 == (a + d) // 20
+    ]
+    e = ed + [(b, a) for a, b in ed]
+    verts = sorted({v for p in e for v in p})
+    lbl = {v: v for v in verts}
+    for _ in range(3):
+        cnt = {}
+        for a, b in e:
+            cnt.setdefault(a, {}).setdefault(lbl[b], 0)
+            cnt[a][lbl[b]] += 1
+        lbl = {
+            v: min(
+                (nl for nl in cnt[v] if cnt[v][nl] == max(cnt[v].values()))
+            )
+            for v in verts
+        }
+    ne = len(e)
+    deg = {v: sum(1 for a, _ in e if a == v) for v in verts}
+    comms = sorted(set(lbl.values()))
+    m_c = {
+        c: sum(1 for a, b in e if lbl[a] == c and lbl[b] == c) for c in comms
+    }
+    d_c = {c: sum(deg[v] for v in verts if lbl[v] == c) for c in comms}
+    q_num = sum(m_c[c] * ne - d_c[c] * d_c[c] for c in comms)
+    q_ppm = (
+        q_num * 1_000_000 // (ne * ne)
+        if q_num >= 0
+        else -((-q_num) * 1_000_000 // (ne * ne))
+    )
+
+    [r] = QS["lpa_modularity_audit"](spark, str(tmp_path)).collect()
+    assert r["n_edges_directed"] == ne
+    assert r["n_communities"] == len(comms)
+    assert r["internal_edges_directed"] == sum(m_c.values())
+    assert r["q_modularity_ppm"] == q_ppm
+    assert q_ppm > 200_000  # planted blocks -> solidly positive Q
