@@ -187,6 +187,8 @@ HEADLINE = [
     "bandit_replay_eval",
     "image_decode_jpeg",
     "chi2_contingency",
+    "ppr_seeded_retrieval",
+    "lpa_modularity_audit",
 ]
 
 
