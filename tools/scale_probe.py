@@ -252,6 +252,9 @@ def main():
             "pagerank_purchases",
             "resource_allocation_linkpred",
             "degree_assortativity",
+            # round-11 additions (same orders+lineitem purchase graph)
+            "hits_purchase_graph",
+            "ppr_seeded_retrieval",
         ]
         for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
