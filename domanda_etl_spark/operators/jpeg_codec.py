@@ -3,13 +3,22 @@ multimodal decode hole (VERDICT r10 "What's missing #3"): PNG has been
 real since round 8 (`png_codec.py`), JPEG raised NotImplementedError.
 
 Everything here is from the public ITU-T T.81 spec: sequential baseline
-DCT (SOF0), 8-bit samples, Huffman entropy coding with the Annex K
-typical tables, 4:4:4 and 4:2:0 subsampling, restart intervals
-(DRI/RSTn), JFIF framing.  Out of scope — and raising
-NotImplementedError naming the marker — are progressive (SOF2),
-arithmetic coding (SOF9+), lossless/hierarchical modes, and 12-bit
-precision.  A real deployment swaps libjpeg-turbo/PIL into
-`decode_image`, not into callers.
+DCT (SOF0) AND progressive DCT (SOF2 — spectral selection, successive
+approximation, EOB runs; decoder side complete, encoder emits a
+full-coverage scan script), 8-bit samples, Huffman entropy coding with
+the Annex K typical tables, 4:4:4 and 4:2:0 subsampling, restart
+intervals (DRI/RSTn), JFIF framing.  Out of scope — and raising
+NotImplementedError naming the marker — are arithmetic coding (SOF9+),
+lossless/hierarchical modes, and 12-bit precision.  A real deployment
+swaps libjpeg-turbo/PIL into `decode_image`, not into callers.
+
+Progressive correctness rests on two independent legs: (1) progressive
+transmission only REORDERS the quantized spectrum, so
+decode(encode_jpeg_progressive(img)) must equal
+decode(encode_jpeg(img)) pixel-for-pixel — asserted over random images;
+(2) real libjpeg-produced progressive files (with the custom EOBn
+Huffman tables our encoder doesn't emit) decode with correct geometry
+and plausible content.
 
 Like the PNG codec, this is an exactness-first reference decoder, not a
 throughput decoder: the per-block loops are Python/numpy and fine for
@@ -448,9 +457,10 @@ def encode_jpeg(
 
 # ---------------------------------------------------------------- decoder
 
-_NOT_BASELINE = {
+# ---------------------------------------------------------------- decoder
+
+_NOT_SUPPORTED = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -465,10 +475,19 @@ _NOT_BASELINE = {
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Decode a baseline JPEG into {width, height, mode, pixels}.
-    mode 'L' (1 component) or 'RGB' (3 components, JFIF YCbCr).
-    Non-baseline modes raise NotImplementedError naming the marker;
-    malformed framing raises ValueError naming the field."""
+    """Decode a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG into
+    {width, height, mode, pixels}.  mode 'L' (1 component) or 'RGB'
+    (3 components, JFIF YCbCr).
+
+    Architecture: every scan — the single full-band scan of a baseline
+    stream, or the DC/AC spectral-selection and successive-approximation
+    scans of a progressive stream — decodes into per-component
+    COEFFICIENT PLANES (zigzag-order int32, one 64-vector per block);
+    reconstruction (dequantize, IDCT, upsample, color transform) runs
+    once at EOI over the completed planes, vectorized across all blocks.
+    Arithmetic-coded, lossless, hierarchical and 12-bit modes raise
+    NotImplementedError naming the mode; malformed framing raises
+    ValueError naming the field."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -476,8 +495,9 @@ def decode_jpeg(data: bytes) -> dict:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    coefs: list[np.ndarray] | None = None
     restart_interval = 0
-    pixels = None
+    saw_scan = False
 
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -494,9 +514,10 @@ def decode_jpeg(data: bytes) -> dict:
         if pos + seglen > len(data):
             raise ValueError(f"truncated segment 0xFF{marker:02X}")
         body = data[pos + 2 : pos + seglen]
-        if marker in _NOT_BASELINE:
+        if marker in _NOT_SUPPORTED:
             raise NotImplementedError(
-                f"only baseline JPEG (SOF0) is supported; got {_NOT_BASELINE[marker]}"
+                "only baseline (SOF0) and progressive (SOF2) JPEG are "
+                f"supported; got {_NOT_SUPPORTED[marker]}"
             )
         if marker == 0xDB:  # DQT (may hold several tables)
             bp = 0
@@ -504,6 +525,8 @@ def decode_jpeg(data: bytes) -> dict:
                 pq, tq = body[bp] >> 4, body[bp] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quantization tables (12-bit JPEG)")
+                if bp + 65 > len(body):
+                    raise ValueError("truncated DQT")
                 zz = np.frombuffer(body[bp + 1 : bp + 65], dtype=np.uint8).astype(np.int64)
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[ZIGZAG] = zz
@@ -515,10 +538,12 @@ def decode_jpeg(data: bytes) -> dict:
                 tc, th = body[bp] >> 4, body[bp] & 0x0F
                 bits = list(body[bp + 1 : bp + 17])
                 n = sum(bits)
+                if bp + 17 + n > len(body):
+                    raise ValueError("truncated DHT")
                 vals = list(body[bp + 17 : bp + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _build_decoder(bits, vals)
                 bp += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -526,7 +551,22 @@ def decode_jpeg(data: bytes) -> dict:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": mcus_x, "mcus_y": mcus_y,
+                "progressive": marker == 0xC2,
+            }
+            # zigzag-order coefficient planes sized to the INTERLEAVED
+            # grid (>= any non-interleaved scan's own grid)
+            coefs = [
+                np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -536,93 +576,474 @@ def decode_jpeg(data: bytes) -> dict:
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            pixels, pos = _decode_scan(
-                data, pos + seglen, frame, scan, qtabs, dc_tabs, ac_tabs,
-                restart_interval,
+                ci = next(
+                    j for j, c in enumerate(frame["comps"]) if c["id"] == cs
+                )
+                scan.append((ci, frame["comps"][ci], tt >> 4, tt & 0x0F))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            pos = _decode_scan_into(
+                data, pos + seglen, frame, scan, ss, se, ah, al,
+                coefs, dc_tabs, ac_tabs, restart_interval,
             )
+            saw_scan = True
             continue  # pos already advanced past entropy data
         # APPn/COM/others: skip
         pos += seglen
 
-    if pixels is None:
+    if not saw_scan:
         raise ValueError("no scan decoded (missing SOS)")
-    return pixels
+    return _reconstruct(frame, coefs, qtabs)
 
 
-def _decode_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, restart_interval):
-    comps = [s[0] for s in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    h, w = frame["h"], frame["w"]
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64)
-        for c in comps
-    ]
+def _decode_block_into(br, zz, pred, td, ta, ss, se, ah, al, dc_tabs, ac_tabs, state):
+    """Decode one data unit's contribution for the current scan into the
+    block's zigzag coefficient vector `zz`.  Returns the updated DC
+    predictor.  `state` carries the scan-wide EOBRUN (progressive AC)."""
+    if ss == 0:
+        if ah == 0:  # DC first (progressive) or baseline DC
+            t = br.decode_symbol(dc_tabs[td])
+            diff = _extend(br.read_bits(t), t)
+            pred += diff
+            zz[0] = pred << al
+        else:  # DC refinement: one raw bit per block
+            if br.read_bit():
+                zz[0] |= 1 << al
+        if se == 0:
+            return pred
+        k = 1
+    else:
+        k = ss
+    # AC coefficients
+    if ah == 0:
+        # baseline AC (ss==0, al==0) or progressive AC-first band
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return pred
+        while k <= se:
+            rs = br.decode_symbol(ac_tabs[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOB (baseline) / EOBn run (progressive AC scans)
+                if r:
+                    state["eobrun"] = (1 << r) - 1 + br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        return pred
+    # AC refinement (T.81 G.2 / the public libjpeg algorithm)
+    p1, m1 = 1 << al, -(1 << al)
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = br.decode_symbol(ac_tabs[ta])
+            r, s = rs >> 4, rs & 0x0F
+            new = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                new = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit():
+                        if (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if new and k <= se:
+                zz[k] = new
+            k += 1
+    if state["eobrun"] > 0:
+        # remainder of the band: correction bits on nonzero history only
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit():
+                    if (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+    return pred
+
+
+def _decode_scan_into(data, pos, frame, scan, ss, se, ah, al, coefs,
+                      dc_tabs, ac_tabs, restart_interval):
+    """Decode one SOS's entropy segment into the coefficient planes.
+    Interleaved (Ns > 1) scans traverse MCUs with per-component sampling
+    factors; single-component scans traverse that component's OWN block
+    grid (T.81 non-interleaved order).  Returns the position of the next
+    marker."""
     br = _BitReader(data, pos)
-    preds = [0] * len(comps)
+    preds = [0] * len(scan)
+    state = {"eobrun": 0}
     rst = 0
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart(rst % 8)
-                rst += 1
-                preds = [0] * len(comps)
-            for ci, (comp, td, ta) in enumerate(scan):
-                q = qtabs[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = br.decode_symbol(dc_tabs[td])
-                        diff = _extend(br.read_bits(t), t)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_symbol(ac_tabs[ta])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * q.reshape(64)[ZIGZAG]
-                        block = _A.T @ coef.reshape(8, 8) @ _A + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-    # skip any pad bits, leave pos at the next marker (EOI usually)
+    n_units = 0
+
+    def maybe_restart():
+        nonlocal rst, preds, n_units
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            br.sync_restart(rst % 8)
+            rst += 1
+            preds = [0] * len(scan)
+            state["eobrun"] = 0
+
+    if len(scan) > 1:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                maybe_restart()
+                for si, (ci, comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz = coefs[ci][my * comp["v"] + by, mx * comp["h"] + bx]
+                            preds[si] = _decode_block_into(
+                                br, zz, preds[si], td, ta, ss, se, ah, al,
+                                dc_tabs, ac_tabs, state,
+                            )
+                n_units += 1
+    else:
+        ci, comp, td, ta = scan[0]
+        cw = (frame["w"] * comp["h"] + frame["hmax"] - 1) // frame["hmax"]
+        ch = (frame["h"] * comp["v"] + frame["vmax"] - 1) // frame["vmax"]
+        bw, bh = (cw + 7) // 8, (ch + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                zz = coefs[ci][by, bx]
+                preds[0] = _decode_block_into(
+                    br, zz, preds[0], td, ta, ss, se, ah, al,
+                    dc_tabs, ac_tabs, state,
+                )
+                n_units += 1
+    # skip pad bits/bytes; leave pos at the next marker
     end = br.pos
     while end + 1 < len(data) and not (
         data[end] == 0xFF and data[end + 1] not in (0x00,)
     ):
         end += 1
+    return end
 
-    # upsample to full resolution and crop
+
+def _reconstruct(frame, coefs, qtabs):
+    """Dequantize + IDCT + upsample + color transform over the completed
+    coefficient planes, vectorized across all blocks per component."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
-    for ci, comp in enumerate(comps):
-        p = planes[ci]
+    for ci, comp in enumerate(frame["comps"]):
+        zz = coefs[ci].astype(np.float64)  # (bh, bw, 64) zigzag order
+        q = qtabs[comp["tq"]].reshape(64)
+        raster = np.zeros_like(zz)
+        raster[:, :, ZIGZAG] = zz * q[ZIGZAG]
+        bh, bw = raster.shape[:2]
+        blocks = raster.reshape(bh, bw, 8, 8)
+        # block = A.T @ C @ A for every block at once
+        px = np.einsum("ab,ijbc,cd->ijad", _A.T, blocks, _A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return {"width": w, "height": h, "mode": "L", "pixels": px[:, :, None]}, end
+        return {"width": w, "height": h, "mode": "L", "pixels": px[:, :, None]}
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     px = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
-    return {"width": w, "height": h, "mode": "RGB", "pixels": px}, end
+    return {"width": w, "height": h, "mode": "RGB", "pixels": px}
+
+
+# ------------------------------------------------------- progressive encoder
+
+def _quantized_planes(arr, subsampling):
+    """Shared forward path for the progressive encoder: color transform,
+    subsample, pad, FDCT, quantize — returning per-component ZIGZAG
+    coefficient planes (bh, bw, 64) plus frame geometry.  Mirrors
+    encode_jpeg's prep exactly so baseline and progressive streams carry
+    identical quantized spectra (the exactness lever the tests use)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"expected HxW or HxWx3, got {a.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"subsampling {subsampling}")
+    if gray:
+        subsampling = "4:4:4"
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+    sub420 = subsampling == "4:2:0" and not gray
+    samp = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    qtabs = [STD_LUMA_Q] + ([STD_CHROMA_Q] if not gray else [])
+    coef_planes = []
+    for ci, p in enumerate(planes):
+        hi, vi = samp[ci]
+        if sub420 and ci > 0:
+            ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            p = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+        cw, chh = mcus_x * 8 * hi, mcus_y * 8 * vi
+        p = np.round(
+            np.pad(p, ((0, chh - p.shape[0]), (0, cw - p.shape[1])), mode="edge")
+        )
+        q = qtabs[0 if ci == 0 else 1]
+        bh, bw = chh // 8, cw // 8
+        zz = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                coefq = _fdct_quant(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q)
+                zz[by, bx] = coefq.reshape(64)[ZIGZAG].astype(np.int32)
+        coef_planes.append(zz)
+    return gray, samp, h, w, mcus_x, mcus_y, coef_planes
+
+
+class _ProgressiveACEmitter:
+    """Scan-wide EOBRUN + buffered-correction-bit state for progressive
+    AC scans (T.81 G.1.2.2-3; the public libjpeg emission discipline:
+    every Huffman symbol is followed by the correction bits buffered
+    since the previous symbol)."""
+
+    def __init__(self, bw: _BitWriter, codes: dict) -> None:
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.be: list[int] = []
+
+    def symbol(self, sym: int) -> None:
+        ln, cd = self.codes[sym]
+        self.bw.write(cd, ln)
+
+    def flush_be(self) -> None:
+        for b in self.be:
+            self.bw.write(b, 1)
+        self.be = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.symbol(r << 4)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self.flush_be()
+
+    def bump_eobrun(self) -> None:
+        self.eobrun += 1
+        # the Annex K tables define only EOB0 (0x00) and ZRL (0xF0) — the
+        # EOBn run symbols (0x10..0xE0) need the custom tables real
+        # progressive encoders ship.  Cap runs at 1 so every EOB emits as
+        # EOB0: less compact, fully valid syntax.  The decoder's
+        # multi-block EOBRUN path is exercised by real libjpeg files
+        # (tests decode several), just not by our own encoder.
+        if self.eobrun == 1:
+            self.emit_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, subsampling: str = "4:4:4") -> bytes:
+    """Encode a uint8 array as a PROGRESSIVE (SOF2) JFIF JPEG carrying
+    the SAME quantized spectrum as encode_jpeg's baseline stream, via a
+    scan script that exercises every progressive decode path: an
+    interleaved first DC scan at Al=1, a DC refinement scan, per-
+    component spectral-selection AC first scans (bands 1-5 and 6-63,
+    Al=1, EOBRUN coding), and per-component AC refinement scans
+    (correction bits + newly-significant coefficients).  Because
+    progressive transmission only REORDERS the coefficients,
+    decode(encode_jpeg_progressive(img)) must equal
+    decode(encode_jpeg(img)) pixel-for-pixel — the exact cross-check
+    the tests assert."""
+    gray, samp, h, w, mcus_x, mcus_y, coefs = _quantized_planes(arr, subsampling)
+    ncomp = len(coefs)
+    dc_codes = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_codes = [_build_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        dc_codes.append(_build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_codes.append(_build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt(0, STD_LUMA_Q)
+    if not gray:
+        out += _dqt(1, STD_CHROMA_Q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    out += _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def sos_header(comp_ids, tds_tas, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, tt in zip(comp_ids, tds_tas):
+            body += bytes([cid, tt])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def comp_grid(ci):
+        hi, vi = samp[ci]
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos_header(
+        list(range(1, ncomp + 1)),
+        [(0 if ci == 0 else 1) << 4 for ci in range(ncomp)],
+        0, 0, 0, 1,
+    )
+    bw_ = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                ti = 0 if ci == 0 else 1
+                for by in range(samp[ci][1]):
+                    for bx in range(samp[ci][0]):
+                        dc_t = int(coefs[ci][my * samp[ci][1] + by,
+                                             mx * samp[ci][0] + bx, 0]) >> 1
+                        t, bits = _magnitude(dc_t - preds[ci])
+                        ln, cd = dc_codes[ti][t]
+                        bw_.write(cd, ln)
+                        if t:
+                            bw_.write(bits, t)
+                        preds[ci] = dc_t
+    out += bw_.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0) — one raw bit per data unit
+    out += sos_header(
+        list(range(1, ncomp + 1)), [0] * ncomp, 0, 0, 1, 0
+    )
+    bw_ = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                for by in range(samp[ci][1]):
+                    for bx in range(samp[ci][0]):
+                        bw_.write(int(coefs[ci][my * samp[ci][1] + by,
+                                                mx * samp[ci][0] + bx, 0]) & 1, 1)
+    out += bw_.flush()
+
+    # per component: AC first scans (Al=1) then AC refinement (Ah=1,Al=0)
+    bands = [(1, 5), (6, 63)]
+    for ss, se in bands:
+        for ci in range(ncomp):
+            ti = 0 if ci == 0 else 1
+            out += sos_header([ci + 1], [ti], ss, se, 0, 1)
+            bw_ = _BitWriter()
+            em = _ProgressiveACEmitter(bw_, ac_codes[ti])
+            bh, bwid = comp_grid(ci)
+            for by in range(bh):
+                for bx in range(bwid):
+                    zz = coefs[ci][by, bx]
+                    v = [
+                        (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> 1)
+                        for k in range(ss, se + 1)
+                    ]
+                    last = max((i for i, x in enumerate(v) if x != 0), default=-1)
+                    if last < 0:
+                        em.bump_eobrun()
+                        continue
+                    em.emit_eobrun()
+                    r = 0
+                    for i in range(last + 1):
+                        if v[i] == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            em.symbol(0xF0)
+                            r -= 16
+                        t, bits = _magnitude(v[i])
+                        em.symbol((r << 4) | t)
+                        bw_.write(bits, t)
+                        r = 0
+                    if last < se - ss:
+                        em.bump_eobrun()
+            em.emit_eobrun()
+            out += bw_.flush()
+    for ss, se in bands:
+        for ci in range(ncomp):
+            ti = 0 if ci == 0 else 1
+            out += sos_header([ci + 1], [ti], ss, se, 1, 0)
+            bw_ = _BitWriter()
+            em = _ProgressiveACEmitter(bw_, ac_codes[ti])
+            bh, bwid = comp_grid(ci)
+            for by in range(bh):
+                for bx in range(bwid):
+                    zz = coefs[ci][by, bx]
+                    absv = [abs(int(zz[k])) for k in range(ss, se + 1)]
+                    # last NEWLY-significant coefficient in this pass
+                    last_new = max(
+                        (i for i, x in enumerate(absv) if x == 1), default=-1
+                    )
+                    r = 0
+                    pending: list[int] = []
+                    emitted_any = False
+                    for i in range(len(absv)):
+                        t = absv[i]
+                        if t == 0:
+                            r += 1
+                            continue
+                        # ZRL flush runs at EVERY nonzero arrival (history
+                        # included) — libjpeg's structure.  This keeps any
+                        # buffered correction bit within 15 zeros of its
+                        # symbol, so the decoder's 16-zero ZRL skip always
+                        # consumes the whole buffer (flushing only at
+                        # newly-significant arrivals lets a history bit sit
+                        # beyond the ZRL window and desyncs the stream).
+                        while r > 15 and i <= last_new:
+                            em.emit_eobrun()
+                            em.symbol(0xF0)
+                            r -= 16
+                            em.be.extend(pending)
+                            pending = []
+                            em.flush_be()
+                        if t > 1:
+                            # history coefficient: buffer its correction bit
+                            pending.append(t & 1)
+                            continue
+                        # newly significant (|coef| == 1 at this precision)
+                        em.emit_eobrun()
+                        em.symbol((r << 4) | 1)
+                        bw_.write(1 if zz[ss + i] > 0 else 0, 1)
+                        em.be.extend(pending)
+                        pending = []
+                        em.flush_be()
+                        r = 0
+                        emitted_any = True
+                    if r > 0 or pending:
+                        em.be.extend(pending)
+                        em.bump_eobrun()
+                    elif not emitted_any:
+                        em.bump_eobrun()
+            em.emit_eobrun()
+            out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

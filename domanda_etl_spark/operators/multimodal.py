@@ -91,11 +91,12 @@ def frame_extract(
 
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Image decode.  PNG payloads are decoded FOR REAL by the pure-
-    stdlib codec in `png_codec` (zlib + scanline unfiltering), baseline
-    JPEG payloads by the pure-stdlib codec in `jpeg_codec` (Huffman +
-    dequant + IDCT, 4:4:4/4:2:0, restart markers) — no media library
+    stdlib codec in `png_codec` (zlib + scanline unfiltering), JPEG
+    payloads — baseline AND progressive — by the pure-stdlib codec in
+    `jpeg_codec` (Huffman + spectral selection/successive approximation
+    + dequant + IDCT, 4:4:4/4:2:0, restart markers) — no media library
     needed for either.  The deterministic fake path is kept for the
-    legacy fixtures.  Progressive/arithmetic JPEG and other formats
+    legacy fixtures.  Arithmetic-coded/lossless JPEG and other formats
     still raise (NotImplementedError names the mode); a real deployment
     swaps PIL/libvips in here without touching the mapInPandas
     plumbing."""

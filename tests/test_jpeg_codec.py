@@ -12,8 +12,13 @@ Coverage strategy (JPEG is lossy, so exactness needs care):
   and 4:2:0-style framing none of our encoder paths produce) is
   embedded below — parsing it proves the decoder reads real-world
   streams, not just its own encoder's output.
-- Honest failure modes: progressive/arithmetic/12-bit raise
-  NotImplementedError naming the mode; truncation raises ValueError.
+- PROGRESSIVE (SOF2, round 11): decode(progressive_encode(img)) must
+  equal decode(baseline_encode(img)) pixel-for-pixel (progressive only
+  reorders the quantized spectrum) — fixed cases + a hypothesis
+  property; plus a real libjpeg progressive file from Spark's own
+  distribution.
+- Honest failure modes: arithmetic/12-bit raise NotImplementedError
+  naming the mode; truncation raises ValueError.
 """
 
 from __future__ import annotations
@@ -165,13 +170,45 @@ def test_decodes_real_libjpeg_file():
     )
 
 
-def test_progressive_raises_named():
-    img = np.full((8, 8), 128, np.uint8)
-    blob = bytearray(encode_jpeg(img))
-    i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(blob))
+def test_progressive_equals_baseline_fixed():
+    """Progressive transmission only reorders the quantized spectrum, so
+    the two encoders' streams must decode to IDENTICAL pixels — the
+    exact cross-check that validates both the SOF2 decoder and the
+    progressive scan-script encoder (DC Al=1 + refinement, per-band AC
+    first scans, AC refinement with buffered correction bits)."""
+    from domanda_etl_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(7)
+    for shape, sub in [
+        ((24, 24), "4:4:4"),
+        ((19, 21, 3), "4:2:0"),
+        ((16, 16, 3), "4:4:4"),
+        ((1, 2), "4:4:4"),
+    ]:
+        img = rng.randint(0, 256, shape, np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))["pixels"]
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))["pixels"]
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_decodes_real_progressive_files():
+    """Real libjpeg-produced PROGRESSIVE files (custom EOBn Huffman
+    tables, multi-scan successive approximation none of our encoder
+    paths produce).  Spark's own distribution ships one, so the path is
+    stable in this environment; skip gracefully elsewhere."""
+    import os
+
+    path = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("Spark mllib test image not present")
+    d = decode_jpeg(open(path, "rb").read())
+    assert (d["width"], d["height"], d["mode"]) == (300, 215, "L")
+    px = d["pixels"].astype(int)
+    assert 100 < px.mean() < 200  # photographic content, not garbage
+    assert px.std() > 20
 
 
 def test_arithmetic_raises_named():
@@ -267,3 +304,23 @@ def test_jpeg_dc_exact_property(bh, bw, seed):
     img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
     d = decode_jpeg(encode_jpeg(img))
     assert np.array_equal(d["pixels"][:, :, 0], img)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    color=st.booleans(),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+)
+def test_progressive_equals_baseline_property(h, w, seed, color, sub):
+    """Property form of the progressive==baseline exactness: any random
+    image, any dims (crops included), gray or RGB, either subsampling."""
+    from domanda_etl_spark.operators.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3) if color else (h, w), np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsampling=sub))["pixels"]
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))["pixels"]
+    assert np.array_equal(base, prog)
