@@ -3518,6 +3518,46 @@ def image_decode_jpeg(spark, sf_dir):
 
 
 @q(
+    "image_decode_jpeg_progressive",
+    """
+    WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding[1:4],
+               x -> 64 + 2 * least(63, greatest(0,
+                    CAST(floor((CAST(x AS DOUBLE) + 1.0) * 31.5) AS BIGINT))))
+               AS v
+      FROM embeddings)
+    SELECT id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           'L' AS mode,
+           CAST(v[1] AS BIGINT) AS b0, CAST(v[2] AS BIGINT) AS b1,
+           CAST(v[3] AS BIGINT) AS b2, CAST(v[4] AS BIGINT) AS b3,
+           CAST(64 * (v[1] + v[2] + v[3] + v[4]) AS BIGINT) AS px_sum
+    FROM q
+    """,
+)
+def image_decode_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG decode end-to-end (round 11, the same
+    pure-stdlib codec): identical DC-exact quadrant payloads as
+    image_decode_jpeg but transmitted as a multi-scan progressive
+    stream — interleaved first DC scan at Al=1, a DC refinement scan,
+    per-band spectral-selection AC scans, and AC refinement passes with
+    buffered correction bits.  Progressive transmission only REORDERS
+    the quantized spectrum, so the decoded pixels — and therefore the
+    oracle — are byte-identical to the baseline query's: one desynced
+    refinement bit or mis-ordered scan breaks the same b0..b3/px_sum
+    hash.  Together the two queries give the driver first-run evidence
+    on BOTH JPEG entropy layouts.
+
+    Scale shape: identical to image_decode_jpeg — two Arrow-batched
+    mapInPandas map stages, zero shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    payload = multimodal.encode_embedding_jpeg(
+        emb, "vec_id", "embedding", progressive=True
+    )
+    return multimodal.image_jpeg_block_stats(payload, "id")
+
+
+@q(
     "image_resize_boxfilter",
     """
     WITH px AS (
@@ -22431,18 +22471,21 @@ def cramers_v_association(spark, sf_dir):
 # round; rotated-out greens stay under the identical driver-strict
 # local gate in tests/test_oracle_parity.py on every pytest run.
 #
-# Round-11 window: flagship + 9 added/modified (ipw_ate_estimate staged
-# its IPW numerator through decimal38/HUGEINT, regression_discontinuity
-# pre-staged its co-moment sums, lsh_s_curve_audit dropped its named
-# temp view, chi2_contingency completed its zero cells; NEW:
-# image_decode_jpeg — the baseline-JPEG codec, hits_purchase_graph —
-# integer HITS, encoding_artifact_audit — mojibake curation audit,
+# Round-11 window: flagship + 12 added/modified (MODIFIED:
+# ipw_ate_estimate staged its IPW numerator through decimal38/HUGEINT,
+# regression_discontinuity pre-staged its co-moment sums,
+# lsh_s_curve_audit dropped its named temp view, chi2_contingency
+# completed its zero cells; NEW: image_decode_jpeg +
+# image_decode_jpeg_progressive — the baseline/progressive JPEG codec,
+# hits_purchase_graph — integer HITS, ppr_seeded_retrieval —
+# personalized PageRank, lpa_modularity_audit — community-quality Q,
+# encoding_artifact_audit — mojibake curation audit,
 # group_sequential_obf_audit — peeking-safe A/B stopping boundaries,
-# bandit_replay_eval — offline policy replay, ppr_seeded_retrieval —
-# personalized PageRank) + the 39 alphabetically-first of the 44 queries
-# whose newest driver evidence was ROUND 1 (text_quality_score /
-# text_stats / union_by_name / wide_projection / window_topk_per_group
-# rotate in next round).
+# bandit_replay_eval — offline policy replay) + the 37 alphabetically-
+# first of the 44 queries whose newest driver evidence was ROUND 1
+# (sort_limit_topk / sort_offset / text_quality_score / text_stats /
+# union_by_name / wide_projection / window_topk_per_group rotate in
+# next round).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) modified this round
@@ -22451,6 +22494,7 @@ _FIRST50: list[str] = [
     "lsh_s_curve_audit",
     "chi2_contingency",
     "image_decode_jpeg",
+    "image_decode_jpeg_progressive",
     "hits_purchase_graph",
     "encoding_artifact_audit",
     "group_sequential_obf_audit",
@@ -22495,7 +22539,6 @@ _FIRST50: list[str] = [
     "set_intersect",
     "set_union",
     "similarity_topk_bruteforce",
-    "sort_limit_topk",
 ]
 
 

@@ -178,7 +178,9 @@ def encode_embedding_png(
     return df.select(id_col, vec_col).mapInPandas(compute, "id bigint, payload binary")
 
 
-def encode_embedding_jpeg(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def encode_embedding_jpeg(
+    df: DataFrame, id_col: str, vec_col: str, progressive: bool = False
+) -> DataFrame:
     """Render the first 4 dims of each float vector as a real 16x16
     grayscale baseline JPEG of four uniform 8x8 quadrants, value
     v_k = 64 + 2*clamp(floor((x_k + 1.0) * 31.5), 0, 63).
@@ -190,11 +192,15 @@ def encode_embedding_jpeg(df: DataFrame, id_col: str, vec_col: str) -> DataFrame
     recompute every decoded pixel from the raw floats in integer SQL.
     Rows with id % 3 == 0 are encoded with a restart interval of 1 so
     the decoder's DRI/RSTn resync path runs in production, not just in
-    unit tests (the PNG query cycles filters the same way)."""
+    unit tests (the PNG query cycles filters the same way).  With
+    `progressive=True` the payload is a SOF2 multi-scan stream
+    (spectral selection + successive approximation) carrying the same
+    quantized spectrum — the decoded pixels, and therefore the oracle,
+    are identical to the baseline payload's."""
     import numpy as np
 
     from ..shipping import ensure_package_on_executors
-    from .jpeg_codec import encode_jpeg
+    from .jpeg_codec import encode_jpeg, encode_jpeg_progressive
 
     ensure_package_on_executors(df.sparkSession)
 
@@ -209,9 +215,12 @@ def encode_embedding_jpeg(df: DataFrame, id_col: str, vec_col: str) -> DataFrame
                 img[0:8, 8:16] = v[1]
                 img[8:16, 0:8] = v[2]
                 img[8:16, 8:16] = v[3]
-                payloads.append(
-                    encode_jpeg(img, restart_interval=1 if int(i) % 3 == 0 else 0)
-                )
+                if progressive:
+                    payloads.append(encode_jpeg_progressive(img))
+                else:
+                    payloads.append(
+                        encode_jpeg(img, restart_interval=1 if int(i) % 3 == 0 else 0)
+                    )
             yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
 
     return df.select(id_col, vec_col).mapInPandas(compute, "id bigint, payload binary")
