@@ -6,7 +6,7 @@ Everything here is from the public ITU-T T.81 spec: sequential baseline
 DCT (SOF0) AND progressive DCT (SOF2 — spectral selection, successive
 approximation, EOB runs; decoder side complete, encoder emits a
 full-coverage scan script), 8-bit samples, Huffman entropy coding with
-the Annex K typical tables, 4:4:4 and 4:2:0 subsampling, restart
+the Annex K typical tables, 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart
 intervals (DRI/RSTn), JFIF framing.  Out of scope — and raising
 NotImplementedError naming the marker — are arithmetic coding (SOF9+),
 lossless/hierarchical modes, and 12-bit precision.  A real deployment
@@ -162,6 +162,9 @@ for _u in range(8):
             if _u == 0
             else 0.5 * np.cos((2 * _x + 1) * _u * np.pi / 16)
         )
+
+
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
 # ---------------------------------------------------------------- huffman
@@ -349,14 +352,14 @@ def encode_jpeg(
     arr: np.ndarray, subsampling: str = "4:4:4", restart_interval: int = 0
 ) -> bytes:
     """Encode a uint8 array (HxW grayscale or HxWx3 RGB) as a baseline
-    JFIF JPEG with the Annex K tables.  `subsampling`: '4:4:4' or
-    '4:2:0' (color only).  `restart_interval` > 0 emits DRI + RSTn every
+    JFIF JPEG with the Annex K tables.  `subsampling`: '4:4:4',
+    '4:2:2' or '4:2:0' (color only).  `restart_interval` > 0 emits DRI + RSTn every
     N MCUs so the decoder's restart path can be exercised."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected HxW or HxWx3, got {a.shape}")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling {subsampling}")
     if gray:
         subsampling = "4:4:4"
@@ -371,9 +374,14 @@ def encode_jpeg(
         cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
         planes = [y, cb, cr]
 
-    sub420 = subsampling == "4:2:0" and not gray
-    # sampling factors per component (h_i, v_i)
-    samp = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    fx, fy = _SUBSAMPLING[subsampling]
+    # sampling factors per component (h_i, v_i): luma carries the max
+    # factors; chroma is 1,1 and gets box-averaged fx x fy
+    samp = (
+        [(fx, fy), (1, 1), (1, 1)]
+        if not gray and (fx, fy) != (1, 1)
+        else [(1, 1)] * len(planes)
+    )
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -385,12 +393,12 @@ def encode_jpeg(
         hi, vi = samp[ci]
         cw = mcus_x * 8 * hi
         chh = mcus_y * 8 * vi
-        if sub420 and ci > 0:
-            # 2x2 box average then edge-pad to the MCU grid
-            ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
-            p = (
-                ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
-            )
+        if ci > 0 and (fx, fy) != (1, 1):
+            # fx x fy box average then edge-pad to the MCU grid
+            ph = np.pad(p, ((0, (-h) % fy), (0, (-w) % fx)), mode="edge")
+            p = ph.reshape(
+                ph.shape[0] // fy, fy, ph.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
         p = np.pad(
             p, ((0, chh - p.shape[0]), (0, cw - p.shape[1])), mode="edge"
         )
@@ -780,7 +788,7 @@ def _quantized_planes(arr, subsampling):
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected HxW or HxWx3, got {a.shape}")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling {subsampling}")
     if gray:
         subsampling = "4:4:4"
@@ -793,8 +801,12 @@ def _quantized_planes(arr, subsampling):
         cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
         cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
         planes = [y, cb, cr]
-    sub420 = subsampling == "4:2:0" and not gray
-    samp = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * len(planes)
+    fx, fy = _SUBSAMPLING[subsampling]
+    samp = (
+        [(fx, fy), (1, 1), (1, 1)]
+        if not gray and (fx, fy) != (1, 1)
+        else [(1, 1)] * len(planes)
+    )
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -803,9 +815,11 @@ def _quantized_planes(arr, subsampling):
     coef_planes = []
     for ci, p in enumerate(planes):
         hi, vi = samp[ci]
-        if sub420 and ci > 0:
-            ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
-            p = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+        if ci > 0 and (fx, fy) != (1, 1):
+            ph = np.pad(p, ((0, (-h) % fy), (0, (-w) % fx)), mode="edge")
+            p = ph.reshape(
+                ph.shape[0] // fy, fy, ph.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
         cw, chh = mcus_x * 8 * hi, mcus_y * 8 * vi
         p = np.round(
             np.pad(p, ((0, chh - p.shape[0]), (0, cw - p.shape[1])), mode="edge")

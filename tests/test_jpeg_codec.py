@@ -312,7 +312,7 @@ def test_jpeg_dc_exact_property(bh, bw, seed):
     w=st.integers(min_value=1, max_value=32),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     color=st.booleans(),
-    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
 )
 def test_progressive_equals_baseline_property(h, w, seed, color, sub):
     """Property form of the progressive==baseline exactness: any random
@@ -324,3 +324,16 @@ def test_progressive_equals_baseline_property(h, w, seed, color, sub):
     base = decode_jpeg(encode_jpeg(img, subsampling=sub))["pixels"]
     prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))["pixels"]
     assert np.array_equal(base, prog)
+
+
+def test_422_subsampling_shape_and_error():
+    """4:2:2 (horizontal-only chroma subsample, the broadcast/video
+    default): correct crop on odd dims and tight error on chroma-flat
+    content; sampling factors (2,1) exercise the decoder's asymmetric
+    upsample path."""
+    x = np.linspace(40, 215, 21)
+    ramp = np.tile(x, (19, 1))
+    img = np.stack([ramp] * 3, axis=2).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, subsampling="4:2:2"))
+    assert d["pixels"].shape == (19, 21, 3)
+    assert np.abs(d["pixels"].astype(int) - img.astype(int)).max() <= 8
