@@ -7204,8 +7204,14 @@ def hits_purchase_graph(spark, sf_dir):
 
     Scale shape (operators/graph.py:hits_integer): edge list
     localCheckpoint-ed once (loop-invariant, 8 consumers); per half-step
-    one edge-side shuffle join + partial-agg groupBy + broadcast 1-row
-    max; score tables are node-scale. At 100 TB: bucket the edge list
+    one edge-side shuffle join + partial-agg groupBy; score tables are
+    node-scale. The max-normalization is SIZE-GATED: <=65,536 nodes a
+    whole-partition window over the half-step aggregate (one evaluation,
+    the sf0.1 winner — ~16k nodes here), above that the aggregate is
+    checkpointed and a 1-row global max is broadcast back, so no
+    node-scale rows ever cross a SinglePartition exchange (the 10x
+    decade probe and any 100 TB run take this path; gate:
+    tests/test_graph_plan_gates.py). At 100 TB: bucket the edge list
     by src/dst and both half-step joins co-locate, exactly like
     pagerank's posture."""
     from domanda_etl_spark.operators.graph import hits_integer
@@ -21517,25 +21523,13 @@ def label_propagation_communities(spark, sf_dir):
         )
         .select("a", "b")
     )
+    from domanda_etl_spark.operators.graph import lpa_labels
+
     e = ed.unionByName(
         ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
         # loop-invariant, 4 consumers: materialize once
     ).localCheckpoint(eager=True)
-    lbl = e.select(F.col("a").alias("v")).distinct().withColumn(
-        "lbl", F.col("v")
-    )
-    wv = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nl").asc())
-    for _ in range(3):
-        nb = (
-            e.join(lbl.select(F.col("v").alias("b"), "lbl"), "b")
-            .groupBy(F.col("a").alias("v"), F.col("lbl").alias("nl"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        lbl = (
-            nb.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("v", F.col("nl").alias("lbl"))
-        )
+    lbl = lpa_labels(e, rounds=3)
     out = lbl.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("v").cast("long").alias("min_v"),
@@ -21642,28 +21636,15 @@ def lpa_modularity_audit(spark, sf_dir):
         )
         .select("a", "b")
     )
+    from domanda_etl_spark.operators.graph import lpa_labels
+
     e = ed.unionByName(
         ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
         # loop-invariant, 6 consumers (label init + 3 rounds + degree +
         # modularity join): materialize once
     ).localCheckpoint(eager=True)
-    lbl = e.select(F.col("a").alias("v")).distinct().withColumn(
-        "lbl", F.col("v")
-    )
-    wv = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nl").asc())
-    for _ in range(3):
-        nb = (
-            e.join(lbl.select(F.col("v").alias("b"), "lbl"), "b")
-            .groupBy(F.col("a").alias("v"), F.col("lbl").alias("nl"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        lbl = (
-            nb.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("v", F.col("nl").alias("lbl"))
-        )
     # labels consumed three times below: materialize the final round
-    lab = lbl.localCheckpoint(eager=True)
+    lab = lpa_labels(e, rounds=3).localCheckpoint(eager=True)
     dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     deg = e.groupBy(F.col("a").alias("v")).agg(
         dd(F.count(F.lit(1))).alias("d")

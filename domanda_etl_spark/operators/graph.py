@@ -11,8 +11,22 @@ groupBy per iteration, checkpointed lineage) is identical either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _probe(plan_probe: list | None, tag: str, df: DataFrame) -> None:
+    """Append (tag, physical-plan string) of a loop-body DataFrame to
+    `plan_probe` BEFORE it is checkpointed away. The iterative graph ops
+    run jobs at build time, so the registry-wide plan gates in
+    tests/test_plans_quality.py skip them — and their returned DataFrames
+    are checkpoint-truncated, hiding the loop body. This hook is how
+    tests/test_graph_plan_gates.py inspects the real per-iteration plans
+    (VERDICT r11 §next#3: the RUNS_JOBS_AT_BUILD gate hole)."""
+    if plan_probe is not None:
+        plan_probe.append(
+            (tag, df._jdf.queryExecution().executedPlan().toString())
+        )
 
 
 def kcore(
@@ -93,6 +107,7 @@ def pagerank_integer(
     iterations: int = 8,
     damping_milli: int = 850,
     init_micro: int = 1_000_000,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in exact
     integer arithmetic: every node starts at `init_micro`; each round
@@ -139,6 +154,7 @@ def pagerank_integer(
                 + F.expr(f"{damping_milli} * coalesce(s, 0L) div 1000")
             ).cast("long").alias("r"),
         )
+        _probe(plan_probe, "pagerank_step", ranks)
         # checkpoint every OTHER round: lineage stays O(1) deep (2 rounds
         # of join+agg unroll fine through codegen) while the number of
         # eager materialization jobs — the fixed per-round cost — halves
@@ -153,6 +169,8 @@ def hits_integer(
     dst: str = "dst",
     iterations: int = 4,
     scale_ppm: int = 1_000_000,
+    window_norm_max_nodes: int = 65_536,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs-and-authorities) over a
     DIRECTED edge list in exact integer arithmetic — the second classic
@@ -171,9 +189,23 @@ def hits_integer(
     Scale shape identical to pagerank_integer: the edge list is
     localCheckpoint-ed once (loop-invariant, 2*iterations consumers);
     each half-round is one edge-side shuffle join + one partial-agg
-    groupBy + one broadcast 1-row max; score tables are node-scale, not
-    edge-scale, and are checkpointed every other round to keep lineage
-    O(1) deep.
+    groupBy; score tables are node-scale, not edge-scale.
+
+    The max-normalization is SIZE-GATED (VERDICT r11 §wrong#1): both
+    forms compute the same integers, but their physical shapes trade
+    differently with node count.
+    - node count <= `window_norm_max_nodes`: a whole-partition window
+      over the half-step aggregate — ONE evaluation of the subplan, no
+      second pass (A/B at sf0.1, ~16k nodes: 10.3 -> 6.7 s warm). The
+      SinglePartition exchange moves at most `window_norm_max_nodes`
+      combined rows — one comfortable task by construction.
+    - above it: checkpoint the half-step aggregate, reduce the max to
+      ONE row (partial-agg SinglePartition — bounded by task count, not
+      node count), broadcast it back. Costs one cheap re-read of the
+      materialized aggregate per half-step, and NO unbounded node-scale
+      rows ever cross a SinglePartition exchange — the form you run at
+      10^9 nodes. The node count is measured once up front (a single
+      agg over the checkpointed edge list).
 
     Returns (node, side, score_ppm): side 'hub' for src-nodes, 'auth'
     for dst-nodes.
@@ -181,6 +213,10 @@ def hits_integer(
     e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(
         eager=True
     )
+    [(n_hub, n_auth)] = e.agg(
+        F.countDistinct("src"), F.countDistinct("dst")
+    ).collect()
+    use_window = max(n_hub, n_auth) <= window_norm_max_nodes
     hubs = (
         e.select(F.col("src").alias("node"))
         .distinct()
@@ -194,27 +230,36 @@ def hits_integer(
         agg = joined.groupBy(F.col(key_out).alias("node")).agg(
             F.sum(F.col("v").cast("decimal(38,0)")).alias("s")
         )
-        # max-normalize with a whole-partition window over the NODE-scale
-        # aggregate (combined rows only — the legal SinglePartition shape)
-        # instead of a separate agg->broadcast pass: one evaluation of the
-        # half-step subplan, not two (A/B at sf0.1: 10.3 -> 6.7 s warm)
-        return agg.select(
-            "node",
-            F.expr(f"CAST(s * {scale_ppm} div max(s) OVER () AS BIGINT)").alias(
-                "v"
-            ),
-        )
+        if use_window:
+            half = agg.select(
+                "node",
+                F.expr(
+                    f"CAST(s * {scale_ppm} div max(s) OVER () AS BIGINT)"
+                ).alias("v"),
+            )
+        else:
+            agg = agg.localCheckpoint(eager=True)
+            mx = agg.agg(F.max("s").alias("mx"))
+            half = agg.crossJoin(F.broadcast(mx)).select(
+                "node",
+                F.expr(f"CAST(s * {scale_ppm} div mx AS BIGINT)").alias("v"),
+            )
+        _probe(plan_probe, f"hits_half:{key_out}", half)
+        return half
 
     auths = None
     for it in range(iterations):
         auths = _half(hubs, "src", "dst")
         hubs = _half(auths, "dst", "src")
-        # checkpoint only the round-carrying table (hubs) every other
-        # round; auths are consumed within the round and only the FINAL
-        # auth table is read again (by the output union)
-        if it % 2 == 1 or it == iterations - 1:
+        # window form: checkpoint only the round-carrying table (hubs)
+        # every other round — auths are consumed within the round and only
+        # the FINAL auth table is read again (by the output union). Scale
+        # form: each half-step already materialized its aggregate, so the
+        # extra checkpoint would be a second copy of a trivial plan.
+        if use_window and (it % 2 == 1 or it == iterations - 1):
             hubs = hubs.localCheckpoint(eager=True)
-    auths = auths.localCheckpoint(eager=True)
+    if use_window:
+        auths = auths.localCheckpoint(eager=True)
     return hubs.select(
         "node", F.lit("hub").alias("side"), F.col("v").alias("score_ppm")
     ).unionByName(
@@ -222,6 +267,50 @@ def hits_integer(
             "node", F.lit("auth").alias("side"), F.col("v").alias("score_ppm")
         )
     )
+
+
+def lpa_labels(
+    edges: DataFrame,
+    rounds: int = 3,
+    a: str = "a",
+    b: str = "b",
+    plan_probe: list | None = None,
+) -> DataFrame:
+    """Synchronous label propagation over a DIRECTED-DOUBLE edge list
+    (each undirected edge present in both orientations): every vertex
+    starts labeled with itself; each round it adopts the most frequent
+    label among its neighbors, ties broken by the smallest label — a
+    deterministic total order, so the fixed-round result is engine-exact.
+    Extracted from the two entry-file LPA queries
+    (label_propagation_communities, lpa_modularity_audit) so the loop
+    body exists ONCE and the iterative-graph plan gate
+    (tests/test_graph_plan_gates.py) inspects the real code.
+
+    `edges` must already be materialized by the caller (both callers
+    localCheckpoint it — it is loop-invariant with additional consumers
+    outside this function: degree rollups, modularity joins).
+
+    Per round: ONE keyed edge⋈label join + ONE partial-agg groupBy
+    (v, neighbor-label) + a per-vertex rank window — every exchange is
+    keyed on vertex, nothing node-scale crosses a SinglePartition.
+    Returns (v, lbl)."""
+    lbl = edges.select(F.col(a).alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    wv = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nl").asc())
+    for _ in range(rounds):
+        nb = (
+            edges.join(lbl.select(F.col("v").alias(b), "lbl"), b)
+            .groupBy(F.col(a).alias("v"), F.col("lbl").alias("nl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        lbl = (
+            nb.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("nl").alias("lbl"))
+        )
+        _probe(plan_probe, "lpa_round", lbl)
+    return lbl
 
 
 def ppr_integer(
@@ -232,6 +321,7 @@ def ppr_integer(
     iterations: int = 8,
     damping_milli: int = 850,
     init_micro: int = 1_000_000,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Personalized PageRank in exact integer arithmetic — the graph-
     retrieval primitive behind 'people who bought X' recommendations:
@@ -292,6 +382,7 @@ def ppr_integer(
                 ).cast("long").alias("r"),
             )
         )
+        _probe(plan_probe, "ppr_step", ranks)
         if it % 2 == 1 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_micro"))
