@@ -14455,8 +14455,8 @@ def abc_pareto_classes(spark, sf_dir):
              SUM(nb_bin) OVER () AS nb
       FROM bins)
     SELECT MAX(na) AS n_view, MAX(nb) AS n_purchase,
-           SUM(abs(ca * nb - cb * na) * gap) * 1000 // (MAX(na) * MAX(nb))
-             AS w1_micro
+           SUM(abs(ca * nb - cb * na) * gap) * 1000
+             // nullif(MAX(na) * MAX(nb), 0) AS w1_micro
     FROM cum WHERE gap IS NOT NULL
     """,
 )
@@ -14499,11 +14499,16 @@ def wasserstein_drift_exact(spark, sf_dir):
         F.sum("na_bin").over(wall).alias("na"),
         F.sum("nb_bin").over(wall).alias("nb"),
     )
+    # zero-cell audit (r12): a side with NO rows at all would make the
+    # normalizer 0 — a hard DIVIDE_BY_ZERO under ANSI mode, not a quiet
+    # NULL. nullif degrades it to w1 NULL with the zero count still
+    # visible (tests/test_zero_cell_audit.py::test_wasserstein_empty_side).
     return cum.filter(F.col("gap").isNotNull()).agg(
         F.max("na").alias("n_view"),
         F.max("nb").alias("n_purchase"),
         F.expr(
-            "sum(abs(ca * nb - cb * na) * gap) * 1000 div (max(na) * max(nb))"
+            "sum(abs(ca * nb - cb * na) * gap) * 1000"
+            " div nullif(max(na) * max(nb), 0)"
         ).alias("w1_micro"),
     )
 
@@ -15548,13 +15553,20 @@ def churn_label_windows(spark, sf_dir):
              CASE WHEN (a.rank_a - b.rank_a) * (a.rank_b - b.rank_b) > 0
                   THEN 1 ELSE 0 END AS conc
       FROM common a JOIN common b
-        ON a.q_id = b.q_id AND a.n_id < b.n_id)
-    SELECT q_id,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(conc) AS BIGINT) AS concordant,
-           CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
-           (2 * SUM(conc) - COUNT(*)) * 1000000 // COUNT(*) AS tau_ppm
-    FROM pairs GROUP BY q_id
+        ON a.q_id = b.q_id AND a.n_id < b.n_id),
+    stats AS (
+      SELECT q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(conc) AS BIGINT) AS concordant,
+             CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+             (2 * SUM(conc) - COUNT(*)) * 1000000 // COUNT(*) AS tau_ppm
+      FROM pairs GROUP BY q_id)
+    SELECT q.q_id,
+           COALESCE(s.n_pairs, 0) AS n_pairs,
+           COALESCE(s.concordant, 0) AS concordant,
+           COALESCE(s.discordant, 0) AS discordant,
+           s.tau_ppm
+    FROM q LEFT JOIN stats s ON s.q_id = q.q_id
     """,
 )
 def kendall_tau_rankers(spark, sf_dir):
@@ -15612,13 +15624,28 @@ def kendall_tau_rankers(spark, sf_dir):
         .otherwise(0)
         .alias("conc"),
     )
-    return pairs.groupBy("q_id").agg(
+    stats = pairs.groupBy("q_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("conc").alias("concordant"),
         (F.count(F.lit(1)) - F.sum("conc")).alias("discordant"),
         F.expr("(2 * sum(conc) - count(1)) * 1000000 div count(1)").alias(
             "tau_ppm"
         ),
+    )
+    # zero-cell audit (r12): a query whose two top-20s share <2 items has
+    # ZERO rank pairs, and a bare groupBy would silently DROP its row —
+    # the auditor would read "7 rankers compared" when the 8th is the one
+    # that disagreed completely. Left-join from the query list so the
+    # degenerate case surfaces as n_pairs=0 / tau_ppm NULL (tau is
+    # mathematically undefined there), pinned by
+    # tests/test_zero_cell_audit.py.
+    qids = qs.select(F.col("vec_id").alias("q_id"))
+    return qids.join(stats, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        F.coalesce("concordant", F.lit(0).cast("long")).alias("concordant"),
+        F.coalesce("discordant", F.lit(0).cast("long")).alias("discordant"),
+        "tau_ppm",
     )
 
 

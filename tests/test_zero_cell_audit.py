@@ -21,6 +21,27 @@ Audit conclusions pinned here:
 - krippendorff_alpha_nominal: NOT vulnerable — class counts are a fixed
   conditional-sum enumeration over the 3-class schema, so an unused
   class is an explicit 0, not a dropped row.
+
+Round-12 extension (VERDICT r11 §next#5) — the distribution/ranking
+comparators:
+- wasserstein_drift_exact: per-bin zero cells NOT vulnerable — the
+  histogram is ONE conditional-sum groupBy over the union of both
+  distributions, so a bin with mass on only one side keeps its row with
+  an explicit 0, and bins empty in BOTH sides integrate to the same
+  area via the gap multiplier (the CDF is piecewise-constant between
+  observed bins). But a side ENTIRELY empty WAS a hard DIVIDE_BY_ZERO
+  crash under ANSI mode (the audit's find); fixed round 12 with a
+  nullif guard in both engines — w1_micro NULL, zero count visible.
+- kendall_tau_rankers: WAS vulnerable — a query whose two top-20s share
+  <2 items has zero rank pairs and the bare groupBy silently dropped its
+  row (the one ranker-pair that disagreed COMPLETELY vanished from the
+  audit). Fixed round 12: left-join from the query list, emitting
+  n_pairs=0 / tau_ppm NULL.
+- lpa_modularity_audit: NOT vulnerable — a community with zero internal
+  edges is absent from the edge⋈label⋈label rollup but survives via the
+  degree-side LEFT JOIN with coalesce(m_c, 0), so its -(d_c/|E|)^2 term
+  still enters Q (and every labeled vertex has degree, so the degree
+  side covers all communities).
 """
 
 from __future__ import annotations
@@ -183,6 +204,72 @@ def test_hellinger_one_period_bin(spark, tmp_path):
     assert b["bc_micro"] == 0
     assert b["hellinger_sq_micro"] == 1_000_000
     assert bool(b["drifted"]) is True
+
+
+def test_wasserstein_one_sided_bins(spark, tmp_path):
+    """Every bin has mass on only ONE side (disjoint supports), plus an
+    interior empty bin (3): the conditional-sum histogram must keep the
+    one-sided rows and the gap multiplier must integrate across the
+    hole. Hand derivation: bins 1,2 view-only, bin 4 purchase-only;
+    na=2, nb=1; W1 = (|1*1-0*2|*1 + |2*1-0*2|*2) * 1000 // (2*1) =
+    2500."""
+    ts = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [(ts, 1, "view", 0.001), (ts, 1, "view", 0.002),
+            (ts, 1, "purchase", 0.004)]
+    [r] = QS["wasserstein_drift_exact"](spark, _events(tmp_path, rows)).collect()
+    assert (r["n_view"], r["n_purchase"], r["w1_micro"]) == (2, 1, 2500)
+
+
+def test_wasserstein_empty_side(spark, tmp_path):
+    """One distribution ENTIRELY empty: the row still reports the zero
+    count honestly and W1 is NULL (0 div 0 — undefined, not fabricated)."""
+    ts = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [(ts, 1, "view", 0.001), (ts, 1, "view", 0.002)]
+    [r] = QS["wasserstein_drift_exact"](spark, _events(tmp_path, rows)).collect()
+    assert (r["n_view"], r["n_purchase"]) == (2, 0)
+    assert r["w1_micro"] is None
+
+
+def test_kendall_empty_ranking_intersection(spark, tmp_path):
+    """The two rankers disagree COMPLETELY: 20 candidates at cosine 1.0
+    but magnitude 0.003 (int8-quantize to the zero vector -> dot 0) vs
+    20 candidates at cosine ~0.707 with magnitude 0.5 (int8 dot 8128) —
+    exact top-20 is group A, int8 top-20 is group B, intersection empty,
+    zero rank pairs. The query row must STILL appear: n_pairs=0 and tau
+    NULL (undefined), not a silent drop."""
+    vecs = [(0, [1.0, 0.0])]  # the query (vec_id < 8)
+    vecs += [(10 + i, [0.003, 0.0]) for i in range(20)]  # A: cosine winners
+    vecs += [(30 + i, [0.5, 0.5]) for i in range(20)]    # B: int8 winners
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    [r] = QS["kendall_tau_rankers"](spark, str(tmp_path)).collect()
+    assert r["q_id"] == 0
+    assert (r["n_pairs"], r["concordant"], r["discordant"]) == (0, 0, 0)
+    assert r["tau_ppm"] is None
+
+
+def test_lpa_modularity_all_communities_empty(spark, tmp_path):
+    """2-customer graph {1-2}: 3 LPA rounds leave the labels SWAPPED
+    (each vertex's only neighbor carries the other label), so BOTH
+    communities have zero internal edges — mc is entirely empty and Q is
+    built purely from the coalesce(m_c, 0) left-join branch.
+    Hand derivation: |E|=2 (directed-double), d_c=1 per community,
+    q_num = 2 * (0*2 - 1) = -2, Q = -((2*10^6) // 4) = -500000."""
+    t = pa.table({"c_custkey": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+    [r] = QS["lpa_modularity_audit"](spark, str(tmp_path)).collect()
+    assert r["n_edges_directed"] == 2
+    assert r["n_communities"] == 2
+    assert r["internal_edges_directed"] == 0
+    assert r["q_modularity_ppm"] == -500_000
 
 
 def test_krippendorff_empty_class(spark, tmp_path):
