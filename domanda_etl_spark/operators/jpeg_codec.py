@@ -249,6 +249,11 @@ class _BitReader:
         self.nbits = 0
         while self.pos + 1 < len(self.data) and self.data[self.pos] != 0xFF:
             self.pos += 1  # skip pad bits/bytes before the marker
+        # T.81 B.1.1.2: 0xFF fill bytes may precede the RSTn id
+        while (
+            self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if self.pos + 1 >= len(self.data):
             raise ValueError("missing restart marker")
         marker = self.data[self.pos + 1]
@@ -510,6 +515,11 @@ def decode_jpeg(data: bytes) -> dict:
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them (libjpeg never emits fill, but the spec
+        # permits it and some camera firmware pads with it)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -736,10 +746,12 @@ def _decode_scan_into(data, pos, frame, scan, ss, se, ah, al, coefs,
                     dc_tabs, ac_tabs, state,
                 )
                 n_units += 1
-    # skip pad bits/bytes; leave pos at the next marker
+    # skip pad bits/bytes; leave pos at the next marker. 0xFF00 is
+    # stuffed entropy data and 0xFFFF is a fill byte before a marker
+    # (T.81 B.1.1.2) — neither ends the scan.
     end = br.pos
     while end + 1 < len(data) and not (
-        data[end] == 0xFF and data[end + 1] not in (0x00,)
+        data[end] == 0xFF and data[end + 1] not in (0x00, 0xFF)
     ):
         end += 1
     return end

@@ -111,8 +111,8 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
 
         return decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        "only PNG and baseline JPEG are decodable without a codec "
-        f"library; got magic {bytes(payload[:4]).hex()}"
+        "only PNG and baseline/progressive JPEG are decodable without a "
+        f"codec library; got magic {bytes(payload[:4]).hex()}"
     )
 
 

@@ -211,6 +211,32 @@ def test_decodes_real_progressive_files():
     assert px.std() > 20
 
 
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker (ADVICE r11): inject fills after SOI, before the first RST0,
+    and before EOI — the decode must be byte-identical to the clean
+    stream's. Our encoder and libjpeg never emit fill, so this is
+    foreign-stream robustness only."""
+    img = np.zeros((16, 16), np.uint8)
+    img[0:8, 0:8] = 100
+    img[0:8, 8:16] = 102
+    img[8:16, 0:8] = 104
+    img[8:16, 8:16] = 106
+    blob = encode_jpeg(img, restart_interval=1)
+    clean = decode_jpeg(blob)["pixels"]
+    padded = bytearray(blob)
+    assert padded[-2:] == b"\xff\xd9"
+    padded[-2:-2] = b"\xff\xff\xff"  # fill before EOI (scan-end search)
+    sos = bytes(padded).find(b"\xff\xda")
+    rst = bytes(padded).find(b"\xff\xd0", sos)
+    assert rst > sos  # restart_interval=1 guarantees an RST0
+    padded[rst:rst] = b"\xff"  # fill before RST0 (sync_restart)
+    padded[2:2] = b"\xff\xff"  # fill right after SOI (marker loop)
+    d = decode_jpeg(bytes(padded))
+    assert np.array_equal(d["pixels"], clean)
+    assert np.array_equal(d["pixels"][:, :, 0], img)
+
+
 def test_arithmetic_raises_named():
     img = np.full((8, 8), 128, np.uint8)
     blob = bytearray(encode_jpeg(img))
