@@ -21752,9 +21752,10 @@ def resource_allocation_linkpred(spark, sf_dir):
     """Resource-Allocation link prediction over the co-purchase item
     graph: for item pairs NOT yet co-purchased, RA(x,y) = sum over
     common neighbors z of 1/deg(z) — the top performer of the classic
-    local similarity indices (beats common-neighbors and, unlike
-    Adamic-Adar's 1/log deg, is integer-exact as 1e6 div deg micro
-    units).  Scores rank "these two items will co-occur next" for
+    local similarity indices (beats common-neighbors; its 1/deg weight
+    is integer-exact as plain 1e6 div deg micro units, while the
+    log-damped sibling adamic_adar_linkpred needs _log2_micro for the
+    same exactness).  Scores rank "these two items will co-occur next" for
     recommendation candidate generation and graph densification.
 
     Scale shape: co-purchase edges are generated ARRAY-SIDE from per-order
@@ -22610,6 +22611,266 @@ def cramers_v_association(spark, sf_dir):
             " AS DOUBLE))) AS BIGINT)"
         ).alias("cramers_v_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 12: survival analysis (Kaplan-Meier product-limit via the
+# fixed-point log2/exp2 pair on a NEGATIVE exponent) and the log-damped
+# link-prediction index (Adamic-Adar, the 1/log deg weight made
+# integer-exact by _log2_micro — the index resource_allocation_linkpred's
+# docstring called non-integer-exact, now closed).
+
+_KM_ORACLE = f"""
+    WITH u0 AS (
+      SELECT o_custkey, min(o_orderdate) AS dmin, max(o_orderdate) AS dmax
+      FROM orders GROUP BY o_custkey),
+    bounds AS (SELECT max(dmax) AS study_end FROM u0),
+    u AS (
+      SELECT date_diff('day', dmin, dmax) // 30 AS t,
+             CASE WHEN date_diff('day', dmax, bounds.study_end) > 180
+                  THEN 1 ELSE 0 END AS churned
+      FROM u0, bounds),
+    lt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM u GROUP BY t),
+    risk AS (
+      SELECT t, cnt, d,
+             CAST(sum(cnt) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+      FROM lt),
+    dth AS (
+      SELECT t, cnt, d, n_risk, n_risk - d AS surv_n
+      FROM risk WHERE d > 0),
+    term AS (
+      SELECT t, cnt, d, n_risk,
+             CASE WHEN surv_n = 0 THEN NULL
+                  ELSE CAST({_log2_micro('surv_n', 'duckdb')}
+                            - {_log2_micro('n_risk', 'duckdb')} AS BIGINT)
+             END AS lg_term
+      FROM dth),
+    cum AS (
+      SELECT t, cnt, d, n_risk,
+             CAST(-sum(COALESCE(lg_term, 0))
+                  OVER (ORDER BY t) AS BIGINT) AS m,
+             CAST(max(CASE WHEN lg_term IS NULL THEN 1 ELSE 0 END)
+                  OVER (ORDER BY t) AS BIGINT) AS ext
+      FROM term),
+    st AS (
+      SELECT t, cnt, d, n_risk, ext,
+             m // 1000000 AS p,
+             ((m % 1000000) * 1048576) // 1000000 AS f20
+      FROM cum)
+    SELECT t AS t_months, n_risk, d AS n_deaths, cnt - d AS n_censored,
+           CASE WHEN ext = 1 THEN 0
+                ELSE CAST(1000000000000
+                          // {_exp2_micro('p', 'f20', 'duckdb')} AS BIGINT)
+           END AS survival_ppm
+    FROM st
+"""
+
+
+@q("kaplan_meier_survival", _KM_ORACLE)
+def kaplan_meier_survival(spark, sf_dir):
+    """Kaplan-Meier product-limit survival curve over customer purchase
+    lifetimes — THE standard right-censored survival estimator
+    (Kaplan & Meier 1958), complementing survival_hazard_table's
+    discrete per-bucket hazard with the cumulative curve every retention
+    report plots. A customer's lifetime is first-order -> last-order in
+    30-day buckets; customers whose last order is within 180 days of the
+    study end are CENSORED (still alive — their lifetime is a lower
+    bound), the rest are churn events. At each death time t:
+    S(t) = prod_{t_i <= t} (n_i - d_i) / n_i with n_i the at-risk count
+    (everyone whose lifetime reaches t_i, censored included).
+
+    Exactness: the running product is a cumulative SUM of fixed-point
+    log2 terms (lg(n_i - d_i) - lg(n_i), each truncated micro-bits via
+    the shared _log2_micro), inverted through _exp2_micro on the
+    NEGATED exponent: S_ppm = 1e12 // 2^m — the first NEGATIVE-exponent
+    use of the pair (hill_diversity_profile exponentiates a positive
+    entropy). Both engines fold identical hardcoded constants, so the
+    curve is bit-identical. If a death time extinguishes the risk set
+    (n_i = d_i), S collapses to exactly 0 (masked CASE, no log of 0).
+
+    Scale shape: one groupBy(custkey) over orders (partial-agg), a
+    broadcast 1-row study-end join, one groupBy(t) lifetable rollup,
+    then cumulative windows over the DOMAIN-BOUNDED lifetable axis
+    (30-day buckets of the corpus span — dozens of rows at any data
+    scale, the wasserstein_drift_exact legality class)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    u0 = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("dmin"),
+        F.max("o_orderdate").alias("dmax"),
+    )
+    end = u0.agg(F.max("dmax").alias("study_end"))
+    u = u0.crossJoin(F.broadcast(end)).select(
+        F.expr("datediff(dmax, dmin) div 30").alias("t"),
+        F.when(F.expr("datediff(study_end, dmax)") > 180, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    lt = u.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc())
+    wasc = Window.orderBy(F.col("t").asc())
+    risk = lt.select(
+        "t", "cnt", "d", F.sum("cnt").over(wdesc).cast("long").alias("n_risk")
+    )
+    dth = risk.filter(F.col("d") > 0).withColumn(
+        "surv_n", F.col("n_risk") - F.col("d")
+    )
+    term = dth.select(
+        "t",
+        "cnt",
+        "d",
+        "n_risk",
+        F.expr(
+            "CASE WHEN surv_n = 0 THEN NULL ELSE "
+            f"CAST({_log2_micro('surv_n', 'spark')}"
+            f" - {_log2_micro('n_risk', 'spark')} AS BIGINT) END"
+        ).alias("lg_term"),
+    )
+    cum = term.select(
+        "t",
+        "cnt",
+        "d",
+        "n_risk",
+        (-F.sum(F.coalesce("lg_term", F.lit(0))).over(wasc))
+        .cast("long")
+        .alias("m"),
+        F.max(F.when(F.col("lg_term").isNull(), 1).otherwise(0))
+        .over(wasc)
+        .cast("long")
+        .alias("ext"),
+    )
+    st = cum.select(
+        "t",
+        "cnt",
+        "d",
+        "n_risk",
+        "ext",
+        F.expr("m div 1000000").alias("p"),
+        F.expr("((m % 1000000) * 1048576) div 1000000").alias("f20"),
+    )
+    return st.select(
+        F.col("t").alias("t_months"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        (F.col("cnt") - F.col("d")).alias("n_censored"),
+        F.expr(
+            "CASE WHEN ext = 1 THEN 0L ELSE "
+            f"CAST(1000000000000 div {_exp2_micro('p', 'f20', 'spark')}"
+            " AS BIGINT) END"
+        ).alias("survival_ppm"),
+    )
+
+
+_AA_ORACLE = f"""
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+             greatest(a.l_partkey, b.l_partkey) AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    und AS (SELECT x AS z, y AS nb FROM e0 UNION ALL SELECT y, x FROM e0),
+    deg AS (
+      SELECT z, d, CAST({_log2_micro('d', 'duckdb')} AS BIGINT) AS lg_d
+      FROM (SELECT z, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY z)),
+    topn AS (
+      SELECT z, nb FROM (
+        SELECT z, nb, ROW_NUMBER() OVER (
+          PARTITION BY z ORDER BY nb ASC) AS rn FROM und)
+      WHERE rn <= 25),
+    wedge AS (
+      SELECT t1.nb AS x, t2.nb AS y, t1.z
+      FROM topn t1 JOIN topn t2 ON t1.z = t2.z AND t1.nb < t2.nb),
+    cand AS (
+      SELECT w.x, w.y, w.z FROM wedge w
+      LEFT JOIN e0 ON e0.x = w.x AND e0.y = w.y
+      WHERE e0.x IS NULL),
+    sc AS (
+      SELECT c.x, c.y,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(1000000000000 // lg_d) AS BIGINT) AS aa_score_micro
+      FROM cand c JOIN deg d ON d.z = c.z
+      GROUP BY c.x, c.y)
+    SELECT x, y, n_common, aa_score_micro
+    FROM sc ORDER BY aa_score_micro DESC, x, y LIMIT 30
+"""
+
+
+@q("adamic_adar_linkpred", _AA_ORACLE)
+def adamic_adar_linkpred(spark, sf_dir):
+    """Adamic-Adar link prediction over the co-purchase item graph —
+    the log-damped classic between common-neighbors (no damping) and
+    resource_allocation_linkpred (1/deg damping): AA(x,y) = sum over
+    common neighbors z of 1/log2 deg(z), so a shared hub is discounted
+    gently where RA nearly erases it. RA's docstring used to dismiss AA
+    as not integer-exact; the shared _log2_micro closes that — the
+    weight is 1e12 // lg2_micro(deg), identical truncated micro-bits in
+    both engines (a common neighbor of a candidate pair has deg >= 2 by
+    construction, so the log divisor is never 0).
+
+    Scale shape: IDENTICAL to resource_allocation_linkpred (that
+    docstring carries the A/B evidence): basket-array pair generation
+    (never an |items|^2 global join), deterministic 25-smallest-neighbor
+    hub truncation via one z-partitioned window, UNTRUNCATED degrees for
+    honest scores, log weight attached at wedge generation, anti-join
+    against existing edges, TakeOrdered top-30. The only corpus-scale
+    shuffles: edge distinct, candidate anti-join, final (x,y) rollup."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    e0 = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (xv, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " yv -> struct(xv AS x, yv AS y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .distinct()
+        # three consumers below; checkpoint so the basket pass runs once
+        .localCheckpoint(eager=True)
+    )
+    und = e0.select(F.col("x").alias("z"), F.col("y").alias("nb")).unionByName(
+        e0.select(F.col("y").alias("z"), F.col("x").alias("nb"))
+    )
+    deg = (
+        und.groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .withColumn(
+            "lg_d", F.expr(f"CAST({_log2_micro('d', 'spark')} AS BIGINT)")
+        )
+    )
+    wz = Window.partitionBy("z").orderBy(F.col("nb").asc())
+    topn = (
+        und.withColumn("rn", F.row_number().over(wz))
+        .filter(F.col("rn") <= 25)
+        .groupBy("z")
+        # bounded collect: <= 25 rows per group by the rn filter above
+        .agg(F.array_sort(F.collect_list("nb")).alias("nbs"))
+    )
+    pairs = topn.join(deg, "z").select(
+        F.explode(
+            F.expr(
+                "flatten(transform(nbs, (xv, i) ->"
+                " transform(slice(nbs, i + 2, size(nbs)),"
+                " yv -> struct(xv AS x, yv AS y))))"
+            )
+        ).alias("p"),
+        F.expr("1000000000000 div lg_d").alias("w"),
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"), "w")
+    cand = pairs.join(e0, ["x", "y"], "left_anti")
+    sc = cand.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w").cast("long").alias("aa_score_micro"),
+    )
+    return sc.orderBy(F.col("aa_score_micro").desc(), "x", "y").limit(30)
 
 
 # WINDOW ROTATION POLICY (adopted round 11, VERDICT r10 §next#1 —
