@@ -22888,74 +22888,83 @@ def adamic_adar_linkpred(spark, sf_dir):
 # round; rotated-out greens stay under the identical driver-strict
 # local gate in tests/test_oracle_parity.py on every pytest run.
 #
-# Round-11 window: flagship + 12 added/modified (MODIFIED:
-# ipw_ate_estimate staged its IPW numerator through decimal38/HUGEINT,
-# regression_discontinuity pre-staged its co-moment sums,
-# lsh_s_curve_audit dropped its named temp view, chi2_contingency
-# completed its zero cells; NEW: image_decode_jpeg +
-# image_decode_jpeg_progressive — the baseline/progressive JPEG codec,
-# hits_purchase_graph — integer HITS, ppr_seeded_retrieval —
-# personalized PageRank, lpa_modularity_audit — community-quality Q,
-# encoding_artifact_audit — mojibake curation audit,
-# group_sequential_obf_audit — peeking-safe A/B stopping boundaries,
-# bandit_replay_eval — offline policy replay) + the 37 alphabetically-
-# first of the 44 queries whose newest driver evidence was ROUND 1
-# (sort_limit_topk / sort_offset / text_quality_score / text_stats /
-# union_by_name / wide_projection / window_topk_per_group rotate in
-# next round).
+# Round-11 window (history; counts corrected per ADVICE r11): flagship
+# + 13 added/modified (MODIFIED: ipw_ate_estimate staged its IPW
+# numerator through decimal38/HUGEINT, regression_discontinuity
+# pre-staged its co-moment sums, lsh_s_curve_audit dropped its named
+# temp view, chi2_contingency completed its zero cells; NEW:
+# image_decode_jpeg + image_decode_jpeg_progressive, hits_purchase_graph,
+# ppr_seeded_retrieval, lpa_modularity_audit, encoding_artifact_audit,
+# group_sequential_obf_audit, bandit_replay_eval,
+# hill_diversity_profile) + the 36 alphabetically-first of the 44
+# round-1-evidence queries. The CORRECTNESS_r11 artifact: 50/50 green.
+#
+# Round-12 window: flagship + 8 added/modified (NEW:
+# kaplan_meier_survival — KM product-limit via negative-exponent
+# log2/exp2, adamic_adar_linkpred — log-damped link prediction;
+# MODIFIED: hits_purchase_graph — size-gated max-normalization,
+# kendall_tau_rankers — empty-intersection rows surfaced (zero-cell
+# fix), wasserstein_drift_exact — nullif guard on an empty side
+# (zero-cell fix), lpa_modularity_audit + label_propagation_communities
+# — shared lpa_labels loop extraction, image_decode_jpeg — decoder now
+# tolerates T.81 fill bytes) + (c) the LAST 8 round-1-evidence queries
+# (r1 cohort EMPTIED this round) + the 33 alphabetically-first of the
+# 39 round-2-evidence queries (tpch_q22_sales_opportunity / tpch_q3 /
+# tpch_q4 / tpch_q5 / tpch_q6 / variance_stats rotate in next round).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
-    # --- (b) modified this round
-    "ipw_ate_estimate",
-    "regression_discontinuity",
-    "lsh_s_curve_audit",
-    "chi2_contingency",
-    "image_decode_jpeg",
-    "image_decode_jpeg_progressive",
+    # --- (b) added/modified this round
+    "kaplan_meier_survival",
+    "adamic_adar_linkpred",
     "hits_purchase_graph",
-    "encoding_artifact_audit",
-    "group_sequential_obf_audit",
-    "bandit_replay_eval",
-    "ppr_seeded_retrieval",
+    "kendall_tau_rankers",
+    "wasserstein_drift_exact",
     "lpa_modularity_audit",
-    "hill_diversity_profile",
-    # --- (c) all 44 queries with round-1 evidence (oldest first)
-    "anti_join_no_orders",
-    "any_notnull_filter",
-    "blank_to_null",
-    "cast_compare_filter",
-    "cube_counts",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard_adjacent",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "ensure_columns",
-    "group_agg_pricing_summary",
-    "grouping_sets_sql",
-    "horizontal_nonnull_count",
-    "lang_id_vote",
-    "media_metadata",
-    "multiway_left_join",
-    "normalized_key_join",
-    "predicate_split_source",
-    "regex_validity_filter",
-    "rollup_revenue",
-    "scalar_airline_code",
-    "scalar_dates",
-    "scalar_duration_minutes",
-    "scalar_flight_canonical",
-    "scalar_guarded_long",
-    "scalar_join_date_normalize",
-    "scalar_luggage",
-    "scalar_placeholder_ws",
-    "scalar_split_flight_class",
-    "scalar_time_hhmm",
-    "scan_filter_distinct",
-    "set_except",
-    "set_intersect",
-    "set_union",
+    "label_propagation_communities",
+    "image_decode_jpeg",
+    # --- (c) the final 8 round-1-evidence queries (cohort emptied)
+    "similarity_topk_bruteforce",
+    "sort_limit_topk",
+    "sort_offset",
+    "text_quality_score",
+    "text_stats",
+    "union_by_name",
+    "wide_projection",
+    "window_topk_per_group",
+    # --- (c) the 33 alphabetically-first round-2-evidence queries
+    "array_agg_sorted",
+    "conditional_agg",
+    "contamination_screen",
+    "datetime_functions",
+    "dedup_embedding_neardup",
+    "dedup_minhash_word_ngrams",
+    "events_tumbling_window",
+    "exact_median_groups",
+    "explode_unnest",
+    "json_extract_props",
+    "kmeans_assign",
+    "llm_corpus_clean",
+    "media_frame_extract",
+    "monthly_revenue_rollup",
+    "null_handling",
+    "pivot_status_counts",
+    "range_join_value_bands",
+    "salted_join_skew",
+    "scalar_despace_cabin",
+    "semi_join_big_spenders",
+    "similarity_topk_lsh",
+    "sql_cte_window",
+    "sql_exists_correlated",
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "stratified_sample_hash",
+    "streaming_batch_equiv",
+    "tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -130,6 +130,18 @@ def build():
         row_group_size=10_000,
     )
 
+    # embeddings (round 12, image decade): replica k offsets vec_id only —
+    # the JPEG encode/decode work is per-row and content-near-constant
+    # (every image is a 16x16 4-quadrant baseline stream), so identical
+    # payloads with distinct ids are exactly what 10x more images cost
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    replicate(
+        emb,
+        {"vec_id": pc.max(emb.column("vec_id")).as_py() + 1},
+        os.path.join(SCALE_DIR, "embeddings.parquet"),
+        20_000,
+    )
+
 
 SCALE10_DIR = "/tmp/sfscale/sf10"
 
@@ -207,9 +219,11 @@ def main():
     if (
         "--rebuild" in sys.argv
         or not os.path.exists(SCALE_DIR)
-        # orders.parquet joined the build in round 11 (graph decade);
-        # a pre-round-11 SCALE_DIR on disk is stale without it
+        # orders.parquet joined the build in round 11 (graph decade),
+        # embeddings.parquet in round 12 (image decade); a SCALE_DIR from
+        # an earlier round is stale without them
         or not os.path.exists(os.path.join(SCALE_DIR, "orders.parquet"))
+        or not os.path.exists(os.path.join(SCALE_DIR, "embeddings.parquet"))
     ):
         t0 = time.time()
         build()
@@ -269,6 +283,27 @@ def main():
                     best = dt if best is None else min(best, dt)
                 results[f"{q}@{sf_name}"] = round(best, 2)
                 print(f"{q} @ {sf_name}: {best:.2f} s warm ({n} rows)")
+    if "--image-decade" in sys.argv:
+        # VERDICT r11 §next#6: the multimodal family's 10x measurement.
+        # image_decode_jpeg is Python-decode-bound inside mapInPandas and
+        # shuffle-free, so it should scale near-linearly with image count
+        # (embarrassingly parallel); the per-image decode cost printed
+        # here is what swapping the stdlib decoder for a C codec (libjpeg
+        # via PIL/opencv, absent from this container) would buy back.
+        for sf_name, sf_dir, n_img in [("sf0.1", SRC, 2000), ("sf1", SCALE_DIR, 20000)]:
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n = qs["image_decode_jpeg"](spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            assert n == n_img, (n, n_img)
+            results[f"image_decode_jpeg@{sf_name}"] = round(best, 2)
+            print(
+                f"image_decode_jpeg @ {sf_name}: {best:.2f} s warm "
+                f"({n} rows, {1e3 * best / n:.2f} ms/image incl. encode)"
+            )
     if "--decade3" in sys.argv:
         if not os.path.exists(os.path.join(SCALE10_DIR, "lineitem.parquet")):
             t0 = time.time()
