@@ -179,7 +179,11 @@ def jaccard_expr(text_a: Column | str, text_b: Column | str, k: int = 3) -> Colu
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iterations: int = 20
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, component) where
     component = min id in the component. This is the step that turns
@@ -243,6 +247,13 @@ def connected_components(
             new_component.alias("component"),
             (new_component != F.col("component")).cast("long").alias("__chg"),
         ).observe(obs, F.sum("__chg").alias("n_changed"))
+        if plan_probe is not None:
+            # same hook as operators/graph.py's _probe: loop bodies are
+            # checkpoint-truncated, so the iterative plan gate inspects
+            # the per-round plan here (tests/test_graph_plan_gates.py)
+            plan_probe.append(
+                ("cc_round", staged._jdf.queryExecution().executedPlan().toString())
+            )
         labels = staged.drop("__chg").localCheckpoint(eager=True)
         if not obs.get["n_changed"]:
             converged = True

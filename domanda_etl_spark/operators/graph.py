@@ -36,6 +36,7 @@ def kcore(
     b: str = "b",
     max_rounds: int = 25,
     stats: dict | None = None,
+    plan_probe: list | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling over an undirected edge
     list (each edge given once, either orientation): repeatedly drop
@@ -76,8 +77,9 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= k)
             .select("v")
-            .localCheckpoint(eager=True)
         )
+        _probe(plan_probe, "kcore_peel", keep)
+        keep = keep.localCheckpoint(eager=True)
         n_keep = keep.count()
         if n_keep == n_prev:
             break
@@ -87,11 +89,11 @@ def kcore(
                 f"kcore: no fixpoint after {max_rounds} peel rounds "
                 f"({n_prev} -> {n_keep} survivors); raise max_rounds"
             )
-        alive = (
-            alive.join(keep, "v", "leftsemi")
-            .join(keep.withColumnRenamed("v", "u"), "u", "leftsemi")
-            .localCheckpoint(eager=True)
+        alive = alive.join(keep, "v", "leftsemi").join(
+            keep.withColumnRenamed("v", "u"), "u", "leftsemi"
         )
+        _probe(plan_probe, "kcore_prune", alive)
+        alive = alive.localCheckpoint(eager=True)
         n_prev = n_keep
     if stats is not None:
         stats["rounds"] = rounds

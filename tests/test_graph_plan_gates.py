@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from domanda_etl_spark.operators.dedup import connected_components  # noqa: E402
 from domanda_etl_spark.operators.graph import (  # noqa: E402
     hits_integer,
+    kcore,
     lpa_labels,
     pagerank_integer,
     ppr_integer,
@@ -97,6 +99,26 @@ def test_lpa_loop_body_fully_keyed(spark):
     probes = []
     lpa_labels(e, rounds=2, plan_probe=probes)
     assert len(probes) == 2
+    _assert_loop_body_clean(probes)
+
+
+def test_connected_components_loop_body_fully_keyed(spark):
+    e = _edges(spark, n=40, chords=(1,)).selectExpr(
+        "src AS id_a", "dst AS id_b"
+    )
+    probes = []
+    connected_components(e, plan_probe=probes)
+    assert len(probes) >= 2  # a 40-ring needs several doubling rounds
+    _assert_loop_body_clean(probes)
+
+
+def test_kcore_loop_body_fully_keyed(spark):
+    # plain ring (every vertex degree 2): the k=3 peel removes the whole
+    # graph, so both the degree-filter and the semi-join-prune probes fire
+    e = _edges(spark, n=30, chords=(1,))
+    probes = []
+    kcore(e, k=3, a="src", b="dst", plan_probe=probes)
+    assert {t for t, _ in probes} >= {"kcore_peel", "kcore_prune"}
     _assert_loop_body_clean(probes)
 
 
