@@ -22873,6 +22873,115 @@ def adamic_adar_linkpred(spark, sf_dir):
     return sc.orderBy(F.col("aa_score_micro").desc(), "x", "y").limit(30)
 
 
+_PAV_ORACLE = """
+    WITH hist AS (
+      SELECT least(19, greatest(0, CAST(floor(value / 5) AS BIGINT))) AS b,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM events GROUP BY 1),
+    pref AS (
+      SELECT b, c, s,
+             CAST(sum(s) OVER (ORDER BY b) AS BIGINT) AS cs,
+             CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cc
+      FROM hist),
+    iv AS (
+      SELECT j.b AS jb, k.b AS kb,
+             (k.cs - (j.cs - j.s)) * 1000000
+               // (k.cc - (j.cc - j.c)) AS avg_ppm
+      FROM pref j JOIN pref k ON j.b <= k.b),
+    inner_min AS (
+      SELECT i.b, iv.jb, CAST(min(iv.avg_ppm) AS BIGINT) AS m
+      FROM pref i JOIN iv ON iv.jb <= i.b AND i.b <= iv.kb
+      GROUP BY i.b, iv.jb),
+    fit AS (
+      SELECT b, CAST(max(m) AS BIGINT) AS iso_rate_ppm
+      FROM inner_min GROUP BY b)
+    SELECT h.b AS bucket, h.c AS n_rows, h.s AS n_pos,
+           h.s * 1000000 // h.c AS raw_rate_ppm, f.iso_rate_ppm
+    FROM hist h JOIN fit f ON f.b = h.b
+"""
+
+
+@q("isotonic_calibration_pav", _PAV_ORACLE)
+def isotonic_calibration_pav(spark, sf_dir):
+    """Isotonic regression (pool-adjacent-violators) calibration of the
+    value-score -> purchase-rate mapping — THE standard nonparametric
+    classifier-calibration step (Zadrozny & Elkan 2002), completing the
+    eval family: brier_decomposition scores calibration,
+    score_decile_lift ranks it, this FIXES it. Scores are 20 fixed value
+    bands; the isotonic fit is the minimax closed form
+    fit[i] = max_{j<=i} min_{k>=i} mean(y[j..k]), which equals the PAV
+    pooling solution exactly — no iteration, so no convergence concern.
+
+    Exactness: interval means are floor-ppm rationals
+    (sum*1e6 div cnt); both engines floor identically, so the minimax
+    over them is bit-identical (ties in the true rationals can floor to
+    equal ppm — the fit is the canonical fixed-point PAV, deterministic
+    everywhere). Structurally-empty score bands carry no defined rate
+    and are omitted by BOTH engines identically (per-band report — no
+    cross-band statistic corrupted; the zero-cell audit class).
+
+    Scale shape: ONE conditional-sum histogram groupBy over the corpus
+    (single shuffle, map-side combine) — every PAV step after that runs
+    on the DOMAIN-BOUNDED 20-band axis: cumulative window over <= 20
+    combined rows (the wasserstein legality class), a <= 210-row
+    interval self-join and <= 4,200-triple minimax, all broadcast
+    arithmetic independent of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    isp = (F.col("event_type") == "purchase").cast("long")
+    hist = ev.groupBy(
+        F.least(
+            F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 5))
+        )
+        .cast("bigint")
+        .alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(isp).cast("long").alias("s"),
+    )
+    wb = Window.orderBy("b")
+    pref = hist.select(
+        "b",
+        "c",
+        "s",
+        F.sum("s").over(wb).cast("long").alias("cs"),
+        F.sum("c").over(wb).cast("long").alias("cc"),
+    )
+    pj = pref.select(
+        F.col("b").alias("jb"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+        (F.col("cc") - F.col("c")).alias("cc0"),
+    )
+    pk = pref.select(
+        F.col("b").alias("kb"), F.col("cs").alias("cs1"), F.col("cc").alias("cc1")
+    )
+    iv = pj.join(F.broadcast(pk), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        F.expr("(cs1 - cs0) * 1000000 div (cc1 - cc0)").alias("avg_ppm"),
+    )
+    inner_min = (
+        pref.select(F.col("b").alias("i"))
+        .join(
+            F.broadcast(iv),
+            (F.col("jb") <= F.col("i")) & (F.col("i") <= F.col("kb")),
+        )
+        .groupBy("i", "jb")
+        .agg(F.min("avg_ppm").cast("long").alias("m"))
+    )
+    fit = inner_min.groupBy("i").agg(
+        F.max("m").cast("long").alias("iso_rate_ppm")
+    )
+    return hist.join(fit, hist.b == fit.i).select(
+        F.col("b").alias("bucket"),
+        F.col("c").alias("n_rows"),
+        F.col("s").alias("n_pos"),
+        F.expr("s * 1000000 div c").alias("raw_rate_ppm"),
+        "iso_rate_ppm",
+    )
+
+
 # WINDOW ROTATION POLICY (adopted round 11, VERDICT r10 §next#1 —
 # "staleness-first"; the never-checked backlog was cleared in r10, so
 # this is the standing successor rule).  Every round's _FIRST50 =
@@ -22899,23 +23008,26 @@ def adamic_adar_linkpred(spark, sf_dir):
 # hill_diversity_profile) + the 36 alphabetically-first of the 44
 # round-1-evidence queries. The CORRECTNESS_r11 artifact: 50/50 green.
 #
-# Round-12 window: flagship + 8 added/modified (NEW:
+# Round-12 window: flagship + 9 added/modified (NEW:
 # kaplan_meier_survival — KM product-limit via negative-exponent
-# log2/exp2, adamic_adar_linkpred — log-damped link prediction;
+# log2/exp2, adamic_adar_linkpred — log-damped link prediction,
+# isotonic_calibration_pav — minimax-closed-form PAV calibration;
 # MODIFIED: hits_purchase_graph — size-gated max-normalization,
 # kendall_tau_rankers — empty-intersection rows surfaced (zero-cell
 # fix), wasserstein_drift_exact — nullif guard on an empty side
 # (zero-cell fix), lpa_modularity_audit + label_propagation_communities
 # — shared lpa_labels loop extraction, image_decode_jpeg — decoder now
 # tolerates T.81 fill bytes) + (c) the LAST 8 round-1-evidence queries
-# (r1 cohort EMPTIED this round) + the 33 alphabetically-first of the
-# 39 round-2-evidence queries (tpch_q22_sales_opportunity / tpch_q3 /
-# tpch_q4 / tpch_q5 / tpch_q6 / variance_stats rotate in next round).
+# (r1 cohort EMPTIED this round) + the 32 alphabetically-first of the
+# 39 round-2-evidence queries (tpch_q21_waiting_suppliers /
+# tpch_q22_sales_opportunity / tpch_q3 / tpch_q4 / tpch_q5 / tpch_q6 /
+# variance_stats rotate in next round).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) added/modified this round
     "kaplan_meier_survival",
     "adamic_adar_linkpred",
+    "isotonic_calibration_pav",
     "hits_purchase_graph",
     "kendall_tau_rankers",
     "wasserstein_drift_exact",
@@ -22931,7 +23043,7 @@ _FIRST50: list[str] = [
     "union_by_name",
     "wide_projection",
     "window_topk_per_group",
-    # --- (c) the 33 alphabetically-first round-2-evidence queries
+    # --- (c) the 32 alphabetically-first round-2-evidence queries
     "array_agg_sorted",
     "conditional_agg",
     "contamination_screen",
@@ -22964,7 +23076,6 @@ _FIRST50: list[str] = [
     "tpch_q12_shipmode_priority",
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customers",
-    "tpch_q21_waiting_suppliers",
 ]
 
 

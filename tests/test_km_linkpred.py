@@ -20,6 +20,8 @@ import __spark_entry__ as ent  # noqa: E402
 
 QS = ent.queries()
 
+UTC = datetime.timezone.utc
+
 
 def _log2_micro_py(c: int) -> int:
     b = c.bit_length() - 1
@@ -110,6 +112,48 @@ def test_km_risk_set_extinction(spark, tmp_path):
     assert got[0]["survival_ppm"] == _km_s_ppm([(3, 1)])
     assert (got[60]["n_risk"], got[60]["n_deaths"]) == (1, 1)
     assert got[60]["survival_ppm"] == 0
+
+
+def test_isotonic_pav_pools_violators(spark, tmp_path):
+    """Raw band rates [1/2, 0, 1] violate monotonicity: the minimax
+    closed form must pool the first two bands to 1/4 and leave the last
+    at 1 — the textbook PAV answer."""
+    ts = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        (ts, 1, "purchase", 1.0), (ts, 1, "view", 2.0),   # band 0: 1/2
+        (ts, 1, "view", 6.0), (ts, 1, "view", 7.0),       # band 1: 0
+        (ts, 1, "purchase", 11.0), (ts, 1, "purchase", 12.0),  # band 2: 1
+    ]
+    t = pa.table(
+        {
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {
+        r["bucket"]: r
+        for r in QS["isotonic_calibration_pav"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert [got[b]["raw_rate_ppm"] for b in (0, 1, 2)] == [500000, 0, 1000000]
+    assert [got[b]["iso_rate_ppm"] for b in (0, 1, 2)] == [250000, 250000, 1000000]
+
+
+def test_isotonic_pav_fit_is_monotone(spark):
+    """On real data the fitted curve must be non-decreasing in the score
+    band — the defining isotonic property."""
+    rows = sorted(
+        QS["isotonic_calibration_pav"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["bucket"],
+    )
+    iso = [r["iso_rate_ppm"] for r in rows]
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
+    # and it stays between the band-rate extremes
+    raw = [r["raw_rate_ppm"] for r in rows]
+    assert min(raw) <= iso[0] and iso[-1] <= max(raw)
 
 
 def test_adamic_adar_hand_graph(spark, tmp_path):
