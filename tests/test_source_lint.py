@@ -20,6 +20,10 @@ COLLECT_WHITELIST = {
     # key_bitset_prefilter: the <=n_bits/64-long bitset words (8 KiB at
     # the 65536-bit default, independent of build-side row count)
     "operators/joins.py": 1,
+    # hits_integer: the ONE-ROW (countDistinct src, countDistinct dst)
+    # probe that picks the size-gated normalization form (r12) — two
+    # scalars, once per call, never row-scale
+    "operators/graph.py": 1,
 }
 
 
