@@ -1929,17 +1929,25 @@ def incremental_lookback_pruned(spark, sf_dir):
     cutoff = 1705276800.0  # 2024-01-15T00:00:00Z, injected (Q4: no hidden clock)
     ev = _t(spark, sf_dir, "events")
     lake = tempfile.mkdtemp(prefix="events_lake_")
-    ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(lake)
-    back = spark.read.parquet(lake).withColumn(
+    wrote = ev.withColumn("event_date", F.to_date("ts"))
+    wrote.write.mode("overwrite").partitionBy("event_date").parquet(lake)
+    # explicit-schema read: a real lake reader declares its schema (and an
+    # EMPTY partitioned write leaves nothing to infer from — r12 audit)
+    back = spark.read.schema(wrote.schema).parquet(lake).withColumn(
         "epoch", F.unix_micros("ts") / 1e6
     )
     pruned = incremental_lookback_partitioned(back, "epoch", "event_date", cutoff)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [", 1)
     if len(pf) < 2 or "event_date" not in pf[1].split("]")[0]:
-        raise RuntimeError("lookback did not prune partitions")  # loud, driver-visible
+        # an EMPTY write leaves zero partition directories, so discovery
+        # yields no partition column and the filter list is legitimately
+        # empty (r12 empty-batch audit) — the prune proof only applies
+        # when there are rows to prune
+        if back.limit(1).count() > 0:
+            raise RuntimeError(
+                "lookback did not prune partitions"
+            )  # loud, driver-visible
     return pruned.groupBy(
         F.col("event_date").cast("string").alias("event_date")
     ).agg(
@@ -3307,6 +3315,13 @@ def kmeans_assign(spark, sf_dir):
         .collect(),
         key=lambda r: r.vec_id,
     )
+    if not cent_rows:
+        # empty-corpus guard (r12 empty-batch audit): no centroids means
+        # nothing to assign — emit the declared empty schema instead of
+        # building a VOID-typed literal array (AnalysisException)
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster_id int, d2 double"
+        )
     centroids = F.array(
         *[
             F.struct(
@@ -3713,7 +3728,12 @@ def versioned_sink_roundtrip(spark, sf_dir):
     probe_key = orders.filter(F.col("o_orderkey") % 3 == 0).agg(
         F.min("o_orderkey")
     ).collect()[0][0]  # bounded 1-row action: pick a key known to be loaded
-    if not table.verify_write(spark, {"o_orderkey": probe_key}):
+    # empty-batch guard (r12 empty-batch audit): a 0-row load is a routine
+    # production event ("no data today") with no key to point-verify — the
+    # versioned write itself succeeded and the read-back below is the check
+    if probe_key is not None and not table.verify_write(
+        spark, {"o_orderkey": probe_key}
+    ):
         raise RuntimeError("post-write verification failed")  # S9, loud
     restored = table.restore(spark)  # back to v1 = thirds 0 and 1
     if restored != v1:  # loud under -O too (unlike assert)
@@ -6105,6 +6125,12 @@ def similarity_topk_ivf(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     )
+    if not cent:
+        # empty-corpus guard (r12 empty-batch audit): no centroids, no
+        # cells to probe — the empty result with the declared schema
+        return spark.createDataFrame(
+            [], "q_id bigint, n_id bigint, sim double, rank bigint"
+        )
     qs = emb.filter(F.col("vec_id") < 5)
     out = similarity.cosine_topk_ivf(qs, emb, "vec_id", "vec_id", cent, k=5, nprobe=2)
     return out.select("q_id", "n_id", "sim", F.col("rank").cast("bigint").alias("rank"))
@@ -6192,6 +6218,10 @@ def partitioned_merge_roundtrip(spark, sf_dir):
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
     target = base.agg(F.min("o_orderpriority")).collect()[0][0]  # bounded scalar
+    if target is None:
+        # empty-batch guard (r12 audit): nothing to load, nothing to
+        # merge — see partitioned_delete_roundtrip
+        return base.limit(0)
     updates = (
         base.filter((F.col("o_orderpriority") == target) & (F.col("o_orderkey") % 12 == 0))
         .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
@@ -6235,6 +6265,11 @@ def partitioned_delete_roundtrip(spark, sf_dir):
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
     target = base.agg(F.min("o_orderpriority")).collect()[0][0]  # bounded scalar
+    if target is None:
+        # empty-batch guard (r12 audit): nothing to load, nothing to
+        # delete; an empty partitioned table stores no segments (and thus
+        # no schema), so publish the empty input frame directly
+        return base.limit(0)
     feed = base.filter(
         (F.col("o_orderpriority") == target) & (F.col("o_orderkey") % 12 == 0)
     ).select("o_orderkey", "o_orderpriority")
@@ -6801,7 +6836,9 @@ def partitioned_write_prune(spark, sf_dir):
     )
     path = tempfile.mkdtemp(prefix="part_prune_")
     sel.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    back = spark.read.parquet(path).filter(
+    # explicit-schema read: declared lake schema, robust to an empty
+    # partitioned write that leaves nothing to infer from (r12 audit)
+    back = spark.read.schema(sel.schema).parquet(path).filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     )
     return back.groupBy("o_orderpriority").agg(
@@ -8375,6 +8412,12 @@ def semdedup_cluster_prune(spark, sf_dir):
         .collect(),
         key=lambda r: r.vec_id,
     )  # k×64 floats — bounded driver state (k-means inter-iteration style)
+    if not cent_rows:
+        # empty-corpus guard (r12 empty-batch audit): no centroids, no
+        # cells — the empty result with the declared schema
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster_id int, is_dropped boolean"
+        )
     centroids = F.array(
         *[
             F.struct(
@@ -8807,6 +8850,14 @@ def small_file_compaction(spark, sf_dir):
     frag = tempfile.mkdtemp(prefix="frag_lake_")
     docs.repartition(64).write.mode("overwrite").parquet(frag)
     n_frag = len([f for f in _os.listdir(frag) if f.endswith(".parquet")])
+    if n_frag <= 1:
+        # empty/near-empty-corpus guard (r12 empty-batch audit): an empty
+        # frame writes a single empty part file — nothing to compact, so
+        # publish the same rollup directly and skip the compaction demo
+        return docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
     if n_frag <= 16:
         raise RuntimeError(f"fragmentation stage wrote only {n_frag} files")
     fragged = spark.read.parquet(frag)
@@ -8881,6 +8932,11 @@ def zorder_clustered_scan(spark, sf_dir):
     mx = li.agg(
         F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
     ).collect()[0]  # 1-row bounds probe (documented bounded driver state)
+    if mx["mp"] is None:
+        # empty-corpus guard (r12 empty-batch audit): nothing to cluster
+        return spark.createDataFrame(
+            [], "l_returnflag string, n_items bigint, sum_price_cents bigint"
+        )
     bx = f"(l_partkey * 256) div ({mx['mp']} + 1)"
     by = f"(l_suppkey * 256) div ({mx['ms']} + 1)"
     z = F.expr(_zorder_expr(f"({bx})", f"({by})", 8, "div"))
@@ -9646,6 +9702,10 @@ def streaming_watermark_late_drop(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
     min_ts = ev.agg(F.min("ts")).collect()[0][0]  # 1-row bounds probe
+    if min_ts is None:
+        # empty-corpus guard (r12 empty-batch audit): no events, no
+        # micro-batches — the empty windowed-count schema
+        return spark.createDataFrame([], "window_start_us bigint, n_events bigint")
     cut = F.lit(min_ts + datetime.timedelta(days=15))
     late = (F.col("event_id") % 10 == 3) & (F.col("ts") < cut)
     mid = (~late) & (F.col("event_id") % 10 == 7)
@@ -16801,9 +16861,9 @@ def array_lambda_functions(spark, sf_dir):
     SELECT COUNT(DISTINCT doc_id) AS n_docs,
            COUNT(*) AS n_chunks,
            COUNT(DISTINCT h) AS n_distinct_chunks,
-           (COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*)
+           (COUNT(*) - COUNT(DISTINCT h)) * 1000000 // nullif(COUNT(*), 0)
              AS dedup_saving_ppm,
-           CAST(SUM(chunk_len) AS BIGINT) * 1000 // COUNT(*)
+           CAST(SUM(chunk_len) AS BIGINT) * 1000 // nullif(COUNT(*), 0)
              AS mean_chunk_len_milli
     FROM hashed
     """,
@@ -16871,16 +16931,19 @@ def content_defined_chunking(spark, sf_dir):
         (F.col("e") - F.col("s")).alias("chunk_len"),
         F.expr("md5(substring(text, s + 1, e - s))").alias("h"),
     )
+    # nullif: an empty corpus has zero chunks — the ratios are undefined
+    # NULLs, not an ANSI DIVIDE_BY_ZERO crash (r12 empty-batch audit, the
+    # wasserstein_drift_exact class)
     return hashed.agg(
         F.count_distinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_chunks"),
         F.count_distinct("h").alias("n_distinct_chunks"),
         F.expr(
-            "(count(1) - count(distinct h)) * 1000000 div count(1)"
+            "(count(1) - count(distinct h)) * 1000000 div nullif(count(1), 0)"
         ).alias("dedup_saving_ppm"),
-        F.expr("cast(sum(chunk_len) as bigint) * 1000 div count(1)").alias(
-            "mean_chunk_len_milli"
-        ),
+        F.expr(
+            "cast(sum(chunk_len) as bigint) * 1000 div nullif(count(1), 0)"
+        ).alias("mean_chunk_len_milli"),
     )
 
 
@@ -20489,7 +20552,8 @@ def python_datasource_write_roundtrip(spark, sf_dir):
     src.write.format("arrow_parquet_sink").option("path", out_dir).mode(
         "append"
     ).save()
-    back = spark.read.parquet(out_dir)
+    # explicit-schema read: an empty batch commits only _SUCCESS (r12 audit)
+    back = spark.read.schema(src.schema).parquet(out_dir)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
@@ -23008,7 +23072,7 @@ def isotonic_calibration_pav(spark, sf_dir):
 # hill_diversity_profile) + the 36 alphabetically-first of the 44
 # round-1-evidence queries. The CORRECTNESS_r11 artifact: 50/50 green.
 #
-# Round-12 window: flagship + 9 added/modified (NEW:
+# Round-12 window: flagship + 13 added/modified (NEW:
 # kaplan_meier_survival — KM product-limit via negative-exponent
 # log2/exp2, adamic_adar_linkpred — log-damped link prediction,
 # isotonic_calibration_pav — minimax-closed-form PAV calibration;
@@ -23017,11 +23081,14 @@ def isotonic_calibration_pav(spark, sf_dir):
 # fix), wasserstein_drift_exact — nullif guard on an empty side
 # (zero-cell fix), lpa_modularity_audit + label_propagation_communities
 # — shared lpa_labels loop extraction, image_decode_jpeg — decoder now
-# tolerates T.81 fill bytes) + (c) the LAST 8 round-1-evidence queries
-# (r1 cohort EMPTIED this round) + the 32 alphabetically-first of the
-# 39 round-2-evidence queries (tpch_q21_waiting_suppliers /
-# tpch_q22_sales_opportunity / tpch_q3 / tpch_q4 / tpch_q5 / tpch_q6 /
-# variance_stats rotate in next round).
+# tolerates T.81 fill bytes, content_defined_chunking — nullif ratios
+# (empty-batch audit), incremental_lookback_pruned /
+# partitioned_write_prune / python_datasource_write_roundtrip —
+# explicit-schema lake read-backs (empty-batch audit)) + (c) the LAST 8
+# round-1-evidence queries (r1 cohort EMPTIED this round) + the 28
+# alphabetically-first of the 39 round-2-evidence queries (the four
+# tpch_q1x entries and tpch_q21/q22/q3/q4/q5/q6/variance_stats rotate
+# in next round).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) added/modified this round
@@ -23034,6 +23101,10 @@ _FIRST50: list[str] = [
     "lpa_modularity_audit",
     "label_propagation_communities",
     "image_decode_jpeg",
+    "content_defined_chunking",
+    "incremental_lookback_pruned",
+    "partitioned_write_prune",
+    "python_datasource_write_roundtrip",
     # --- (c) the final 8 round-1-evidence queries (cohort emptied)
     "similarity_topk_bruteforce",
     "sort_limit_topk",
@@ -23043,7 +23114,7 @@ _FIRST50: list[str] = [
     "union_by_name",
     "wide_projection",
     "window_topk_per_group",
-    # --- (c) the 32 alphabetically-first round-2-evidence queries
+    # --- (c) the 28 alphabetically-first round-2-evidence queries
     "array_agg_sorted",
     "conditional_agg",
     "contamination_screen",
@@ -23072,10 +23143,6 @@ _FIRST50: list[str] = [
     "stratified_sample_hash",
     "streaming_batch_equiv",
     "tfidf_top_terms",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
 ]
 
 
