@@ -4904,14 +4904,17 @@ def exact_median_groups(spark, sf_dir):
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS s1,
            round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE)
                   - CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE))
-                 / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1)), 6) AS var_samp_q
+                 / nullif(CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1), 0), 6) AS var_samp_q
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def variance_stats(spark, sf_dir):
     # moment statistics derived from EXACT decimal sums (n, Σx, Σx²) so the
     # result is order-insensitive — engine-native stddev/variance stream in
-    # float and are not cross-engine reproducible
+    # float and are not cross-engine reproducible. nullif: the sample
+    # variance of a 1-row group is UNDEFINED (n-1 = 0) — NULL, not an ANSI
+    # DIVIDE_BY_ZERO crash (r12 single-row audit; single-member groups are
+    # ordinary in production data)
     li = _t(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     agg = li.groupBy("l_returnflag").agg(
@@ -4920,7 +4923,9 @@ def variance_stats(spark, sf_dir):
         F.sum((q * q).cast("decimal(30,2)")).cast("double").alias("s2"),
     )
     n = F.col("n").cast("double")
-    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / (n * (n - F.lit(1.0)))
+    var = (n * F.col("s2") - F.col("s1") * F.col("s1")) / F.expr(
+        "nullif(cast(n as double) * (cast(n as double) - 1), 0)"
+    )
     return agg.select("l_returnflag", "n", "s1", F.round(var, 6).alias("var_samp_q"))
 
 
@@ -5112,10 +5117,11 @@ def winsorize_stats(spark, sf_dir):
       FROM events GROUP BY event_type),
     p AS (
       SELECT event_type, s1 / n AS mu,
-             sqrt((n * s2 - s1 * s1) / (n * (n - 1))) AS sd
+             sqrt((n * s2 - s1 * s1) / nullif(CAST(n * (n - 1) AS DOUBLE), 0))
+               AS sd
       FROM s)
     SELECT event_id, e.event_type,
-           ROUND((value - mu) / sd, 6) AS z
+           ROUND((value - mu) / nullif(sd, 0), 6) AS z
     FROM events e JOIN p USING (event_type)
     """,
 )
@@ -5135,12 +5141,15 @@ def zscore_normalize(spark, sf_dir):
         .cast("double")
         .alias("s2"),
     )
+    # nullif pair (r12 single-row audit): sd is UNDEFINED for a 1-row
+    # group (n-1 = 0) and z is undefined when sd = 0 (constant group) —
+    # NULL, never an ANSI DIVIDE_BY_ZERO crash
     p = s.select(
         "event_type",
         (F.col("s1") / F.col("n")).alias("mu"),
         F.sqrt(
             (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
-            / (F.col("n") * (F.col("n") - F.lit(1)))
+            / F.expr("nullif(cast(n * (n - 1) as double), 0)")
         ).alias("sd"),
     )
     return (
@@ -5148,7 +5157,9 @@ def zscore_normalize(spark, sf_dir):
         .select(
             "event_id",
             "event_type",
-            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+            F.round(
+                (F.col("value") - F.col("mu")) / F.expr("nullif(sd, 0)"), 6
+            ).alias("z"),
         )
     )
 
@@ -8084,7 +8095,7 @@ def distribution_drift_tvd(spark, sf_dir):
           FROM v)
     SELECT c.event_type, t.tot1 AS n_before, t.tot2 AS n_after,
            CAST(max(abs(c.c1 * t.tot2 - c.c2 * t.tot1)) * 1000000
-                // (t.tot1 * t.tot2) AS BIGINT) AS ks_micro
+                // nullif(t.tot1 * t.tot2, 0) AS BIGINT) AS ks_micro
     FROM c JOIN t USING (event_type)
     GROUP BY c.event_type, t.tot1, t.tot2
     """,
@@ -8132,7 +8143,7 @@ def ks_drift_exact(spark, sf_dir):
             "event_type",
             F.col("tot1").alias("n_before"),
             F.col("tot2").alias("n_after"),
-            F.expr("CAST(mg * 1000000 div (tot1 * tot2) AS BIGINT)").alias(
+            F.expr("CAST(mg * 1000000 div nullif(tot1 * tot2, 0) AS BIGINT)").alias(
                 "ks_micro"
             ),
         )
@@ -8157,13 +8168,15 @@ def ks_drift_exact(spark, sf_dir):
       FROM r GROUP BY 1)
     SELECT event_type, CAST(n AS BIGINT) AS n,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+                 / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)
+             AS slope_cents_per_day,
            round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept_cents,
+                 / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)
+             AS intercept_cents,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
                  * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+                 / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE), 0), 6) AS r2
     FROM s
     """,
 )
@@ -8204,12 +8217,15 @@ def groupwise_ols_regression(spark, sf_dir):
     icept = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
         "double"
     )
+    # nullif (r12 single-row audit): a 1-point or constant-x group has a
+    # singular normal equation — slope/intercept/r2 are undefined NULLs
+    zb = F.nullif(b, F.lit(0.0))
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(a / b, 6).alias("slope_cents_per_day"),
-        F.round(icept / b, 6).alias("intercept_cents"),
-        F.round(a * a / (b * cc), 6).alias("r2"),
+        F.round(a / zb, 6).alias("slope_cents_per_day"),
+        F.round(icept / zb, 6).alias("intercept_cents"),
+        F.round(a * a / F.nullif(b * cc, F.lit(0.0)), 6).alias("r2"),
     )
 
 
@@ -8850,15 +8866,17 @@ def small_file_compaction(spark, sf_dir):
     frag = tempfile.mkdtemp(prefix="frag_lake_")
     docs.repartition(64).write.mode("overwrite").parquet(frag)
     n_frag = len([f for f in _os.listdir(frag) if f.endswith(".parquet")])
-    if n_frag <= 1:
-        # empty/near-empty-corpus guard (r12 empty-batch audit): an empty
-        # frame writes a single empty part file — nothing to compact, so
-        # publish the same rollup directly and skip the compaction demo
-        return docs.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-        )
     if n_frag <= 16:
+        # degenerate-corpus guard (r12 empty/single-row audits): fewer
+        # than ~17 non-empty splits means there is no fragmentation to
+        # demonstrate (an empty frame writes ONE empty part file) — when
+        # the corpus itself is tiny, publish the rollup directly; a tiny
+        # file count on a REAL corpus is still a loud failure
+        if docs.count() < 64:
+            return docs.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
         raise RuntimeError(f"fragmentation stage wrote only {n_frag} files")
     fragged = spark.read.parquet(frag)
     compact = tempfile.mkdtemp(prefix="compact_lake_")
@@ -9743,7 +9761,9 @@ def streaming_watermark_late_drop(spark, sf_dir):
         for p in sq.recentProgress
         if p.get("stateOperators")
     )
-    if dropped == 0:
+    if dropped == 0 and ev.filter(late).limit(1).count() > 0:
+        # the engagement proof only applies when late rows were actually
+        # fed (r12 single-row audit: a tiny corpus may have none)
         raise RuntimeError(
             "watermark late-drop did not engage: 0 rows dropped "
             "(micro-batch split or watermark lag changed)"
@@ -9941,7 +9961,7 @@ def rolling_active_users(spark, sf_dir):
            CAST(n AS BIGINT) AS n_customers,
            CAST(resp AS BIGINT) AS n_responders,
            round(resp::DOUBLE / n, 6) AS response_rate,
-           round((resp::DOUBLE * tn) / (n::DOUBLE * tr), 6) AS lift
+           round((resp::DOUBLE * tn) / nullif(n::DOUBLE * tr, 0), 6) AS lift
     FROM per, tot
     """,
 )
@@ -9991,7 +10011,9 @@ def score_decile_lift(spark, sf_dir):
         ),
         F.round(
             (F.col("resp").cast("double") * F.col("tn"))
-            / (F.col("n").cast("double") * F.col("tr")),
+            / F.nullif(
+                F.col("n").cast("double") * F.col("tr"), F.lit(0.0)
+            ),
             6,
         ).alias("lift"),
     )
@@ -10909,7 +10931,7 @@ def benford_digit_audit(spark, sf_dir):
                   quantile_cont(cents, 0.75) AS q3
            FROM c GROUP BY 1)
     SELECT c.event_type, c.event_id, c.cents,
-           round((c.cents - qs.med) / (qs.q3 - qs.q1), 6) AS scaled
+           round((c.cents - qs.med) / nullif(qs.q3 - qs.q1, 0), 6) AS scaled
     FROM c JOIN qs USING (event_type)
     """,
 )
@@ -10947,8 +10969,12 @@ def robust_scaler_groups(spark, sf_dir):
         "event_type",
         "event_id",
         "cents",
+        # nullif (r12 single-row audit): a 1-row or constant group has
+        # IQR 0 — scaled is undefined NULL, not a DIVIDE_BY_ZERO crash
         F.round(
-            (F.col("cents") - F.col("med")) / (F.col("q3") - F.col("q1")), 6
+            (F.col("cents") - F.col("med"))
+            / F.expr("nullif(q3 - q1, 0)"),
+            6,
         ).alias("scaled"),
     )
 
@@ -11519,7 +11545,7 @@ def streaming_session_window(spark, sf_dir):
                  count(*) OVER (PARTITION BY event_type) AS n
           FROM c)
     SELECT event_type, event_id, cents,
-           round((rk - 1.0) / (n - 1.0), 6) AS u
+           round((rk - 1.0) / nullif(n - 1.0, 0), 6) AS u
     FROM r
     """,
 )
@@ -11550,7 +11576,9 @@ def quantile_transform_uniform(spark, sf_dir):
         "cents",
         F.round(
             (F.row_number().over(wr) - F.lit(1.0))
-            / (F.count(F.lit(1)).over(wn) - F.lit(1.0)),
+            / F.nullif(
+                F.count(F.lit(1)).over(wn) - F.lit(1.0), F.lit(0.0)
+            ),
             6,
         ).alias("u"),
     )
@@ -12023,7 +12051,7 @@ def rfm_segmentation(spark, sf_dir):
              CAST(SUM(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT) AS u2
       FROM pre)
     SELECT np AS n_pos, nn AS n_neg,
-           round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+           round(CAST(u2 AS DOUBLE) / nullif(2.0 * np * nn, 0), 6) AS auc
     FROM tot
     """,
 )
@@ -12094,7 +12122,8 @@ def exact_auc_ranksum(spark, sf_dir):
         F.col("np").alias("n_pos"),
         F.col("nn").alias("n_neg"),
         F.round(
-            F.col("u2").cast("double") / (F.lit(2.0) * F.col("np") * F.col("nn")),
+            F.col("u2").cast("double")
+            / F.nullif(F.lit(2.0) * F.col("np") * F.col("nn"), F.lit(0.0)),
             6,
         ).alias("auc"),
     )
@@ -12493,7 +12522,7 @@ _BOOT_CASE_SQL = "\n".join(
     rm AS (
       SELECT event_type, rep,
              CAST(SUM(CAST(w * value AS DECIMAL(30,6))) AS DOUBLE)
-             / SUM(w) AS m
+             / nullif(SUM(w), 0) AS m
       FROM wv GROUP BY 1, 2
     ),
     rk AS (
@@ -12558,7 +12587,9 @@ def poisson_bootstrap_ci(spark, sf_dir):
     rm = wv.groupBy("event_type", "rep").agg(
         (
             F.sum((F.col("w") * F.col("value")).cast("decimal(30,6)")).cast("double")
-            / F.sum("w")
+            # nullif (r12 single-row audit): a replicate can draw w=0 for
+            # every row of a tiny stratum -> its mean is undefined NULL
+            / F.nullif(F.sum("w"), F.lit(0))
         ).alias("m")
     )
     rk = rm.select(
@@ -12921,18 +12952,20 @@ def theil_sen_trend(spark, sf_dir):
       FROM events GROUP BY 1),
     v AS (
       SELECT event_type, n_rows,
-             sqrt((sxx - sx * sx / n_rows) / (n_rows - 1)) AS s_h
+             sqrt((sxx - sx * sx / n_rows)
+                  / nullif(CAST(n_rows - 1 AS DOUBLE), 0)) AS s_h
       FROM s),
     tot AS (SELECT SUM(n_rows * s_h) AS w_all FROM v),
     a AS (
       SELECT event_type, n_rows, s_h,
              LEAST(CAST(1 AS DOUBLE),
-                   CAST(2000 AS DOUBLE) * (n_rows * s_h) / w_all / n_rows)
+                   CAST(2000 AS DOUBLE) * (n_rows * s_h)
+                     / nullif(w_all, 0) / n_rows)
                AS rate,
              printf('%08x',
                     CAST(FLOOR(LEAST(CAST(1 AS DOUBLE),
                                      CAST(2000 AS DOUBLE) * (n_rows * s_h)
-                                       / w_all / n_rows)
+                                       / nullif(w_all, 0) / n_rows)
                                * CAST(4294967296 AS DOUBLE)) AS BIGINT)) AS thr
       FROM v CROSS JOIN tot),
     p AS (
@@ -12980,15 +13013,18 @@ def neyman_allocation_sample(spark, sf_dir):
     v = s.select(
         "event_type",
         "n_rows",
+        # nullif (r12 single-row audit): stddev of a 1-row stratum is
+        # undefined NULL (n-1 = 0), never an ANSI crash
         F.sqrt(
             (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_rows"))
-            / (F.col("n_rows") - 1)
+            / F.expr("nullif(cast(n_rows - 1 as double), 0)")
         ).alias("s_h"),
     )
     tot = v.agg(F.sum(F.col("n_rows") * F.col("s_h")).alias("w_all"))
     rate = F.least(
         F.lit(1.0),
-        F.lit(2000.0) * (F.col("n_rows") * F.col("s_h")) / F.col("w_all")
+        F.lit(2000.0) * (F.col("n_rows") * F.col("s_h"))
+        / F.expr("nullif(w_all, 0)")
         / F.col("n_rows"),
     )
     a = v.crossJoin(F.broadcast(tot)).select(
@@ -14001,8 +14037,8 @@ def split_conformal_coverage(spark, sf_dir):
       FROM s)
     SELECT event_type, n, round(mu, 6) AS mean_v,
            round(m2, 6) AS var_pop,
-           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+           round(m3 / nullif(m2 * sqrt(m2), 0), 6) AS skewness,
+           round(m4 / nullif(m2 * m2, 0) - 3, 6) AS excess_kurtosis
     FROM m
     """,
 )
@@ -14046,8 +14082,10 @@ def higher_moment_stats(spark, sf_dir):
         "n",
         F.round(mu, 6).alias("mean_v"),
         F.round(m2, 6).alias("var_pop"),
-        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
-        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+        # nullif (r12 single-row audit): m2 = 0 for a 1-row/constant
+        # group -> skewness/kurtosis are undefined NULLs, never a crash
+        F.round(m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0)), 6).alias("skewness"),
+        F.round(m4 / F.nullif(m2 * m2, F.lit(0.0)) - 3, 6).alias("excess_kurtosis"),
     )
 
 
@@ -14654,7 +14692,8 @@ def rle_sequence_compression(spark, sf_dir):
     per_cat AS (
       SELECT cat, SUM(n_f) AS n_t, SUM(s_f) AS s_t FROM per_fold GROUP BY 1)
     SELECT f.cat, f.fold, f.n_f AS n_rows,
-           round(CAST(c.s_t - f.s_f AS DOUBLE) / (c.n_t - f.n_f), 6)
+           round(CAST(c.s_t - f.s_f AS DOUBLE)
+                 / nullif(CAST(c.n_t - f.n_f AS DOUBLE), 0), 6)
              AS oof_encoding,
            round(CAST(c.s_t AS DOUBLE) / c.n_t, 6) AS naive_encoding
     FROM per_fold f JOIN per_cat c USING (cat)
@@ -14694,7 +14733,7 @@ def target_encoding_kfold(spark, sf_dir):
         F.col("n_f").alias("n_rows"),
         F.round(
             (F.col("s_t") - F.col("s_f")).cast("double")
-            / (F.col("n_t") - F.col("n_f")),
+            / F.expr("nullif(cast(n_t - n_f as double), 0)"),
             6,
         ).alias("oof_encoding"),
         F.round(F.col("s_t").cast("double") / F.col("n_t"), 6).alias(
@@ -14976,7 +15015,7 @@ def daily_percentile_bands(spark, sf_dir):
       FROM touches GROUP BY 1),
     tot AS (SELECT SUM(total_credit_micro) AS all_credit FROM agg)
     SELECT event_type, n_touches, n_credited, total_credit_micro,
-           total_credit_micro * 1000000 // all_credit AS credit_share_ppm
+           total_credit_micro * 1000000 // nullif(all_credit, 0) AS credit_share_ppm
     FROM agg CROSS JOIN tot
     """,
 )
@@ -15040,7 +15079,7 @@ def attribution_time_decay(spark, sf_dir):
         "n_touches",
         "n_credited",
         "total_credit_micro",
-        F.expr("total_credit_micro * 1000000 div all_credit").alias(
+        F.expr("total_credit_micro * 1000000 div nullif(all_credit, 0)").alias(
             "credit_share_ppm"
         ),
     )
@@ -15064,7 +15103,8 @@ def attribution_time_decay(spark, sf_dir):
       FROM blocks)
     SELECT b.skeleton, b.n_items, b.pairs_in_block,
            t.pairs_all,
-           (t.pairs_all - t.pairs_blocked) * 1000000 // t.pairs_all
+           (t.pairs_all - t.pairs_blocked) * 1000000
+             // nullif(t.pairs_all, 0)
              AS reduction_ppm
     FROM blocks b CROSS JOIN tot t
     """,
@@ -15108,7 +15148,7 @@ def phonetic_blocking_audit(spark, sf_dir):
         "pairs_in_block",
         "pairs_all",
         F.expr(
-            "(pairs_all - pairs_blocked) * 1000000 div pairs_all"
+            "(pairs_all - pairs_blocked) * 1000000 div nullif(pairs_all, 0)"
         ).alias("reduction_ppm"),
     )
 
@@ -15735,7 +15775,7 @@ def kendall_tau_rankers(spark, sf_dir):
              CAST(SUM(2 * n_pos * neg_below + n_pos * n_neg) AS BIGINT) AS u2
       FROM pre GROUP BY fold)
     SELECT fold, np AS n_pos, nn AS n_neg,
-           round(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+           round(CAST(u2 AS DOUBLE) / nullif(2.0 * np * nn, 0), 6) AS auc
     FROM tot
     """,
 )
@@ -15788,7 +15828,8 @@ def kfold_metric_stability(spark, sf_dir):
         F.col("np").alias("n_pos"),
         F.col("nn").alias("n_neg"),
         F.round(
-            F.col("u2").cast("double") / (2.0 * F.col("np") * F.col("nn")), 6
+            F.col("u2").cast("double")
+            / F.nullif(2.0 * F.col("np") * F.col("nn"), F.lit(0.0)), 6
         ).alias("auc"),
     )
 
@@ -16640,8 +16681,9 @@ def consistent_hash_resharding(spark, sf_dir):
       FROM aligned GROUP BY 1)
     SELECT lag, n,
            round((n * sab - sa * sb)
-                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
-                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS xcorr
+                 / nullif(sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                          * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 0),
+                 6) AS xcorr
     FROM s
     """,
 )
@@ -16688,7 +16730,11 @@ def leadlag_crosscorrelation(spark, sf_dir):
     ) * F.sqrt(
         (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
     )
-    return s.select("lag", "n", F.round(num / den, 6).alias("xcorr"))
+    # nullif (r12 single-row audit): constant series -> zero variance
+    return s.select(
+        "lag", "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("xcorr"),
+    )
 
 
 @q(
@@ -17195,7 +17241,8 @@ def session_definition_sensitivity(spark, sf_dir):
       FROM d WINDOW w AS (ORDER BY decile
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT decile, cum_tn, cum_tpos, cum_cn, cum_cpos,
-           cum_tpos - cum_tn * cum_cpos // cum_cn AS qini_incremental
+           cum_tpos - cum_tn * cum_cpos // nullif(cum_cn, 0)
+             AS qini_incremental
     FROM cum
     """,
 )
@@ -17262,7 +17309,7 @@ def uplift_qini_points(spark, sf_dir):
         "cum_tpos",
         "cum_cn",
         "cum_cpos",
-        F.expr("cum_tpos - cum_tn * cum_cpos div cum_cn").alias(
+        F.expr("cum_tpos - cum_tn * cum_cpos div nullif(cum_cn, 0)").alias(
             "qini_incremental"
         ),
     )
@@ -19025,8 +19072,8 @@ def winnowing_fingerprint_dedup(spark, sf_dir):
              ((n_c0 + n_c1 + n_c2) * (n_c0 + n_c1 + n_c2)
               - (n_c0 * n_c0 + n_c1 * n_c1 + n_c2 * n_c2)
               - (2 * n_units - 1) * 2 * n_disagree) * 1000000
-             / CAST((n_c0 + n_c1 + n_c2) * (n_c0 + n_c1 + n_c2)
-                    - (n_c0 * n_c0 + n_c1 * n_c1 + n_c2 * n_c2) AS DOUBLE)
+             / nullif(CAST((n_c0 + n_c1 + n_c2) * (n_c0 + n_c1 + n_c2)
+                    - (n_c0 * n_c0 + n_c1 * n_c1 + n_c2 * n_c2) AS DOUBLE), 0)
            ) AS BIGINT) AS alpha_ppm
     FROM c
     """,
@@ -19090,7 +19137,9 @@ def krippendorff_alpha_nominal(spark, sf_dir):
         F.floor(
             (de - (2 * F.col("n_units") - 1) * 2 * F.col("n_disagree"))
             * 1000000
-            / de
+            # nullif (r12 single-row audit): de = 0 when the pooled labels
+            # are all one class — alpha is undefined NULL, not a crash
+            / F.nullif(de.cast("double"), F.lit(0.0))
         ).alias("alpha_ppm"),
     )
 
@@ -22027,10 +22076,10 @@ def srm_audit(spark, sf_dir):
              CAST(u_t * 1000000 // u AS BIGINT) AS p_ppm
       FROM t, tot)
     SELECT event_type, u AS n_users_total, n_arm AS n_per_arm, p_ppm,
-           CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) // n_arm
+           CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) // nullif(n_arm, 0)
                                 AS DOUBLE)) * 14) AS BIGINT) // 5
              AS mde_abs_ppm,
-           CAST((CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) // n_arm
+           CAST((CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) // nullif(n_arm, 0)
                                       AS DOUBLE)) * 14) AS BIGINT) // 5)
                 * 1000000 // greatest(p_ppm, 1) AS BIGINT) AS mde_rel_ppm
     FROM p
@@ -22063,7 +22112,7 @@ def ab_power_mde(spark, sf_dir):
         F.expr("CAST(u_t * 1000000 div u AS BIGINT)").alias("p_ppm"),
     )
     mde = (
-        "CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) div n_arm"
+        "CAST(floor(sqrt(CAST(2 * p_ppm * (1000000 - p_ppm) div nullif(n_arm, 0)"
         " AS DOUBLE)) * 14) AS BIGINT) div 5"
     )
     return p.select(
@@ -22598,8 +22647,8 @@ def regression_discontinuity(spark, sf_dir):
       FROM marg, tot)
     SELECT CAST(n AS BIGINT) AS n_events, n_rows, n_cols, chi2_micro,
            CAST(floor(sqrt(CAST(chi2_micro * 1000000
-                                // (CAST(n AS BIGINT)
-                                    * least(n_rows - 1, n_cols - 1))
+                                // nullif(CAST(n AS BIGINT)
+                                    * least(n_rows - 1, n_cols - 1), 0)
                                 AS DOUBLE))) AS BIGINT) AS cramers_v_ppm
     FROM chi, tot
     """,
@@ -22671,7 +22720,7 @@ def cramers_v_association(spark, sf_dir):
         "chi2_micro",
         F.expr(
             "CAST(floor(sqrt(CAST(chi2_micro * 1000000"
-            " div (CAST(n AS BIGINT) * least(n_rows - 1, n_cols - 1))"
+            " div nullif(CAST(n AS BIGINT) * least(n_rows - 1, n_cols - 1), 0)"
             " AS DOUBLE))) AS BIGINT)"
         ).alias("cramers_v_ppm"),
     )
@@ -23084,11 +23133,22 @@ def isotonic_calibration_pav(spark, sf_dir):
 # tolerates T.81 fill bytes, content_defined_chunking — nullif ratios
 # (empty-batch audit), incremental_lookback_pruned /
 # partitioned_write_prune / python_datasource_write_roundtrip —
-# explicit-schema lake read-backs (empty-batch audit)) + (c) the LAST 8
-# round-1-evidence queries (r1 cohort EMPTIED this round) + the 28
-# alphabetically-first of the 39 round-2-evidence queries (the four
-# tpch_q1x entries and tpch_q21/q22/q3/q4/q5/q6/variance_stats rotate
-# in next round).
+# explicit-schema lake read-backs (empty-batch audit), PLUS the 20
+# statistical queries hardened by the single-row audit — nullif on every
+# divisor that is 0 for a 1-row/constant group (n-1 variances, IQR,
+# pooled-class de, normal-equation determinants, AUC 2PN, arm counts,
+# replicate weights, cumulative control counts): ab_power_mde,
+# attribution_time_decay, cramers_v_association, exact_auc_ranksum,
+# groupwise_ols_regression, higher_moment_stats, kfold_metric_stability,
+# krippendorff_alpha_nominal, ks_drift_exact, leadlag_crosscorrelation,
+# neyman_allocation_sample, phonetic_blocking_audit,
+# poisson_bootstrap_ci, quantile_transform_uniform,
+# robust_scaler_groups, score_decile_lift, target_encoding_kfold,
+# uplift_qini_points, variance_stats, zscore_normalize — all
+# result-identical on non-degenerate data, re-windowed per policy) +
+# (c) the LAST 8 round-1-evidence queries (r1 cohort EMPTIED this
+# round) + the 8 alphabetically-first round-2-evidence queries (the
+# remaining r2 cohort rotates across r13-r14).
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) added/modified this round
@@ -23105,6 +23165,28 @@ _FIRST50: list[str] = [
     "incremental_lookback_pruned",
     "partitioned_write_prune",
     "python_datasource_write_roundtrip",
+    # --- (b) single-row-audit nullif hardening (results unchanged on
+    #     non-degenerate data; re-windowed per policy)
+    "ab_power_mde",
+    "attribution_time_decay",
+    "cramers_v_association",
+    "exact_auc_ranksum",
+    "groupwise_ols_regression",
+    "higher_moment_stats",
+    "kfold_metric_stability",
+    "krippendorff_alpha_nominal",
+    "ks_drift_exact",
+    "leadlag_crosscorrelation",
+    "neyman_allocation_sample",
+    "phonetic_blocking_audit",
+    "poisson_bootstrap_ci",
+    "quantile_transform_uniform",
+    "robust_scaler_groups",
+    "score_decile_lift",
+    "target_encoding_kfold",
+    "uplift_qini_points",
+    "variance_stats",
+    "zscore_normalize",
     # --- (c) the final 8 round-1-evidence queries (cohort emptied)
     "similarity_topk_bruteforce",
     "sort_limit_topk",
@@ -23114,7 +23196,7 @@ _FIRST50: list[str] = [
     "union_by_name",
     "wide_projection",
     "window_topk_per_group",
-    # --- (c) the 28 alphabetically-first round-2-evidence queries
+    # --- (c) the 8 alphabetically-first round-2-evidence queries
     "array_agg_sorted",
     "conditional_agg",
     "contamination_screen",
@@ -23123,26 +23205,6 @@ _FIRST50: list[str] = [
     "dedup_minhash_word_ngrams",
     "events_tumbling_window",
     "exact_median_groups",
-    "explode_unnest",
-    "json_extract_props",
-    "kmeans_assign",
-    "llm_corpus_clean",
-    "media_frame_extract",
-    "monthly_revenue_rollup",
-    "null_handling",
-    "pivot_status_counts",
-    "range_join_value_bands",
-    "salted_join_skew",
-    "scalar_despace_cabin",
-    "semi_join_big_spenders",
-    "similarity_topk_lsh",
-    "sql_cte_window",
-    "sql_exists_correlated",
-    "sql_in_subquery",
-    "sql_scalar_subquery",
-    "stratified_sample_hash",
-    "streaming_batch_equiv",
-    "tfidf_top_terms",
 ]
 
 

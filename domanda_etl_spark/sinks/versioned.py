@@ -280,6 +280,10 @@ class PartitionedVersionedTable:
         df.write.mode("overwrite").partitionBy(self.partition_col).parquet(
             self._sdir(seg)
         )
+        # persist the table schema in the manifest (Delta-log style) so a
+        # version with ZERO partitions — every row deleted, or an empty
+        # load — still reads back as a TYPED empty frame (r12 audit)
+        m["schema"] = df.schema.json()
         m["next_seg"] = seg + 1
         prefix = f"{self.partition_col}="
         parts = [
@@ -437,6 +441,22 @@ class PartitionedVersionedTable:
         parts = self._entry(m, v)["parts"]
         if partitions is not None:
             parts = {p: parts[p] for p in partitions if p in parts}
+        if not parts and m.get("schema"):
+            # zero live partitions (all deleted / empty load): a typed
+            # empty frame from the manifest schema, not FileNotFoundError
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            stored = StructType.fromJson(json.loads(m["schema"]))
+            # partition values round-trip as strings (class contract)
+            schema = StructType(
+                [
+                    StructField(f.name, StringType(), True)
+                    if f.name == self.partition_col
+                    else f
+                    for f in stored.fields
+                ]
+            )
+            return spark.createDataFrame([], schema)
         return self._read_parts(spark, parts)
 
     def history(self) -> list[dict]:
