@@ -520,6 +520,11 @@ def decode_jpeg(data: bytes) -> dict:
         # permits it and some camera firmware pads with it)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            # a truncated stream whose tail is a run of 0xFF fill bytes must
+            # fail with the decoder's documented error, not IndexError
+            # (sync_restart re-checks bounds after its identical skip loop)
+            raise ValueError("truncated stream: fill bytes run to EOF")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -295,7 +295,15 @@ class PartitionedVersionedTable:
 
     def _commit(self, m: dict, op: str, parts: dict[str, list[int]]) -> int:
         v = m["next_id"]
-        m["versions"].append({"id": v, "ts": time.time(), "op": op, "parts": parts})
+        # schema is pinned PER VERSION (Delta-log style): m["schema"] holds
+        # the latest write's schema at commit time, so each entry records
+        # the schema in force when it was published — merge_upsert with
+        # allowMissingColumns=True may evolve it between versions, and
+        # read(version=old) must type its empty-frame path with THAT
+        # version's schema, not the latest write's (ADVICE r12)
+        m["versions"].append(
+            {"id": v, "ts": time.time(), "op": op, "parts": parts, "schema": m.get("schema")}
+        )
         m["current"] = v
         m["next_id"] = v + 1
         self._write_manifest(m)
@@ -433,20 +441,32 @@ class PartitionedVersionedTable:
         partitions: list[str] | None = None,
     ) -> DataFrame:
         """`partitions` prunes at the MANIFEST level: only the requested
-        partitions' files are ever listed or opened."""
+        partitions' files are ever listed or opened.
+
+        Empty-result contract: a version with ZERO live partitions (every
+        row deleted, or an empty load), and equally a `partitions` filter
+        that matches none of the version's live partitions, returns a TYPED
+        empty DataFrame — partition pruning to nothing is an ordinary empty
+        result, not an error. The schema comes from the requested version's
+        manifest entry (pinned at commit time, so schema evolution between
+        versions reads back faithfully); table-level schema is the fallback
+        for pre-r13 manifests. FileNotFoundError is reserved for a table
+        with no versions at all or a vacuumed/unknown version id."""
         m = self._read_manifest()
         v = m["current"] if version is None else version
         if v is None:
             raise FileNotFoundError(f"{self.path}: empty table")
-        parts = self._entry(m, v)["parts"]
+        entry = self._entry(m, v)
+        parts = entry["parts"]
         if partitions is not None:
             parts = {p: parts[p] for p in partitions if p in parts}
-        if not parts and m.get("schema"):
-            # zero live partitions (all deleted / empty load): a typed
-            # empty frame from the manifest schema, not FileNotFoundError
+        schema_json = entry.get("schema") or m.get("schema")
+        if not parts and schema_json:
+            # zero live partitions (all deleted / empty load / pruned to
+            # nothing): a typed empty frame, not FileNotFoundError
             from pyspark.sql.types import StringType, StructField, StructType
 
-            stored = StructType.fromJson(json.loads(m["schema"]))
+            stored = StructType.fromJson(json.loads(schema_json))
             # partition values round-trip as strings (class contract)
             schema = StructType(
                 [

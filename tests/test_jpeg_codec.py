@@ -253,6 +253,18 @@ def test_truncated_raises():
         decode_jpeg(blob[: len(blob) // 2])
 
 
+def test_truncated_fill_byte_tail_raises_valueerror():
+    """ADVICE r12: a stream cut mid-header whose tail is a run of 0xFF fill
+    bytes must fail with the decoder's documented ValueError, not IndexError
+    from reading past the end after the fill-skip loop."""
+    img = np.full((8, 8), 128, np.uint8)
+    blob = encode_jpeg(img)
+    i = blob.find(b"\xff\xdb")  # cut just before a real marker...
+    truncated = blob[:i] + b"\xff\xff\xff"  # ...and end in fill bytes
+    with pytest.raises(ValueError, match="fill bytes run to EOF"):
+        decode_jpeg(truncated)
+
+
 def test_decode_image_dispatches_jpeg():
     """multimodal.decode_image now routes 0xFFD8 payloads to the real
     codec (the NotImplementedError narrowed to genuinely-absent modes)."""

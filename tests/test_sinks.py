@@ -294,3 +294,37 @@ def test_partitioned_delete_keys_scoped_and_zero_io(spark, tmp_path):
     # pre-delete state restorable
     t.restore(spark, v0)
     assert t.read(spark).count() == 31
+
+def test_partitioned_per_version_schema_pinned(spark, tmp_path):
+    """ADVICE r12: the manifest pins schema PER VERSION, so after a
+    merge_upsert evolves the schema, reading an OLDER version pruned to
+    zero partitions types its empty frame with THAT version's schema —
+    not the latest write's."""
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    t = PartitionedVersionedTable(str(tmp_path / "pvs"), "day")
+    v0 = t.overwrite(spark.createDataFrame([(1, "d0", 1.0)], "id INT, day STRING, v DOUBLE"))
+    # schema-evolving merge adds a column
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "d1", 2.0, "x")], "id INT, day STRING, v DOUBLE, extra STRING"),
+        ["id"],
+    )
+    old_empty = t.read(spark, version=v0, partitions=["nonexistent"])
+    assert old_empty.count() == 0
+    assert old_empty.columns == ["id", "day", "v"]  # v0's schema, no `extra`
+    new_empty = t.read(spark, partitions=["nonexistent"])
+    assert new_empty.count() == 0
+    assert "extra" in new_empty.columns  # latest version's evolved schema
+
+
+def test_partitioned_prune_to_nothing_is_typed_empty(spark, tmp_path):
+    """ADVICE r12 (documented contract): a `partitions` filter matching
+    none of a LIVE version's partitions returns a typed empty frame —
+    pruning semantics, not FileNotFoundError."""
+    from domanda_etl_spark.sinks import PartitionedVersionedTable
+
+    t = PartitionedVersionedTable(str(tmp_path / "ppn"), "day")
+    t.overwrite(spark.createDataFrame([(1, "d0", 1.0)], "id INT, day STRING, v DOUBLE"))
+    out = t.read(spark, partitions=["d9"])
+    assert out.count() == 0 and out.columns == ["id", "day", "v"]
