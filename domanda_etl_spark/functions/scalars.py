@@ -267,28 +267,50 @@ def normalize_join_date(c: Column | str) -> Column:
     return F.when(parsed.isNotNull(), F.date_format(parsed, "MM/dd")).otherwise(padded)
 
 
-def normalize_join_date_sql(inner: str) -> str:
-    """SQL-string twin of normalize_join_date over an arbitrary SQL input
-    expression (equality asserted in tests/test_scalars.py); see
-    normalize_join_key_sql for why the twins exist."""
+def normalize_join_date_stage1_sql(inner: str) -> str:
+    """First half of the join-date normalize as a LINEAR chain (every
+    regexp used exactly once): dots/dashes -> '/', trim, strip a leading
+    or trailing 4-digit year. Splitting the twin in two stages (with a
+    one-evaluation barrier between, see operators.conform.one_eval_barrier)
+    keeps the composed expression tree linear — the single-expression form
+    below repeats subtrees ~70x, which both multiplies per-row regex work
+    and overflows janino's 64 KB generated-method limit when several keys
+    land in one fused projection (measured on the flagship, r13)."""
     s = (
         "trim(regexp_replace(regexp_replace("
         f"cast(({inner}) AS STRING), '\\\\.', '/'), '-', '/'))"
     )
     s = f"regexp_replace({s}, '^\\\\s*\\\\d{{4}}\\\\s*/', '')"
-    s = f"regexp_replace({s}, '/\\\\s*\\\\d{{4}}\\\\s*$', '')"
+    return f"regexp_replace({s}, '/\\\\s*\\\\d{{4}}\\\\s*$', '')"
+
+
+def normalize_join_date_stage2_sql(inner: str) -> str:
+    """Second half of the join-date normalize: zero-pad M/D if the stage-1
+    output looks like one, then canonicalize through a MM/dd parse with
+    unparseable values kept verbatim. `inner` should be a plain attribute
+    (the stage-1 output behind a barrier) — it is referenced ~10 times."""
     pat = "'^\\\\s*(\\\\d{1,2})\\\\s*/\\\\s*(\\\\d{1,2})\\\\s*$'"
-    m = f"regexp_extract({s}, {pat}, 1)"
-    d = f"regexp_extract({s}, {pat}, 2)"
+    m = f"regexp_extract({inner}, {pat}, 1)"
+    d = f"regexp_extract({inner}, {pat}, 2)"
     padded = (
         f"CASE WHEN {m} != '' THEN "
-        f"concat(lpad({m}, 2, '0'), '/', lpad({d}, 2, '0')) ELSE {s} END"
+        f"concat(lpad({m}, 2, '0'), '/', lpad({d}, 2, '0')) ELSE {inner} END"
     )
     parsed = f"try_to_timestamp({padded}, 'MM/dd')"
     return (
         f"CASE WHEN {parsed} IS NOT NULL THEN "
         f"date_format({parsed}, 'MM/dd') ELSE {padded} END"
     )
+
+
+def normalize_join_date_sql(inner: str) -> str:
+    """SQL-string twin of normalize_join_date over an arbitrary SQL input
+    expression (equality asserted in tests/test_scalars.py); see
+    normalize_join_key_sql for why the twins exist. Single-expression
+    composition of the two stages — fine for one column, but multi-key
+    normalization should stage through a barrier (joins.normalize_join_keys
+    does) to keep the expression tree linear."""
+    return normalize_join_date_stage2_sql(normalize_join_date_stage1_sql(inner))
 
 
 # ---------------------------------------------------------------- F18

@@ -55,6 +55,28 @@ def blank_strings_to_null(df: DataFrame, columns: list[str] | None = None) -> Da
     return df.selectExpr(*exprs)
 
 
+def one_eval_barrier(df: DataFrame) -> DataFrame:
+    """Structural one-evaluation barrier: everything ABOVE this point
+    references the columns computed BELOW it as plain attributes.
+
+    explode(array(struct(*))) is a Generate node: CollapseProject cannot
+    inline a generator output into upper expressions, and predicate
+    pushdown rewrites upper filters in terms of the generator's output
+    fields instead of substituting the full producing expression — so a
+    computed column evaluates exactly ONCE per row no matter how many
+    upper expressions (projections, filter conditions, join-key
+    null-checks) reference it. This matters twice on expression-heavy
+    plans: per-row cost (a CASE whose branches repeat a regex subtree
+    re-executes it at every reference — CASE branches are excluded from
+    codegen subexpression elimination), and compiled-code SIZE (a fused
+    projection whose inlined expressions exceed janino's hard 64 KB
+    method limit throws the whole stage back to interpreted execution —
+    the generated `project_doConsume` must stay under the limit).
+    Cost: one struct wrap/unwrap per row, and column pruning stops at the
+    barrier — callers must project needed columns first."""
+    return df.select(F.explode(F.array(F.struct("*"))).alias("_r")).select("_r.*")
+
+
 def select_aliased(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
     """P7 — wide projection builder: one select with every output column an
     aliased expression (the engine's flagship projection node; the

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import scalars
+from . import conform
 
 
 def normalize_join_keys(
@@ -35,7 +36,18 @@ def normalize_join_keys(
     collapse whitespace, placeholders -> '', uppercase; `strip_ws_keys`
     (flight numbers / cabin classes) drop ALL whitespace; `date_keys` are
     further normalized to MM/DD with unparseable values kept verbatim
-    (reference unified_transformer.py:216-258)."""
+    (reference unified_transformer.py:216-258).
+
+    The date keys are computed in THREE stages separated by one-evaluation
+    barriers (conform.one_eval_barrier). A single-expression date normalize
+    repeats its regex subtree ~70x (CASE branches re-expand their input),
+    and the enrich join then pushes inferred join-key predicates into each
+    side with that expression inlined — at 14 keys the fused supplier-side
+    projection overflowed janino's hard 64 KB generated-method limit and
+    the whole stage fell back to interpreted execution (flagship measured
+    2.4x slower, r13). Staging keeps every expression over plain
+    attributes: linear regex chains, compiled codegen, one evaluation per
+    row."""
     strip_ws = set(strip_ws_keys or [])
     dates = set(date_keys or [])
     out = {}
@@ -45,10 +57,19 @@ def normalize_join_keys(
         # pipeline build the difference is ~2 s of pure plan construction).
         # Twin/Column equivalence is asserted in tests/test_scalars.py.
         sql = scalars.normalize_join_key_sql(k, strip_all_whitespace=k in strip_ws)
-        if k in dates:
-            sql = scalars.normalize_join_date_sql(sql)
         out[k] = F.expr(sql)
-    return df.withColumns(out)
+    df = df.withColumns(out)
+    if dates:
+        qi = scalars._sql_ident
+        df = conform.one_eval_barrier(df)
+        df = df.withColumns(
+            {k: F.expr(scalars.normalize_join_date_stage1_sql(qi(k))) for k in dates}
+        )
+        df = conform.one_eval_barrier(df)
+        df = df.withColumns(
+            {k: F.expr(scalars.normalize_join_date_stage2_sql(qi(k))) for k in dates}
+        )
+    return df
 
 
 def enrich_left_join(

@@ -134,28 +134,10 @@ def clean_cola(df: DataFrame, now_epoch: float | None = None) -> DataFrame:
     return df
 
 
-def _collapse_barrier(df: DataFrame) -> DataFrame:
-    """Structural one-evaluation barrier: everything ABOVE this point
-    references the columns computed BELOW it as plain attributes.
-
-    Catalyst's CollapseProject + filter pushdown inline a projected
-    expression into every downstream reference — correct, but for the
-    canonicalized flight columns each reference re-expands a CASE whose
-    branches repeat an upper/trim/regexp_replace subtree 7 times, and
-    CASE-branch subtrees are excluded from codegen subexpression
-    elimination (conditional evaluation). The validity filter plus the
-    84-key join normalization reference those columns enough times that
-    the regex work multiplies ~10x per row (measured on the flagship).
-
-    explode(array(struct(*))) is a Generate node: an upper Project cannot
-    inline a generator output, and only predicates on the generator's
-    CHILD push through — so computed columns evaluate exactly once, while
-    scan-level pushed filters (applied below the clean stage) keep their
-    pushdown. Cost: one struct wrap/unwrap per row, and column pruning
-    stops at the barrier — callers must project needed columns first
-    (the clean stage keeps every column the wide output consumes, so
-    nothing extra is read here)."""
-    return df.select(F.explode(F.array(F.struct("*"))).alias("_r")).select("_r.*")
+# Structural one-evaluation barrier — now shared engine-wide from
+# operators.conform (r13: joins.normalize_join_keys stages its date-key
+# normalization through it too). Kept under the historical local name.
+_collapse_barrier = conform.one_eval_barrier
 
 
 def clean_supplier(df: DataFrame, raw_price: str, raw_tax: str, price_to: str, tax_to: str) -> DataFrame:
