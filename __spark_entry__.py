@@ -10743,8 +10743,17 @@ def setsim_prefix_join(spark, sf_dir):
         ).alias("sh"),
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # shuffle-hash hints on every join whose inputs are corpus-scale: the
+    # optimizer's SIZE ESTIMATES for array-carrying intermediates are far
+    # below their real bytes, so with any broadcast threshold it will
+    # eventually try to broadcast a side that materializes at GBs —
+    # measured at the sf10 decade probe: AQE picked a broadcast whose
+    # build collected 1.2 GiB of task results and died on
+    # spark.driver.maxResultSize. Pinning shuffle-hash keeps every side
+    # partitioned; per-partition hash builds stay executor-sized at any
+    # corpus scale.
     ordered = (
-        sh.join(freq, "sh")
+        sh.join(freq.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(
             F.transform(
@@ -10779,7 +10788,11 @@ def setsim_prefix_join(spark, sf_dir):
         F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n").alias("n2")
     )
     return (
-        cand.join(s1, "doc1")
+        # same shuffle-hash pinning as the freq join above: s1/s2 carry the
+        # full shingle arrays, the exact shape whose size the planner
+        # underestimates into a fatal broadcast at the sf10 decade
+        cand.hint("shuffle_hash")
+        .join(s1, "doc1")
         .join(s2, "doc2")
         .withColumn("n_inter", F.size(F.array_intersect("s1", "s2")).cast("long"))
         .withColumn(
@@ -23095,6 +23108,406 @@ def isotonic_calibration_pav(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Round-13 additions: readability scoring, markup stripping, PMI/MI cells,
+# kv-payload parsing, regexp extract-all stats, Jaccard link prediction,
+# approx-percentile contract audit.
+# --------------------------------------------------------------------------
+
+
+@q(
+    "readability_flesch",
+    """
+    WITH parts AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                 - 84.6 * (n_syllables::DOUBLE / nullif(n_words, 0)), 6) AS flesch
+    FROM parts
+    """,
+)
+def readability_flesch(spark, sf_dir):
+    """Flesch reading-ease per document with deterministic heuristics
+    (vowel-group syllables, terminator-run sentences) — the classic
+    text-quality gate next to text_quality_score's length/punct/stopword
+    blend. All JVM-side regexp_count expressions (functions/text.py:
+    sentence_count/syllable_count/flesch_reading_ease); IEEE +,-,*,/ are
+    correctly rounded so round(,6) is cross-engine exact."""
+    docs = _tw(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_words").cast("long").alias("n_words"),
+        T.sentence_count("text").cast("long").alias("n_sentences"),
+        T.syllable_count("text").cast("long").alias("n_syllables"),
+        T.flesch_reading_ease("text").alias("flesch"),
+    )
+
+
+@q(
+    "mutual_information_cells",
+    f"""
+    WITH base AS (
+      SELECT o_orderstatus AS x, CAST(year(o_orderdate) AS BIGINT) AS y
+      FROM orders),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+    xy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM base GROUP BY x, y),
+    xm AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM xy GROUP BY x),
+    ym AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM xy GROUP BY y),
+    j AS (
+      SELECT xy.x, xy.y, xy.n_xy, xm.n_x, ym.n_y, n.nn
+      FROM xy JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN n),
+    lg AS (
+      SELECT x, y, n_xy,
+             CAST({_log2_micro('n_xy', 'duckdb')} AS BIGINT) AS l_xy,
+             CAST({_log2_micro('n_x', 'duckdb')} AS BIGINT) AS l_x,
+             CAST({_log2_micro('n_y', 'duckdb')} AS BIGINT) AS l_y,
+             CAST({_log2_micro('nn', 'duckdb')} AS BIGINT) AS l_n
+      FROM j)
+    SELECT x, y, n_xy,
+           CAST(l_xy + l_n - l_x - l_y AS BIGINT) AS pmi_micro_bits,
+           CAST(n_xy * (l_xy + l_n - l_x - l_y) AS BIGINT) AS mi_num_micro
+    FROM lg ORDER BY x, y
+    """,
+)
+def mutual_information_cells(spark, sf_dir):
+    """Pointwise mutual information between two categoricals (order status
+    x order year — strongly dependent in TPC-H, so the signal is real):
+    PMI(x,y) = lg2 n_xy + lg2 N - lg2 n_x - lg2 n_y in truncated
+    micro-bits via the shared _log2_micro. Deliberately DIVISION-FREE —
+    the per-cell MI contribution is emitted as the exact integer
+    numerator n_xy * pmi (sum/N would be the corpus MI), because PMI can
+    be negative and floor-division semantics on negatives differ between
+    engines. Plan: two tiny aggregates + broadcast-size joins over the
+    |X|x|Y| cell table — marginals never leave the JVM."""
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("x"),
+        F.year("o_orderdate").cast("long").alias("y"),
+    )
+    xy = base.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    xm = xy.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ym = xy.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    nn = xy.agg(F.sum("n_xy").cast("long").alias("nn"))
+    j = xy.join(F.broadcast(xm), "x").join(F.broadcast(ym), "y").crossJoin(
+        F.broadcast(nn)
+    )
+    lg = j.select(
+        "x",
+        "y",
+        "n_xy",
+        F.expr(f"CAST({_log2_micro('n_xy', 'spark')} AS BIGINT)").alias("l_xy"),
+        F.expr(f"CAST({_log2_micro('n_x', 'spark')} AS BIGINT)").alias("l_x"),
+        F.expr(f"CAST({_log2_micro('n_y', 'spark')} AS BIGINT)").alias("l_y"),
+        F.expr(f"CAST({_log2_micro('nn', 'spark')} AS BIGINT)").alias("l_n"),
+    )
+    return lg.select(
+        "x",
+        "y",
+        "n_xy",
+        (F.col("l_xy") + F.col("l_n") - F.col("l_x") - F.col("l_y"))
+        .cast("long")
+        .alias("pmi_micro_bits"),
+        (
+            F.col("n_xy")
+            * (F.col("l_xy") + F.col("l_n") - F.col("l_x") - F.col("l_y"))
+        )
+        .cast("long")
+        .alias("mi_num_micro"),
+    ).orderBy("x", "y")
+
+
+@q(
+    "html_strip_clean",
+    """
+    WITH esc AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+             replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+               AS e
+      FROM documents),
+    wrapped AS (
+      SELECT doc_id, norm,
+             '<div id="d' || doc_id || '"><p>'
+               || regexp_replace(e, '\\. ', '.</p> <p>', 'g')
+               || '</p></div>' AS w
+      FROM esc),
+    stripped AS (
+      SELECT doc_id, norm,
+             len(regexp_extract_all(w, '<[^>]*>')) AS n_tags,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(w, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS cleaned
+      FROM wrapped)
+    SELECT doc_id, n_tags,
+           cleaned = norm AS roundtrip_ok,
+           md5(cleaned) AS cleaned_fp
+    FROM stripped
+    """,
+)
+def html_strip_clean(spark, sf_dir):
+    """Markup stripping for corpus cleaning, SELF-VERIFYING: each doc is
+    entity-escaped, wrapped in deterministic HTML (sentence breaks become
+    </p> <p>), then run through functions.text.strip_markup (tag drop +
+    single-pass entity unescape + whitespace collapse) — and the output
+    asserts the cleaned text equals the whitespace-normalized original
+    (roundtrip_ok). Pure Column expressions end to end; the synthetic
+    wrapping stands in for real crawl HTML the test corpus lacks, while
+    the STRIPPING operator is the production artifact."""
+    docs = _tw(spark, sf_dir, "documents")
+    esc = F.col("text").cast("string")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    wrapped = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.regexp_replace(esc, r"\. ", ".</p> <p>"),
+        F.lit("</p></div>"),
+    )
+    staged = docs.select("doc_id", "text", wrapped.alias("w"))
+    normalized = F.trim(F.regexp_replace(F.col("text").cast("string"), r"\s+", " "))
+    return staged.select(
+        "doc_id",
+        F.regexp_count("w", F.lit(r"<[^>]*>")).cast("long").alias("n_tags"),
+        (T.strip_markup("w") == normalized).alias("roundtrip_ok"),
+        F.md5(T.strip_markup("w").cast("binary")).alias("cleaned_fp"),
+    )
+
+
+@q(
+    "kv_pair_parse",
+    """
+    WITH payload AS (
+      SELECT o_orderkey,
+             'status=' || o_orderstatus
+               || '&prio=' || replace(o_orderpriority, ' ', '_')
+               || '&cust=' || o_custkey AS p
+      FROM orders),
+    pairs AS (
+      SELECT o_orderkey, unnest(string_split(p, '&')) AS kv FROM payload)
+    SELECT o_orderkey,
+           split_part(kv, '=', 1) AS kv_key,
+           split_part(kv, '=', 2) AS kv_value
+    FROM pairs
+    """,
+)
+def kv_pair_parse(spark, sf_dir):
+    """Key-value payload parsing (querystring / log-line shape): build a
+    deterministic 'k=v&k=v' payload per order, parse with the native
+    str_to_map, explode to (key, value) rows. The parse is one JVM
+    expression + a Generate — the idiomatic Spark form of the classic
+    log-field extraction stage (no UDF, no per-row Python)."""
+    orders = _t(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit("status="),
+        F.col("o_orderstatus"),
+        F.lit("&prio="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("_")),
+        F.lit("&cust="),
+        F.col("o_custkey").cast("string"),
+    )
+    parsed = orders.select(
+        "o_orderkey", F.str_to_map(payload, F.lit("&"), F.lit("=")).alias("m")
+    )
+    return parsed.select(
+        "o_orderkey", F.explode("m").alias("kv_key", "kv_value")
+    )
+
+
+@q(
+    "regexp_extract_all_stats",
+    """
+    WITH nums AS (
+      SELECT doc_id, regexp_extract_all(text, '\\d+') AS ns FROM documents)
+    SELECT doc_id,
+           CAST(len(ns) AS BIGINT) AS n_numbers,
+           CAST(len(list_distinct(ns)) AS BIGINT) AS n_distinct_numbers,
+           CAST(coalesce(list_sum(list_transform(
+                  list_filter(ns, s -> length(s) <= 9), s -> s::BIGINT)), 0)
+                AS BIGINT) AS num_sum
+    FROM nums
+    """,
+)
+def regexp_extract_all_stats(spark, sf_dir):
+    """regexp_extract_all + higher-order array fold: pull every digit run
+    out of each document, count them, count distinct, and sum the values
+    that fit comfortably in BIGINT (<= 9 digits — an overflow guard, not a
+    semantic choice). The extraction and the aggregate() fold are single
+    JVM expressions — the no-UDF form of numeric-token profiling."""
+    docs = _tw(spark, sf_dir, "documents")
+    ns = F.regexp_extract_all(F.col("text").cast("string"), F.lit(r"\d+"), F.lit(0))
+    staged = docs.select("doc_id", ns.alias("ns"))
+    summed = F.aggregate(
+        F.filter(F.col("ns"), lambda s: F.length(s) <= 9),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s.cast("long"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("ns").cast("long").alias("n_numbers"),
+        F.size(F.array_distinct("ns")).cast("long").alias("n_distinct_numbers"),
+        summed.alias("num_sum"),
+    )
+
+
+_JACCARD_LP_ORACLE = """
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+             greatest(a.l_partkey, b.l_partkey) AS y
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    und AS (SELECT x AS z, y AS nb FROM e0 UNION ALL SELECT y, x FROM e0),
+    deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY z),
+    topn AS (
+      SELECT z, nb FROM (
+        SELECT z, nb, ROW_NUMBER() OVER (
+          PARTITION BY z ORDER BY nb ASC) AS rn FROM und)
+      WHERE rn <= 25),
+    wedge AS (
+      SELECT t1.nb AS x, t2.nb AS y
+      FROM topn t1 JOIN topn t2 ON t1.z = t2.z AND t1.nb < t2.nb),
+    cand AS (
+      SELECT w.x, w.y, CAST(count(*) AS BIGINT) AS n_common
+      FROM wedge w
+      LEFT JOIN e0 ON e0.x = w.x AND e0.y = w.y
+      WHERE e0.x IS NULL
+      GROUP BY w.x, w.y),
+    sc AS (
+      SELECT c.x, c.y, c.n_common,
+             CAST(c.n_common * 1000000
+                  // (dx.d + dy.d - c.n_common) AS BIGINT) AS jaccard_ppm
+      FROM cand c JOIN deg dx ON dx.z = c.x JOIN deg dy ON dy.z = c.y)
+    SELECT x, y, n_common, jaccard_ppm
+    FROM sc ORDER BY jaccard_ppm DESC, x, y LIMIT 30
+"""
+
+
+@q("jaccard_linkpred", _JACCARD_LP_ORACLE)
+def jaccard_linkpred(spark, sf_dir):
+    """Jaccard-coefficient link prediction over the co-purchase item graph
+    — completes the damping spectrum next to adamic_adar_linkpred (1/log)
+    and resource_allocation_linkpred (1/deg): J(x,y) =
+    |common| / (deg x + deg y - |common|), integer-exact as ppm floor
+    division (denominator >= max degree >= 2, never 0). Plan shape is the
+    proven AA/RA wedge pipeline — basket-array pair generation, one
+    z-partitioned 25-neighbor truncation window, anti-join against
+    existing edges — with one difference: no per-wedge weight, so degrees
+    join AFTER the candidate rollup (two candidate-scale joins instead of
+    a wedge-scale one)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    e0 = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (xv, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " yv -> struct(xv AS x, yv AS y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .distinct()
+        # three consumers below; checkpoint so the basket pass runs once
+        .localCheckpoint(eager=True)
+    )
+    und = e0.select(F.col("x").alias("z"), F.col("y").alias("nb")).unionByName(
+        e0.select(F.col("y").alias("z"), F.col("x").alias("nb"))
+    )
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wz = Window.partitionBy("z").orderBy(F.col("nb").asc())
+    topn = (
+        und.withColumn("rn", F.row_number().over(wz))
+        .filter(F.col("rn") <= 25)
+        .groupBy("z")
+        # bounded collect: <= 25 rows per group by the rn filter above
+        .agg(F.array_sort(F.collect_list("nb")).alias("nbs"))
+    )
+    pairs = topn.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(nbs, (xv, i) ->"
+                " transform(slice(nbs, i + 2, size(nbs)),"
+                " yv -> struct(xv AS x, yv AS y))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    cand = (
+        pairs.join(e0, ["x", "y"], "left_anti")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    dx = deg.select(F.col("z").alias("x"), F.col("d").alias("d_x"))
+    dy = deg.select(F.col("z").alias("y"), F.col("d").alias("d_y"))
+    sc = (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "n_common",
+            F.expr(
+                "CAST(n_common * 1000000 div (d_x + d_y - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return sc.orderBy(F.col("jaccard_ppm").desc(), "x", "y").limit(30)
+
+
+@q(
+    "approx_percentile_bound_audit",
+    """
+    SELECT o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS p50_within_bound
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def approx_percentile_bound_audit(spark, sf_dir):
+    """Sketch-contract audit (same pattern as minhash_estimate_audit): per
+    group, approx_percentile(totalprice, 0.5, accuracy=10000) must land
+    within its documented rank-error envelope n/accuracy (+1 slack for the
+    discrete boundary) of the true median rank — verified EXACTLY by
+    counting values <= the sketch's answer. The oracle pins the exact
+    group sizes and `true`; a sketch that ever violates its contract
+    yields `false` on the Spark side and fails the hash compare. The
+    audit costs one extra aggregate over the same grouping — no second
+    shuffle of the raw data (the rank count rides a conditional sum)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    ap = orders.groupBy("grp").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50_est")
+    )
+    joined = orders.join(F.broadcast(ap), "grp")
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("o_totalprice") <= F.col("p50_est")).cast("long")).alias(
+                "rank_est"
+            ),
+        )
+        .select(
+            "grp",
+            "n",
+            (
+                F.abs(F.col("rank_est") - (F.col("n") / F.lit(2.0)))
+                <= (F.col("n") / F.lit(10000.0) + F.lit(1.0))
+            ).alias("p50_within_bound"),
+        )
+        .orderBy("grp")
+    )
+
+
 # WINDOW ROTATION POLICY (adopted round 11, VERDICT r10 §next#1 —
 # "staleness-first"; the never-checked backlog was cleared in r10, so
 # this is the standing successor rule).  Every round's _FIRST50 =
@@ -23149,62 +23562,70 @@ def isotonic_calibration_pav(spark, sf_dir):
 # (c) the LAST 8 round-1-evidence queries (r1 cohort EMPTIED this
 # round) + the 8 alphabetically-first round-2-evidence queries (the
 # remaining r2 cohort rotates across r13-r14).
+# Round-13 window: flagship + 7 NEW queries (readability_flesch,
+# mutual_information_cells, html_strip_clean, kv_pair_parse,
+# regexp_extract_all_stats, jaccard_linkpred,
+# approx_percentile_bound_audit) + 1 MODIFIED plan (domanda_unify_mini —
+# normalize_join_keys now stages its date keys through one-evaluation
+# barriers; the flagship shares the change and is in every window) +
+# (c) ALL 30 remaining round-2-evidence queries (the r2 cohort EMPTIES
+# this round; VERDICT r12 §next#1) + the 11 alphabetically-first
+# round-5-evidence queries.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
-    # --- (b) added/modified this round
-    "kaplan_meier_survival",
-    "adamic_adar_linkpred",
-    "isotonic_calibration_pav",
-    "hits_purchase_graph",
-    "kendall_tau_rankers",
-    "wasserstein_drift_exact",
-    "lpa_modularity_audit",
-    "label_propagation_communities",
-    "image_decode_jpeg",
-    "content_defined_chunking",
-    "incremental_lookback_pruned",
-    "partitioned_write_prune",
-    "python_datasource_write_roundtrip",
-    # --- (b) single-row-audit nullif hardening (results unchanged on
-    #     non-degenerate data; re-windowed per policy)
-    "ab_power_mde",
-    "attribution_time_decay",
-    "cramers_v_association",
-    "exact_auc_ranksum",
-    "groupwise_ols_regression",
-    "higher_moment_stats",
-    "kfold_metric_stability",
-    "krippendorff_alpha_nominal",
-    "ks_drift_exact",
-    "leadlag_crosscorrelation",
-    "neyman_allocation_sample",
-    "phonetic_blocking_audit",
-    "poisson_bootstrap_ci",
-    "quantile_transform_uniform",
-    "robust_scaler_groups",
-    "score_decile_lift",
-    "target_encoding_kfold",
-    "uplift_qini_points",
-    "variance_stats",
-    "zscore_normalize",
-    # --- (c) the final 8 round-1-evidence queries (cohort emptied)
-    "similarity_topk_bruteforce",
-    "sort_limit_topk",
-    "sort_offset",
-    "text_quality_score",
-    "text_stats",
-    "union_by_name",
-    "wide_projection",
-    "window_topk_per_group",
-    # --- (c) the 8 alphabetically-first round-2-evidence queries
-    "array_agg_sorted",
-    "conditional_agg",
-    "contamination_screen",
-    "datetime_functions",
-    "dedup_embedding_neardup",
-    "dedup_minhash_word_ngrams",
-    "events_tumbling_window",
-    "exact_median_groups",
+    # --- (b) added this round
+    "readability_flesch",
+    "mutual_information_cells",
+    "html_strip_clean",
+    "kv_pair_parse",
+    "regexp_extract_all_stats",
+    "jaccard_linkpred",
+    "approx_percentile_bound_audit",
+    # --- (b) modified plan this round (staged join-date normalize)
+    "domanda_unify_mini",
+    # --- (c) the full remaining round-2-evidence cohort (30)
+    "explode_unnest",
+    "json_extract_props",
+    "kmeans_assign",
+    "llm_corpus_clean",
+    "media_frame_extract",
+    "monthly_revenue_rollup",
+    "null_handling",
+    "pivot_status_counts",
+    "range_join_value_bands",
+    "salted_join_skew",
+    "scalar_despace_cabin",
+    "semi_join_big_spenders",
+    "similarity_topk_lsh",
+    "sql_cte_window",
+    "sql_exists_correlated",
+    "sql_in_subquery",
+    "sql_scalar_subquery",
+    "stratified_sample_hash",
+    "streaming_batch_equiv",
+    "tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    # --- (c) the 11 alphabetically-first round-5-evidence queries
+    "array_set_functions",
+    "corr_exact_sums",
+    "date_spine_gapfill",
+    "dedup_cluster_assignment",
+    "doc_chunking",
+    "dq_constraint_summary",
+    "events_sliding_window",
+    "fillna_defaults",
+    "flagship_regional_revenue",
+    "funnel_analysis",
+    "gini_event_mix",
 ]
 
 

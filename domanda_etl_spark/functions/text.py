@@ -117,3 +117,49 @@ def minhash_element(shingle: Column, seed: int) -> Column:
     MIN of these hex digests per document is a valid min-wise signature and is
     portable to the DuckDB oracle (identical md5)."""
     return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+
+
+def sentence_count(c: Column | str) -> Column:
+    """Terminator-run sentence count, floored at 1 (a fragment with no
+    terminal punctuation is one sentence). Deterministic regex heuristic —
+    the readability family's denominator."""
+    return F.greatest(F.regexp_count(_c(c).cast("string"), F.lit(r"[.!?]+")), F.lit(1))
+
+
+def syllable_count(c: Column | str) -> Column:
+    """Vowel-group syllable heuristic: number of maximal [aeiouy]+ runs in
+    the lowercased text. Words without vowels contribute 0 (documented
+    heuristic slack; identical in the DuckDB oracle so results stay
+    bit-comparable)."""
+    return F.regexp_count(F.lower(_c(c).cast("string")), F.lit("[aeiouy]+"))
+
+
+def flesch_reading_ease(c: Column | str) -> Column:
+    """Flesch reading-ease with the deterministic heuristics above:
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), rounded to
+    6 digits (IEEE +,-,*,/ are correctly rounded, so identical inputs give
+    identical doubles cross-engine). NULL when the text has no tokens."""
+    w = token_count(c).cast("double")
+    s = sentence_count(c).cast("double")
+    sy = syllable_count(c).cast("double")
+    raw = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / s)
+        - F.lit(84.6) * (sy / F.nullif(w, F.lit(0.0)))
+    )
+    return F.round(raw, 6)
+
+
+_MARKUP_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_markup(c: Column | str) -> Column:
+    """HTML/markup stripping for corpus cleaning: drop <...> tags, unescape
+    the five core entities (&amp; LAST, so '&amp;lt;' becomes '&lt;' the
+    literal, not a re-decoded '<' — standard single-pass entity semantics),
+    collapse whitespace, trim. Pure Column expressions -> codegen; the
+    DuckDB oracle mirrors the same replace chain."""
+    s = F.regexp_replace(_c(c).cast("string"), r"<[^>]*>", " ")
+    for ent, ch in _MARKUP_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
