@@ -10766,17 +10766,39 @@ def setsim_prefix_join(spark, sf_dir):
     pre = ordered.select(
         "doc_id",
         "n",
-        F.explode(
+        F.posexplode(
             F.slice("s", 1, (F.floor(F.col("n") / 2) + 1).cast("int"))
-        ).alias("sh"),
-    )
-    a = pre.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"), "sh")
-    b = pre.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"), "sh")
+        ).alias("pos0", "sh"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    a = pre.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"), F.col("pos").alias("pa"), "sh")
+    b = pre.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"), F.col("pos").alias("pb"), "sh")
+    # PPJoin+ POSITIONAL filter (r13, the decade-3 fix): a prefix match on
+    # token w at 1-based positions (pa, pb) of the canonically-ordered
+    # sets bounds the overlap by min(pa, pb) [tokens <= w, incl. w] +
+    # min(na - pa, nb - pb) [tokens > w]; Jaccard >= 1/2 needs
+    # 3*overlap >= na + nb, so rows failing the bound cannot support a
+    # qualifying pair. LOSSLESS: the bound is valid at EVERY true match,
+    # so a qualifying pair keeps all its match rows (the brute-force
+    # DuckDB oracle re-proves the identical pair set every run). This is
+    # what kills the hot-shingle quadratic blowup: the canonical order is
+    # df-ASC, so a high-df (hot) shingle sits at high positions in every
+    # doc that carries it, the tail bound min(na-pa, nb-pb) collapses,
+    # and the B^2 pair explosion of its posting list never reaches the
+    # distinct. Measured at the sf10 decade: the unfiltered join spilled
+    # past the box's free disk; with the filter the decade completes.
     cand = (
-        a.join(b, "sh")
+        a.join(b.hint("merge"), "sh")
         .filter(
             (F.col("doc1") < F.col("doc2"))
             & (F.greatest("na", "nb") <= 2 * F.least("na", "nb"))
+            & (
+                3
+                * (
+                    F.least("pa", "pb")
+                    + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                )
+                >= F.col("na") + F.col("nb")
+            )
         )
         .select("doc1", "doc2")
         .distinct()
@@ -10788,12 +10810,17 @@ def setsim_prefix_join(spark, sf_dir):
         F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n").alias("n2")
     )
     return (
-        # same shuffle-hash pinning as the freq join above: s1/s2 carry the
-        # full shingle arrays, the exact shape whose size the planner
-        # underestimates into a fatal broadcast at the sf10 decade
-        cand.hint("shuffle_hash")
-        .join(s1, "doc1")
-        .join(s2, "doc2")
+        # every corpus-scale join here is strategy-PINNED (merge /
+        # shuffle_hash): the static planner's size estimate for the
+        # array-carrying sides (s1/s2 hold full shingle arrays) lands
+        # under any broadcast threshold, it plans a BroadcastHashJoin,
+        # and AQE can only promote shuffles to broadcasts — never demote
+        # a static broadcast — so at the sf10 decade the build collected
+        # >1 GiB of task results and died on spark.driver.maxResultSize.
+        # Sort-merge keeps both sides partitioned and spillable at any
+        # scale; the arrays ride the shuffle but never visit the driver.
+        cand.join(s1.hint("merge"), "doc1")
+        .join(s2.hint("merge"), "doc2")
         .withColumn("n_inter", F.size(F.array_intersect("s1", "s2")).cast("long"))
         .withColumn(
             "n_union", (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("long")
@@ -21936,7 +21963,11 @@ def resource_allocation_linkpred(spark, sf_dir):
         # bounded collect: <= 25 rows per group by the rn filter above
         .agg(F.array_sort(F.collect_list("nb")).alias("nbs"))
     )
-    pairs = topn.join(deg, "z").select(
+    # deg is strategy-pinned as the shuffle-hash BUILD side: topn carries
+    # the collected neighbor ARRAYS, whose static size estimate is far
+    # below their real bytes — left to itself the planner eventually
+    # broadcasts topn at scale (the setsim sf10 failure mode, PERF.md r13)
+    pairs = topn.join(deg.hint("shuffle_hash"), "z").select(
         F.explode(
             F.expr(
                 "flatten(transform(nbs, (xv, i) ->"
@@ -22981,7 +23012,11 @@ def adamic_adar_linkpred(spark, sf_dir):
         # bounded collect: <= 25 rows per group by the rn filter above
         .agg(F.array_sort(F.collect_list("nb")).alias("nbs"))
     )
-    pairs = topn.join(deg, "z").select(
+    # deg is strategy-pinned as the shuffle-hash BUILD side: topn carries
+    # the collected neighbor ARRAYS, whose static size estimate is far
+    # below their real bytes — left to itself the planner eventually
+    # broadcasts topn at scale (the setsim sf10 failure mode, PERF.md r13)
+    pairs = topn.join(deg.hint("shuffle_hash"), "z").select(
         F.explode(
             F.expr(
                 "flatten(transform(nbs, (xv, i) ->"
@@ -23581,8 +23616,13 @@ _FIRST50: list[str] = [
     "regexp_extract_all_stats",
     "jaccard_linkpred",
     "approx_percentile_bound_audit",
-    # --- (b) modified plan this round (staged join-date normalize)
+    # --- (b) modified plans this round (staged join-date normalize;
+    #     strategy-pinned joins + PPJoin+ positional filter; pinned
+    #     deg build side on the wedge plans)
     "domanda_unify_mini",
+    "setsim_prefix_join",
+    "adamic_adar_linkpred",
+    "resource_allocation_linkpred",
     # --- (c) the full remaining round-2-evidence cohort (30)
     "explode_unnest",
     "json_extract_props",
@@ -23614,7 +23654,7 @@ _FIRST50: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    # --- (c) the 11 alphabetically-first round-5-evidence queries
+    # --- (c) the 8 alphabetically-first round-5-evidence queries
     "array_set_functions",
     "corr_exact_sums",
     "date_spine_gapfill",
@@ -23623,9 +23663,6 @@ _FIRST50: list[str] = [
     "dq_constraint_summary",
     "events_sliding_window",
     "fillna_defaults",
-    "flagship_regional_revenue",
-    "funnel_analysis",
-    "gini_event_mix",
 ]
 
 
