@@ -10762,6 +10762,15 @@ def setsim_prefix_join(spark, sf_dir):
             ).alias("s")
         )
         .withColumn("n", F.size("s"))
+        # materialize ONCE: `ordered` (the shingle explode -> freq join ->
+        # collect_list pipeline, the query's heaviest stage) feeds THREE
+        # branches (prefix explode, s1, s2). ReusedExchange dedups the
+        # identical s1/s2 subplans but the prefix branch differs, so
+        # without the checkpoint the pipeline executes twice and both
+        # executions' shuffle files stay live together — at the sf10
+        # decade that doubled spill was the disk bill. Checkpoint size is
+        # one array row per doc: O(corpus tokens), executor-local.
+        .localCheckpoint(eager=True)
     )
     pre = ordered.select(
         "doc_id",
@@ -10769,36 +10778,37 @@ def setsim_prefix_join(spark, sf_dir):
         F.posexplode(
             F.slice("s", 1, (F.floor(F.col("n") / 2) + 1).cast("int"))
         ).alias("pos0", "sh"),
-    ).withColumn("pos", F.col("pos0") + 1)
-    a = pre.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"), F.col("pos").alias("pa"), "sh")
-    b = pre.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"), F.col("pos").alias("pb"), "sh")
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "sh")
+    a = pre.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"), F.col("pos").alias("pa"), F.col("sh").alias("sh_a"))
+    b = pre.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"), F.col("pos").alias("pb"), F.col("sh").alias("sh_b"))
     # PPJoin+ POSITIONAL filter (r13, the decade-3 fix): a prefix match on
     # token w at 1-based positions (pa, pb) of the canonically-ordered
     # sets bounds the overlap by min(pa, pb) [tokens <= w, incl. w] +
     # min(na - pa, nb - pb) [tokens > w]; Jaccard >= 1/2 needs
-    # 3*overlap >= na + nb, so rows failing the bound cannot support a
+    # 3*overlap >= na + nb, so a match failing the bound cannot support a
     # qualifying pair. LOSSLESS: the bound is valid at EVERY true match,
     # so a qualifying pair keeps all its match rows (the brute-force
-    # DuckDB oracle re-proves the identical pair set every run). This is
-    # what kills the hot-shingle quadratic blowup: the canonical order is
+    # DuckDB oracle re-proves the identical pair set every run; the
+    # hypothesis property test pins it against a Python brute force).
+    # The positional/length predicates live IN THE JOIN CONDITION, not a
+    # post-filter: the SMJ evaluates them while streaming a hot shingle's
+    # B^2 posting-list product, so pruned candidates are never
+    # materialized into downstream operators. The canonical order is
     # df-ASC, so a high-df (hot) shingle sits at high positions in every
-    # doc that carries it, the tail bound min(na-pa, nb-pb) collapses,
-    # and the B^2 pair explosion of its posting list never reaches the
-    # distinct. Measured at the sf10 decade: the unfiltered join spilled
-    # past the box's free disk; with the filter the decade completes.
+    # doc that carries it and the tail bound min(na-pa, nb-pb) collapses
+    # — exactly the pairs that made the unfiltered sf10 probe spill past
+    # the box's free disk.
+    bound = 3 * (
+        F.least("pa", "pb")
+        + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+    ) >= F.col("na") + F.col("nb")
     cand = (
-        a.join(b.hint("merge"), "sh")
-        .filter(
-            (F.col("doc1") < F.col("doc2"))
+        a.join(
+            b.hint("merge"),
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("doc1") < F.col("doc2"))
             & (F.greatest("na", "nb") <= 2 * F.least("na", "nb"))
-            & (
-                3
-                * (
-                    F.least("pa", "pb")
-                    + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
-                )
-                >= F.col("na") + F.col("nb")
-            )
+            & bound,
         )
         .select("doc1", "doc2")
         .distinct()
