@@ -23553,6 +23553,449 @@ def approx_percentile_bound_audit(spark, sf_dir):
     )
 
 
+# ---- round-13 batch 2: gap fills found by a registry sweep — recursive
+# graph traversal with a WITH RECURSIVE oracle, rank statistics
+# (Spearman), time-series ACF, PMI co-occurrence, quantile normalization,
+# and an embedding-dimension covariance profile ------------------------------
+
+_BFS_ORACLE = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    und AS (SELECT c AS src, s AS dst FROM edges
+            UNION ALL SELECT s, c FROM edges),
+    seed AS (SELECT min(src) AS node FROM und WHERE src % 2 = 0),
+    bfs(node, lvl) AS (
+      SELECT node, 0 FROM seed WHERE node IS NOT NULL
+      UNION
+      SELECT u.dst, b.lvl + 1
+      FROM bfs b JOIN und u ON u.src = b.node
+      WHERE b.lvl < 6),
+    lv AS (SELECT node, min(lvl) AS hops FROM bfs GROUP BY node)
+    SELECT hops, COUNT(*) AS n_nodes,
+           CAST(SUM(node % 2) AS BIGINT) AS n_suppliers
+    FROM lv GROUP BY hops ORDER BY hops
+"""
+
+
+@q("bfs_reachability_levels", _BFS_ORACLE)
+def bfs_reachability_levels(spark, sf_dir):
+    """Breadth-first reachability levels over the bipartite
+    customer<->supplier purchase graph (customers even node ids, suppliers
+    odd), seeded at the smallest customer node: per hop count, how many
+    nodes are first reached there. The oracle is a DuckDB WITH RECURSIVE
+    CTE (capped at 6 hops); the Spark side is the level-synchronous BFS a
+    cluster actually runs — frontier JOIN edges -> anti-join visited, one
+    localCheckpoint per level to keep lineage flat, early-stop on an empty
+    frontier (isEmpty is an AQE limit-1 probe, not a row-scale collect).
+    min-level semantics come for free: a node enters `visited` only the
+    first time it is seen. Scale: each level is one equi-join partitioned
+    on the frontier key + one anti-join; no per-node driver state."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(edges.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # consumed once per BFS level: evaluate the basket pass once
+        .localCheckpoint(eager=True)
+    )
+    seed = (
+        und.filter(F.col("src") % 2 == 0)
+        .agg(F.min("src").alias("node"))
+        .filter(F.col("node").isNotNull())
+    )
+    visited = seed.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for lvl in range(1, 7):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(lvl))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("node") % 2).cast("long").alias("n_suppliers"),
+        )
+        .orderBy("hops")
+    )
+
+
+_SPEARMAN_ORACLE = """
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+             COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))),
+                      CAST(0 AS DECIMAL(30,2))) AS spend
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3),
+    rk AS (
+      SELECT c_mktsegment,
+             2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+               + COUNT(*) OVER (PARTITION BY c_mktsegment, c_acctbal) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY spend)
+               + COUNT(*) OVER (PARTITION BY c_mktsegment, spend) - 1 AS ry
+      FROM spend),
+    s AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM rk GROUP BY 1)
+    SELECT c_mktsegment, n,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy), 0), 6) AS spearman_rho
+    FROM s ORDER BY c_mktsegment
+"""
+
+
+@q("spearman_by_segment", _SPEARMAN_ORACLE)
+def spearman_by_segment(spark, sf_dir):
+    """Spearman rank correlation (tie-averaged ranks) between a customer's
+    account balance and their lifetime order spend, per market segment.
+    Average-rank-with-ties is computed EXACTLY as an integer: 2*avg_rank =
+    2*rank() + tie_count - 1 (rank() is min-rank in both engines, the tie
+    count is a COUNT() OVER the value partition), then Pearson on the
+    doubled ranks from exact decimal co-moment sums — the
+    corr_exact_sums pattern, so the final double formula is bit-identical
+    across engines at any scale. NULLIF guards the 1-row/constant-rank
+    segment (sample-variance-0 -> NULL, not NaN). Scale: one partial-agg
+    join + two per-segment rank windows; co-moments are a single
+    partial-agg groupBy."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")),
+                F.lit(0).cast("decimal(30,2)"),
+            ).alias("spend")
+        )
+    )
+    wx = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    wxt = Window.partitionBy("c_mktsegment", "c_acctbal")
+    wy = Window.partitionBy("c_mktsegment").orderBy("spend")
+    wyt = Window.partitionBy("c_mktsegment", "spend")
+    rk = spend.select(
+        "c_mktsegment",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1).alias("ry"),
+    )
+    d38 = "decimal(38,0)"
+    s = rk.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(d38)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")),
+        F.lit(0.0),
+    )
+    return s.select(
+        "c_mktsegment", "n", F.round(rho, 6).alias("spearman_rho")
+    ).orderBy("c_mktsegment")
+
+
+_ACF_ORACLE = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_orderdate),
+    seq AS (SELECT rev, row_number() OVER (ORDER BY d) AS rn FROM daily),
+    ks AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT ks.lag AS lag, a.rev AS x, b.rev AS y
+      FROM ks JOIN seq a ON TRUE JOIN seq b ON b.rn = a.rn - ks.lag),
+    s AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy), 0), 6) AS acf
+    FROM s ORDER BY lag
+"""
+
+
+@q("acf_daily_revenue", _ACF_ORACLE)
+def acf_daily_revenue(spark, sf_dir):
+    """Autocorrelation function of the daily-revenue series at lags 1..7
+    (row-lag over observed days, so calendar gaps collapse — documented
+    choice). Pairing is a lag-key equi-join on row_number rather than 7
+    window passes: seq x lags (broadcast 7-row side) hash-joins seq on
+    rn = rn - lag, one shuffle total. The single-partition row_number
+    window is AFTER the daily partial agg, so it sorts at most ~2.4k rows
+    (the date-range bound) regardless of corpus size. Correlations use the
+    exact-decimal co-moment pattern (daily revenue exact in DECIMAL(18,2),
+    products exact in DECIMAL(38,4)); NULLIF nulls the degenerate
+    constant/too-short series instead of NaN."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    seq = daily.select(
+        "rev", F.row_number().over(Window.orderBy("d")).alias("rn")
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = seq.select(F.col("rev").alias("x"), F.col("rn").alias("rna"))
+    b = seq.select(F.col("rev").alias("y"), F.col("rn").alias("rnb"))
+    pairs = (
+        ks.crossJoin(a)
+        .join(b, F.col("rnb") == F.col("rna") - F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    d384 = "decimal(38,4)"
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d384)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d384)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d384)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    acf = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")),
+        F.lit(0.0),
+    )
+    return s.select("lag", "n", F.round(acf, 6).alias("acf")).orderBy("lag")
+
+
+_PMI_ORACLE = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '[^a-z]+')) AS term
+        FROM documents)
+      WHERE length(term) >= 4),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    df AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+    vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 40),
+    vt AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab v USING (term)),
+    pairs AS (
+      SELECT a.term AS tok_x, b.term AS tok_y, COUNT(*) AS c_xy
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT tok_x, tok_y, c_xy, vx.df AS c_x, vy.df AS c_y,
+             1000000 * n * c_xy // (vx.df * vy.df) AS lift_ppm
+      FROM pairs JOIN vocab vx ON vx.term = tok_x
+                 JOIN vocab vy ON vy.term = tok_y CROSS JOIN nd)
+    SELECT tok_x, tok_y, c_xy, c_x, c_y, CAST(lift_ppm AS BIGINT) AS lift_ppm
+    FROM scored WHERE c_xy >= 3 ORDER BY tok_x, tok_y
+"""
+
+
+@q("pmi_vocab_pairs", _PMI_ORACLE)
+def pmi_vocab_pairs(spark, sf_dir):
+    """PMI-style co-occurrence lift over the top-40 vocabulary: for every
+    pair of frequent terms, lift_ppm = floor(1e6 * N * df(x,y) /
+    (df(x) * df(y))) — the exp of PMI in parts-per-million, integer-exact
+    (PMI itself is the log of this, monotone, so ranking/thresholds agree).
+    Vocabulary selection is a distributed top-k (orderBy+limit = TakeOrdered,
+    never a single-partition window); the doc-grain pair expansion reuses
+    the proven basket idiom — collect_set of the <=40 vocab terms present
+    per doc, array_sort, nested-transform pair generation — so pair counts
+    are one map-side-combinable groupBy, bounded at 780 keys, with NO
+    self-join shuffle. BIGINT note: 1e6*N*c_xy stays in int64 through
+    sf1-scale corpora (~3.6e17 at 600k docs); a 10M-doc corpus would move
+    the numerator to DECIMAL(38,0)."""
+    docs = _tw(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text").cast("string"))), "[^a-z]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= 4)
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df_t = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_t.orderBy(F.col("df").desc(), F.col("term")).limit(40)
+    vt = toks.join(F.broadcast(vocab.select("term")), "term")
+    pairs = (
+        vt.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("term")).alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (xv, i) ->"
+                    " transform(slice(ts, i + 2, size(ts)),"
+                    " yv -> struct(xv AS tok_x, yv AS tok_y))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.tok_x", "p.tok_y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 3)
+    )
+    vx = vocab.select(F.col("term").alias("tok_x"), F.col("df").alias("c_x"))
+    vy = vocab.select(F.col("term").alias("tok_y"), F.col("df").alias("c_y"))
+    return (
+        pairs.join(F.broadcast(vx), "tok_x")
+        .join(F.broadcast(vy), "tok_y")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_x",
+            "tok_y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("1000000 * n * c_xy DIV (c_x * c_y)").alias("lift_ppm"),
+        )
+        .orderBy("tok_x", "tok_y")
+    )
+
+
+_QN_ORACLE = """
+    WITH rk AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rnk
+      FROM documents),
+    ravg AS (
+      SELECT rnk, CAST(1000 * SUM(n_chars) // COUNT(*) AS BIGINT) AS qn_milli
+      FROM rk GROUP BY rnk)
+    SELECT doc_id, source, n_chars, rnk, qn_milli
+    FROM rk JOIN ravg USING (rnk)
+"""
+
+
+@q("quantile_normalize_lengths", _QN_ORACLE)
+def quantile_normalize_lengths(spark, sf_dir):
+    """Quantile normalization of document length across sources (the
+    bioinformatics array-normalization classic, rank-length variant): rank
+    docs by n_chars within each source, average the length at each rank
+    across sources (floor-milli, integer-exact), and assign every doc its
+    rank's cross-source mean. Sources of unequal size keep their tail
+    ranks (averaged over however many sources reach that rank). Scale: one
+    per-source sort window (range-partition friendly), one rank-grain
+    partial agg bounded by max source size, one equi-join back on rnk."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    rk = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    ravg = rk.groupBy("rnk").agg(
+        F.expr("1000 * sum(n_chars) DIV count(*)").alias("qn_milli")
+    )
+    return rk.join(ravg, "rnk").select(
+        "doc_id", "source", "n_chars", "rnk", "qn_milli"
+    )
+
+
+_EMB_COV_ORACLE = """
+    WITH qd AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings),
+    ex AS (SELECT vec_id,
+                  unnest(range(1, len(qv) + 1)) AS i,
+                  unnest(qv) AS x
+           FROM qd),
+    pr AS (
+      SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS sx,
+             CAST(SUM(b.x) AS BIGINT) AS sy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY 1, 2)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, sxy, sx, sy,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 4) AS cov_q
+    FROM pr ORDER BY i, j
+"""
+
+
+@q("embedding_dim_covariance", _EMB_COV_ORACLE)
+def embedding_dim_covariance(spark, sf_dir):
+    """Population covariance between every pair of embedding dimensions,
+    on a deterministic milli-unit integer grid (floor(x*1000) — float->
+    double widening and the *1000 rounding are IEEE-identical in both
+    engines, so the integer sums are exact and the final double formula is
+    bit-identical). The Spark side generates the d*(d-1)/2 upper-triangle
+    products per row with ONE nested array transform (no self-join, no
+    row-explosion shuffle): the groupBy partial-aggregates map-side down
+    to 2016 keys for d=64, so shuffle volume is O(partitions * d^2)
+    regardless of corpus size. Output is the full triangle (fixed 2016
+    rows) with exact integer sufficient statistics — no top-k, so no
+    rank-expression overflow at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv")
+    )
+    pr = (
+        qd.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(qv, (xi, i) ->"
+                    " transform(slice(qv, i + 2, size(qv)), (xj, jr) ->"
+                    " struct(CAST(i + 1 AS BIGINT) AS i,"
+                    "        CAST(i + jr + 2 AS BIGINT) AS j,"
+                    "        xi * xj AS p, xi AS x, xj AS y))))"
+                )
+            ).alias("e")
+        )
+        .groupBy("e.i", "e.j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("e.p").alias("sxy"),
+            F.sum("e.x").alias("sx"),
+            F.sum("e.y").alias("sy"),
+        )
+    )
+    cov = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.col("n").cast("double") / F.col("n").cast("double")
+    return pr.select(
+        "i", "j", "n", "sxy", "sx", "sy", F.round(cov, 4).alias("cov_q")
+    ).orderBy("i", "j")
+
+
 # WINDOW ROTATION POLICY (adopted round 11, VERDICT r10 §next#1 —
 # "staleness-first"; the never-checked backlog was cleared in r10, so
 # this is the standing successor rule).  Every round's _FIRST50 =
@@ -23614,8 +24057,11 @@ def approx_percentile_bound_audit(spark, sf_dir):
 # normalize_join_keys now stages its date keys through one-evaluation
 # barriers; the flagship shares the change and is in every window) +
 # (c) ALL 30 remaining round-2-evidence queries (the r2 cohort EMPTIES
-# this round; VERDICT r12 §next#1) + the 11 alphabetically-first
-# round-5-evidence queries.
+# this round; VERDICT r12 §next#1) + 6 MORE NEW queries from the batch-2
+# registry-gap sweep (bfs_reachability_levels — level-synchronous BFS vs
+# a WITH RECURSIVE oracle, spearman_by_segment, acf_daily_revenue,
+# pmi_vocab_pairs, quantile_normalize_lengths, embedding_dim_covariance)
+# + the 2 alphabetically-first round-5-evidence queries.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) added this round
@@ -23664,15 +24110,18 @@ _FIRST50: list[str] = [
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    # --- (c) the 8 alphabetically-first round-5-evidence queries
+    # --- (b) added this round, batch 2 (registry-sweep gap fills)
+    "bfs_reachability_levels",
+    "spearman_by_segment",
+    "acf_daily_revenue",
+    "pmi_vocab_pairs",
+    "quantile_normalize_lengths",
+    "embedding_dim_covariance",
+    # --- (c) the 2 alphabetically-first round-5-evidence queries
+    #     (6 fill slots ceded to the batch-2 adds per policy (b);
+    #     the rest of the r5 cohort rotates in r14)
     "array_set_functions",
     "corr_exact_sums",
-    "date_spine_gapfill",
-    "dedup_cluster_assignment",
-    "doc_chunking",
-    "dq_constraint_summary",
-    "events_sliding_window",
-    "fillna_defaults",
 ]
 
 
