@@ -20719,6 +20719,9 @@ RUNS_JOBS_AT_BUILD: frozenset[str] = frozenset({
     "bucketed_join_colocated",
     "corrupt_record_handling",
     "schema_evolution_read",
+    # r13 batch 2: level-synchronous BFS — per-level eager checkpoints +
+    # isEmpty early-stop probes run jobs while the DataFrame is built
+    "bfs_reachability_levels",
 })
 
 

@@ -189,6 +189,14 @@ HEADLINE = [
     "chi2_contingency",
     "ppr_seeded_retrieval",
     "lpa_modularity_audit",
+    # round 13 batch 2 (bfs_reachability_levels is a job-runner: its
+    # levels checkpoint at build, so only the final rollup plan prints —
+    # its per-level join shape is pinned in tests/test_round13_batch2.py)
+    "spearman_by_segment",
+    "acf_daily_revenue",
+    "pmi_vocab_pairs",
+    "quantile_normalize_lengths",
+    "embedding_dim_covariance",
 ]
 
 
