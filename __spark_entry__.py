@@ -10804,7 +10804,12 @@ def setsim_prefix_join(spark, sf_dir):
     ) >= F.col("na") + F.col("nb")
     cand = (
         a.join(
-            b.hint("merge"),
+            # shuffle_hash, NOT merge (r13 interleaved A/B at sf1): an SMJ
+            # here must SORT both posting tables; the shuffled-hash form
+            # builds a per-partition map of one side and streams the
+            # other, no sort — 18.3 s vs 218-248 s at sf1, identical
+            # output (the merge hint was this round's one real regression)
+            b.hint("shuffle_hash"),
             (F.col("sh_a") == F.col("sh_b"))
             & (F.col("doc1") < F.col("doc2"))
             & (F.greatest("na", "nb") <= 2 * F.least("na", "nb"))
@@ -10820,17 +10825,20 @@ def setsim_prefix_join(spark, sf_dir):
         F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n").alias("n2")
     )
     return (
-        # every corpus-scale join here is strategy-PINNED (merge /
-        # shuffle_hash): the static planner's size estimate for the
-        # array-carrying sides (s1/s2 hold full shingle arrays) lands
-        # under any broadcast threshold, it plans a BroadcastHashJoin,
-        # and AQE can only promote shuffles to broadcasts — never demote
-        # a static broadcast — so at the sf10 decade the build collected
-        # >1 GiB of task results and died on spark.driver.maxResultSize.
-        # Sort-merge keeps both sides partitioned and spillable at any
-        # scale; the arrays ride the shuffle but never visit the driver.
-        cand.join(s1.hint("merge"), "doc1")
-        .join(s2.hint("merge"), "doc2")
+        # every corpus-scale join here is strategy-PINNED to shuffle_hash:
+        # the static planner's size estimate for the array-carrying sides
+        # (s1/s2 hold full shingle arrays) lands under any broadcast
+        # threshold, it plans a BroadcastHashJoin, and AQE can only
+        # promote shuffles to broadcasts — never demote a static broadcast
+        # — so at the sf10 decade the build collected >1 GiB of task
+        # results and died on spark.driver.maxResultSize. shuffle_hash,
+        # NOT merge (r13 A/B): sort-merge would SORT the array-carrying
+        # rows (and the candidate table twice); shuffled-hash builds on
+        # the slim cand side and STREAMS the arrays — 12x at sf1. Both
+        # forms keep every side partitioned and off the driver.
+        cand.hint("shuffle_hash")
+        .join(s1, "doc1")
+        .join(s2, "doc2")
         .withColumn("n_inter", F.size(F.array_intersect("s1", "s2")).cast("long"))
         .withColumn(
             "n_union", (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("long")

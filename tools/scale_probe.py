@@ -433,16 +433,98 @@ def main():
         results["tpch_q1_pricing_summary@sf10"] = round(best, 2)
         print(f"tpch_q1_pricing_summary @ sf10: {best:.2f} s warm ({n} rows)")
     if "--decade3-docs" in sys.argv:
+        # LAYERED probe (r13): the full setsim query at sf10 cannot
+        # complete on this box — verification attaches both ~2.3 KB
+        # shingle arrays to each of the 75.4 M candidates (~350 GB of
+        # partitioned spill, measured past the box's 80 GB twice before
+        # this probe was relayered). The layers BELOW verification are
+        # the scale claims worth measuring on one box: prefix-join
+        # enumerated pairs and filtered candidates, both of which must
+        # grow EXACTLY 100x over sf0.1 (replica ciphers verified
+        # disjoint: union distinct shingles == sum over replicas).
         if not os.path.exists(os.path.join(SCALE10_DIR, "documents.parquet")):
             t0 = time.time()
             build_decade3_docs()
             print(f"built sf10 documents in {time.time() - t0:.1f} s")
-        spark.read.parquet(os.path.join(SCALE10_DIR, "documents.parquet")).count()
-        t0 = time.time()
-        n = qs["setsim_prefix_join"](spark, SCALE10_DIR).count()
-        dt = time.time() - t0
-        results["setsim_prefix_join@sf10"] = round(dt, 2)
-        print(f"setsim_prefix_join @ sf10: {dt:.2f} s single-rep ({n} rows)")
+        from pyspark.sql import functions as F
+
+        def setsim_layers(sf_dir):
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).filter(F.length("text") >= 12)
+            sh = docs.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("text") - 11),
+                            lambda i: F.xxhash64(F.col("text").substr(i, F.lit(12))),
+                        )
+                    )
+                ).alias("sh"),
+            )
+            freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            ordered = (
+                sh.join(freq.hint("shuffle_hash"), "sh")
+                .groupBy("doc_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("df", "sh"))),
+                        lambda x: x["sh"],
+                    ).alias("s")
+                )
+                .withColumn("n", F.size("s"))
+                .localCheckpoint(eager=True)
+            )
+            pre = ordered.select(
+                "doc_id",
+                "n",
+                F.posexplode(
+                    F.slice("s", 1, (F.floor(F.col("n") / 2) + 1).cast("int"))
+                ).alias("pos0", "sh"),
+            ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "sh")
+            a = pre.select(
+                F.col("doc_id").alias("doc1"), F.col("n").alias("na"),
+                F.col("pos").alias("pa"), F.col("sh").alias("sh_a"),
+            )
+            b = pre.select(
+                F.col("doc_id").alias("doc2"), F.col("n").alias("nb"),
+                F.col("pos").alias("pb"), F.col("sh").alias("sh_b"),
+            )
+            bound = 3 * (
+                F.least("pa", "pb")
+                + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            ) >= F.col("na") + F.col("nb")
+            t0 = time.time()
+            n_pairs = a.join(
+                b.hint("shuffle_hash"),
+                (F.col("sh_a") == F.col("sh_b")) & (F.col("doc1") < F.col("doc2")),
+            ).count()
+            t_pairs = time.time() - t0
+            t0 = time.time()
+            n_cand = (
+                a.join(
+                    b.hint("shuffle_hash"),
+                    (F.col("sh_a") == F.col("sh_b"))
+                    & (F.col("doc1") < F.col("doc2"))
+                    & (F.greatest("na", "nb") <= 2 * F.least("na", "nb"))
+                    & bound,
+                )
+                .select("doc1", "doc2")
+                .distinct()
+                .count()
+            )
+            t_cand = time.time() - t0
+            return n_pairs, t_pairs, n_cand, t_cand
+
+        for sf_name, sf_dir in [("sf0.1", SRC), ("sf10", SCALE10_DIR)]:
+            np_, tp, nc, tc = setsim_layers(sf_dir)
+            results[f"setsim_pairs@{sf_name}"] = np_
+            results[f"setsim_cand@{sf_name}"] = nc
+            print(
+                f"setsim layers @ {sf_name}: enumerated {np_} ({tp:.0f}s), "
+                f"candidates {nc} ({tc:.0f}s)"
+            )
     print(json.dumps(results))
 
 
