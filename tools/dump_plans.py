@@ -210,7 +210,16 @@ def posture_stats(spark, qs, sf_dir: str) -> list[str]:
 
     n = n_pushed = n_bcast = n_smj = n_python = n_cartesian = 0
     n_single_ok = n_single_bad = 0
-    arrow_ok = {"image_features_fake", "media_frame_extract"}
+    # same Arrow-batched whitelist as test_plans_quality (the UDTF surface
+    # proof plans as ArrowEvalPythonUDTF — batched, not row-at-a-time)
+    arrow_ok = {
+        "image_features_fake",
+        "media_frame_extract",
+        "image_decode_roundtrip",
+        "image_resize_boxfilter",
+        "audio_wav_features",
+        "python_udtf_chunks",
+    }
     for name in qs:
         if name in entrymod.RUNS_JOBS_AT_BUILD:
             continue
