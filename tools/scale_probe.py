@@ -263,6 +263,11 @@ def build_decade3_docs():
 
 def main():
     sys.path.insert(0, "/root/repo")
+    # the sf10 layered probe holds a ~1.2 GB ordered-array checkpoint in
+    # storage while 32 concurrent hash builds grow 128 MB pages — the 8 GB
+    # get_spark default failed acquisition there (measured); 16 GB clears it
+    if "--decade3-docs" in sys.argv:
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     import __spark_entry__ as ent
     from domanda_etl_spark.session import get_spark
 
@@ -517,14 +522,27 @@ def main():
             t_cand = time.time() - t0
             return n_pairs, t_pairs, n_cand, t_cand
 
-        for sf_name, sf_dir in [("sf0.1", SRC), ("sf10", SCALE10_DIR)]:
-            np_, tp, nc, tc = setsim_layers(sf_dir)
-            results[f"setsim_pairs@{sf_name}"] = np_
-            results[f"setsim_cand@{sf_name}"] = nc
-            print(
-                f"setsim layers @ {sf_name}: enumerated {np_} ({tp:.0f}s), "
-                f"candidates {nc} ({tc:.0f}s)"
-            )
+        # partition count must scale with the data (the 100 TB sizing rule
+        # measured here in miniature): at 100x docs the 71M-row posting
+        # build side split 32 ways exceeds the probe session's per-task
+        # execution memory ("Can't acquire ... to build hash relation");
+        # 256 partitions keeps each shuffled-hash build ~8 MB.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for sf_name, sf_dir, parts in [
+                ("sf0.1", SRC, prev_parts),
+                ("sf10", SCALE10_DIR, "256"),
+            ]:
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                np_, tp, nc, tc = setsim_layers(sf_dir)
+                results[f"setsim_pairs@{sf_name}"] = np_
+                results[f"setsim_cand@{sf_name}"] = nc
+                print(
+                    f"setsim layers @ {sf_name}: enumerated {np_} ({tp:.0f}s), "
+                    f"candidates {nc} ({tc:.0f}s)"
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     print(json.dumps(results))
 
 
