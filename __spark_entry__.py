@@ -10836,8 +10836,18 @@ def setsim_prefix_join(spark, sf_dir):
         # rows (and the candidate table twice); shuffled-hash builds on
         # the slim cand side and STREAMS the arrays — 12x at sf1. Both
         # forms keep every side partitioned and off the driver.
+        # BOTH verification joins need their own hint: EliminateResolvedHint
+        # attaches a hint to the nearest Join ABOVE the hinted subtree and
+        # does not look through Join nodes, so `cand.hint(...)` pins only
+        # the cand⋈s1 join — the (cand⋈s1)⋈s2 join was left to the static
+        # planner, which broadcast the array-carrying s2 (ADVICE r13 high:
+        # the committed PLANS.md capture showed BroadcastExchange over the
+        # s2 localCheckpoint scan). Hinting the INTERMEDIATE result is
+        # what the outer join sees; tests/test_plans_quality.py gates the
+        # final plan: zero BroadcastExchange in the verification stage.
         cand.hint("shuffle_hash")
         .join(s1, "doc1")
+        .hint("shuffle_hash")
         .join(s2, "doc2")
         .withColumn("n_inter", F.size(F.array_intersect("s1", "s2")).cast("long"))
         .withColumn(
@@ -23823,7 +23833,8 @@ _PMI_ORACLE = """
       GROUP BY 1, 2),
     scored AS (
       SELECT tok_x, tok_y, c_xy, vx.df AS c_x, vy.df AS c_y,
-             1000000 * n * c_xy // (vx.df * vy.df) AS lift_ppm
+             1000000 * CAST(n AS HUGEINT) * c_xy
+               // (CAST(vx.df AS HUGEINT) * vy.df) AS lift_ppm
       FROM pairs JOIN vocab vx ON vx.term = tok_x
                  JOIN vocab vy ON vy.term = tok_y CROSS JOIN nd)
     SELECT tok_x, tok_y, c_xy, c_x, c_y, CAST(lift_ppm AS BIGINT) AS lift_ppm
@@ -23842,9 +23853,12 @@ def pmi_vocab_pairs(spark, sf_dir):
     the proven basket idiom — collect_set of the <=40 vocab terms present
     per doc, array_sort, nested-transform pair generation — so pair counts
     are one map-side-combinable groupBy, bounded at 780 keys, with NO
-    self-join shuffle. BIGINT note: 1e6*N*c_xy stays in int64 through
-    sf1-scale corpora (~3.6e17 at 600k docs); a 10M-doc corpus would move
-    the numerator to DECIMAL(38,0)."""
+    self-join shuffle. EXACTNESS (ADVICE r13 low): the 1e6*N*c_xy
+    numerator is computed in DECIMAL(38,0) on the Spark side and HUGEINT
+    in the oracle — int64 arithmetic would silently wrap in non-ANSI
+    Spark at ~1e18 (a 10M-doc corpus) while DuckDB errors loudly; both
+    engines are now exact at any scale, and IntegralDivide on decimals
+    returns the same bigint floor-quotient."""
     docs = _tw(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -23888,7 +23902,10 @@ def pmi_vocab_pairs(spark, sf_dir):
             "c_xy",
             "c_x",
             "c_y",
-            F.expr("1000000 * n * c_xy DIV (c_x * c_y)").alias("lift_ppm"),
+            F.expr(
+                "CAST(1000000 AS DECIMAL(38,0)) * n * c_xy"
+                " DIV (CAST(c_x AS DECIMAL(38,0)) * c_y)"
+            ).alias("lift_ppm"),
         )
         .orderBy("tok_x", "tok_y")
     )
@@ -23993,9 +24010,14 @@ def embedding_dim_covariance(spark, sf_dir):
         .groupBy("e.i", "e.j")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("e.p").alias("sxy"),
-            F.sum("e.x").alias("sx"),
-            F.sum("e.y").alias("sy"),
+            # sums accumulate in DECIMAL(38,0) (ADVICE r13 low): int64
+            # partial sums of the milli-grid products would silently wrap
+            # in non-ANSI Spark at ~9e12 rows while DuckDB's SUM(BIGINT)
+            # is already HUGEINT-exact; the bigint OUTPUT cast is shared
+            # by both engines so declared schemas stay identical.
+            F.sum(F.col("e.p").cast("decimal(38,0)")).cast("long").alias("sxy"),
+            F.sum(F.col("e.x").cast("decimal(38,0)")).cast("long").alias("sx"),
+            F.sum(F.col("e.y").cast("decimal(38,0)")).cast("long").alias("sy"),
         )
     )
     cov = (
@@ -24005,6 +24027,156 @@ def embedding_dim_covariance(spark, sf_dir):
     return pr.select(
         "i", "j", "n", "sxy", "sx", "sy", F.round(cov, 4).alias("cov_q")
     ).orderBy("i", "j")
+
+
+# ---- round 14: registry-gap fills (VERDICT r13 §next#9 — the two named
+# absent classes: variable-length duplicated-PASSAGE mining beyond
+# substring_span_dedup's fixed spans, and a reliability-diagram/ECE
+# rollup next to brier_decomposition's Murphy decomposition).
+
+_DUP_PASSAGE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 4)) AS i
+      FROM toks WHERE len(t) >= 6),
+    wins AS (
+      SELECT doc_id, i, md5(array_to_string(t[i : i + 5], ' ')) AS h
+      FROM starts),
+    share AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins
+      GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, i, nd FROM wins JOIN share USING (h)),
+    isl AS (
+      SELECT doc_id, i, nd,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM dup)
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS passage_start,
+           COUNT(*) AS n_windows,
+           COUNT(*) + 5 AS passage_tokens,
+           CAST(MAX(nd) AS BIGINT) AS max_share_docs
+    FROM isl GROUP BY doc_id, grp
+"""
+
+
+@q("dup_passage_islands", _DUP_PASSAGE_ORACLE)
+def dup_passage_islands(spark, sf_dir):
+    """Variable-length duplicated-PASSAGE mining — the maximal-match half
+    of exact-substring training-data dedup (Lee et al. 2022 mine maximal
+    duplicated substrings with a suffix array; the distributed
+    re-expression is stride-1 rolling window hashes COALESCED into
+    maximal runs). 6-token windows at stride 1 are hashed; a window is
+    duplicated when >= 2 distinct docs carry its text; consecutive
+    duplicated start positions within a doc merge into one passage via
+    the islands trick (i - row_number() is constant exactly on a
+    consecutive run). Output per passage: 1-based token start, window
+    count, token length (n_windows + w - 1), and how many docs share its
+    widest-shared window. Unlike substring_span_dedup (fixed 8-token
+    spans at stride 4, per-doc ratio), this recovers the PASSAGE
+    boundaries a dedup pipeline actually cuts.
+
+    Scale shape: stride-1 explode is O(tokens) rows; the share count is
+    a (doc,hash)-distinct then hash-groupBy (both partial-agg friendly;
+    a boilerplate window shared by millions of docs is a hot key that
+    collapses map-side); the join back on h is AQE skew-splittable; the
+    islands window partitions by doc_id, bounded by document length —
+    never a global sort. All JVM exprs (split/slice/md5), no Python."""
+    docs = _tw(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 6)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t) - 5),"
+                " i -> md5(array_join(slice(t, i, 6), ' ')))"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("i"), "h")
+    share = (
+        wins.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    dup = wins.join(share, "h")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = dup.select(
+        "doc_id", "i", "nd", (F.col("i") - F.row_number().over(w)).alias("grp")
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("passage_start"),
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.count(F.lit(1)) + 5).alias("passage_tokens"),
+        F.max("nd").alias("max_share_docs"),
+    ).drop("grp")
+
+
+_RELIABILITY_ORACLE = """
+    WITH f AS (
+      SELECT CAST(event_id % 1000 AS BIGINT) AS p_milli,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    bins AS (
+      SELECT p_milli // 50 AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p_milli) AS BIGINT) AS sum_p,
+             CAST(sum(y) AS BIGINT) AS sum_y
+      FROM f GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n,
+           sum_p * 1000 // n AS p_bar_ppm,
+           sum_y * 1000000 // n AS y_bar_ppm,
+           abs(sum_p * 1000 // n - sum_y * 1000000 // n) AS gap_ppm,
+           n * abs(sum_p * 1000 // n - sum_y * 1000000 // n) AS ece_contrib,
+           CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n
+    FROM bins
+"""
+
+
+@q("reliability_diagram_ece", _RELIABILITY_ORACLE)
+def reliability_diagram_ece(spark, sf_dir):
+    """Reliability diagram + expected-calibration-error rollup — the
+    calibration CURVE next to brier_decomposition's Murphy decomposition
+    (that query publishes the decomposition identity; this one publishes
+    the 20-point diagram a model-eval dashboard plots). Deterministic
+    pseudo-forecast p = (event_id mod 1000)/1000 against the binary
+    outcome event_type='purchase', 20 equal-width probability bins; per
+    bin: count, mean forecast and empirical positive rate (both exact
+    ppm bigints via truncating div — identical in both engines), the
+    |forecast − observed| calibration gap, its n-weighted ECE
+    contribution (sum/N over bins IS the ECE; MCE is the max gap), and
+    the cumulative sample curve. Integer bounds: ece_contrib peaks at
+    n_bin * 1e6 — int64-safe to ~9e12 events per bin.
+
+    Scale shape: one map-side-combining groupBy onto 20 keys, then a
+    20-row cumulative window AFTER the partial agg (the registry's
+    SinglePartition-after-agg pattern) — two stages regardless of corpus
+    size, no broadcast, no join."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        (F.col("event_id") % 1000).cast("long").alias("p_milli"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = f.groupBy(F.expr("p_milli div 50").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_milli").alias("sum_p"),
+        F.sum("y").alias("sum_y"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.abs(
+        F.expr("sum_p * 1000 div n") - F.expr("sum_y * 1000000 div n")
+    )
+    return bins.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        F.expr("sum_p * 1000 div n").alias("p_bar_ppm"),
+        F.expr("sum_y * 1000000 div n").alias("y_bar_ppm"),
+        gap.alias("gap_ppm"),
+        (F.col("n") * gap).alias("ece_contrib"),
+        F.sum("n").over(w).alias("cum_n"),
+    )
 
 
 # WINDOW ROTATION POLICY (adopted round 11, VERDICT r10 §next#1 —
@@ -24073,67 +24245,75 @@ def embedding_dim_covariance(spark, sf_dir):
 # a WITH RECURSIVE oracle, spearman_by_segment, acf_daily_revenue,
 # pmi_vocab_pairs, quantile_normalize_lengths, embedding_dim_covariance)
 # + the 2 alphabetically-first round-5-evidence queries.
+#
+# Round-14 window: flagship + 2 NEW queries (dup_passage_islands —
+# variable-length duplicated-passage mining via stride-1 window hashes
+# coalesced by the islands trick, reliability_diagram_ece — 20-bin
+# calibration curve with exact-ppm gaps and ECE contributions; the two
+# absent classes VERDICT r13 §next#9 named) + 3 MODIFIED plans
+# (setsim_prefix_join — the second verification join is now explicitly
+# shuffle_hash-pinned, ADVICE r13 high; pmi_vocab_pairs — DECIMAL(38,0)
+# numerator, ADVICE r13 low; embedding_dim_covariance — DECIMAL(38,0)
+# sum accumulation, same item) + (c) ALL 42 round-5-evidence queries
+# (the r5 cohort EMPTIES this round; VERDICT r13 §next#2) + the 2
+# alphabetically-first round-6-evidence queries in the spare slots.
 _FIRST50: list[str] = [
     "domanda_pipeline_full",
     # --- (b) added this round
-    "readability_flesch",
-    "mutual_information_cells",
-    "html_strip_clean",
-    "kv_pair_parse",
-    "regexp_extract_all_stats",
-    "jaccard_linkpred",
-    "approx_percentile_bound_audit",
-    # --- (b) modified plans this round (staged join-date normalize;
-    #     strategy-pinned joins + PPJoin+ positional filter; pinned
-    #     deg build side on the wedge plans)
-    "domanda_unify_mini",
+    "dup_passage_islands",
+    "reliability_diagram_ece",
+    # --- (b) modified plans this round
     "setsim_prefix_join",
-    "adamic_adar_linkpred",
-    "resource_allocation_linkpred",
-    # --- (c) the full remaining round-2-evidence cohort (30)
-    "explode_unnest",
-    "json_extract_props",
-    "kmeans_assign",
-    "llm_corpus_clean",
-    "media_frame_extract",
-    "monthly_revenue_rollup",
-    "null_handling",
-    "pivot_status_counts",
-    "range_join_value_bands",
-    "salted_join_skew",
-    "scalar_despace_cabin",
-    "semi_join_big_spenders",
-    "similarity_topk_lsh",
-    "sql_cte_window",
-    "sql_exists_correlated",
-    "sql_in_subquery",
-    "sql_scalar_subquery",
-    "stratified_sample_hash",
-    "streaming_batch_equiv",
-    "tfidf_top_terms",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    # --- (b) added this round, batch 2 (registry-sweep gap fills)
-    "bfs_reachability_levels",
-    "spearman_by_segment",
-    "acf_daily_revenue",
     "pmi_vocab_pairs",
-    "quantile_normalize_lengths",
     "embedding_dim_covariance",
-    # --- (c) the 2 alphabetically-first round-5-evidence queries
-    #     (6 fill slots ceded to the batch-2 adds per policy (b);
-    #     the rest of the r5 cohort rotates in r14)
-    "array_set_functions",
-    "corr_exact_sums",
+    # --- (c) the full remaining round-5-evidence cohort (42)
+    "date_spine_gapfill",
+    "dedup_cluster_assignment",
+    "doc_chunking",
+    "dq_constraint_summary",
+    "events_sliding_window",
+    "fillna_defaults",
+    "flagship_regional_revenue",
+    "funnel_analysis",
+    "gini_event_mix",
+    "gopher_repetition",
+    "histogram_bins",
+    "image_features_fake",
+    "levenshtein_neighbors",
+    "mode_per_group",
+    "ntile_buckets",
+    "paragraph_dedup",
+    "pii_redaction",
+    "regexp_extract_groups",
+    "retention_cohorts",
+    "sample_split_hash",
+    "scd2_user_history",
+    "shard_packing",
+    "streaming_dedup_equiv",
+    "string_agg_topk",
+    "string_functions",
+    "text_bpe_tokens",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_potential_promotion",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_range_frame",
+    "window_rank_suite",
+    "winsorize_stats",
+    "word_freq_topk",
+    # --- (c) the 2 alphabetically-first round-6-evidence queries
+    "approx_sketches",
+    "argmax_functions",
 ]
+
 
 
 # Oracle output columns that DuckDB types as HUGEINT (int128) — integer

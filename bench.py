@@ -106,6 +106,11 @@ def main() -> None:
     # truncate the line; the file preserves the full structured payload.
     # SPARK_GRAFT_BENCH_OUT redirects it (the contract test uses a temp
     # file so smoke runs stop clobbering the committed sf0.1 artifact).
+    # BENCH_LOCAL.json is GENERATED OUTPUT (gitignored as of r14, VERDICT
+    # r13 §next#7): the driver overwrites it after every per-round bench,
+    # so committing it guaranteed working-tree churn. Builder quiet runs
+    # that should persist are committed under BENCH_QUIET_r{N}.json and
+    # referenced from PERF.md instead.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),

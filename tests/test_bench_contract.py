@@ -56,8 +56,12 @@ def test_bench_emits_one_json_line_with_zero_errors(tmp_path):
         full = json.loads(f.read())
     assert len(full["queries"]) >= 150
     assert not [k for k, v in full["queries"].items() if v < 0]
-    # the committed sf0.1 artifact must NOT have been touched by this run
+    # BENCH_LOCAL.json is gitignored driver output as of r14 (VERDICT r13
+    # §next#7) — but if one exists on disk it must NOT have been touched
+    # by this smoke run (the driver's sf0.1 sweep is the official record)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_LOCAL.json")) as f:
-        committed = json.loads(f.read())
-    assert committed["sf"] == 0.1, "committed BENCH_LOCAL.json clobbered by a smoke run"
+    local = os.path.join(repo, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        with open(local) as f:
+            committed = json.loads(f.read())
+        assert committed["sf"] == 0.1, "driver BENCH_LOCAL.json clobbered by a smoke run"

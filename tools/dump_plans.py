@@ -197,6 +197,9 @@ HEADLINE = [
     "pmi_vocab_pairs",
     "quantile_normalize_lengths",
     "embedding_dim_covariance",
+    # round 14 (VERDICT r13 §next#9 gap fills)
+    "dup_passage_islands",
+    "reliability_diagram_ece",
 ]
 
 

@@ -266,7 +266,7 @@ def main():
     # the sf10 layered probe holds a ~1.2 GB ordered-array checkpoint in
     # storage while 32 concurrent hash builds grow 128 MB pages — the 8 GB
     # get_spark default failed acquisition there (measured); 16 GB clears it
-    if "--decade3-docs" in sys.argv:
+    if "--decade3-docs" in sys.argv or "--decade3-verify" in sys.argv:
         os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     import __spark_entry__ as ent
     from domanda_etl_spark.session import get_spark
@@ -541,6 +541,123 @@ def main():
                     f"setsim layers @ {sf_name}: enumerated {np_} ({tp:.0f}s), "
                     f"candidates {nc} ({tc:.0f}s)"
                 )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if "--decade3-verify" in sys.argv:
+        # VERDICT r13 §next#6: price the VERIFICATION stage at the decade
+        # with a measurement, not an extrapolation. The full sf10
+        # verification shuffle (~350 GB: both ~2.3 KB shingle arrays
+        # attached to each of the 75.4 M candidates) exceeds this box's
+        # free disk, so measure it on an UNBIASED hash sample of the
+        # candidate pairs — pmod(xxhash64(doc1, doc2), 20) = 0 keeps ~5%
+        # of pairs with per-pair cost identical to the full run (same
+        # array sizes, same join strategy, same partitioned shuffle; only
+        # the pair COUNT shrinks), and verified-pairs/s extrapolates
+        # linearly because verification is embarrassingly per-pair after
+        # the two shuffle_hash joins.
+        if not os.path.exists(os.path.join(SCALE10_DIR, "documents.parquet")):
+            t0 = time.time()
+            build_decade3_docs()
+            print(f"built sf10 documents in {time.time() - t0:.1f} s")
+        from pyspark.sql import functions as F
+
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        try:
+            docs = spark.read.parquet(
+                os.path.join(SCALE10_DIR, "documents.parquet")
+            ).filter(F.length("text") >= 12)
+            sh = docs.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.length("text") - 11),
+                            lambda i: F.xxhash64(F.col("text").substr(i, F.lit(12))),
+                        )
+                    )
+                ).alias("sh"),
+            )
+            freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            ordered = (
+                sh.join(freq.hint("shuffle_hash"), "sh")
+                .groupBy("doc_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("df", "sh"))),
+                        lambda x: x["sh"],
+                    ).alias("s")
+                )
+                .withColumn("n", F.size("s"))
+                .localCheckpoint(eager=True)
+            )
+            pre = ordered.select(
+                "doc_id",
+                "n",
+                F.posexplode(
+                    F.slice("s", 1, (F.floor(F.col("n") / 2) + 1).cast("int"))
+                ).alias("pos0", "sh"),
+            ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "sh")
+            a = pre.select(
+                F.col("doc_id").alias("doc1"), F.col("n").alias("na"),
+                F.col("pos").alias("pa"), F.col("sh").alias("sh_a"),
+            )
+            b = pre.select(
+                F.col("doc_id").alias("doc2"), F.col("n").alias("nb"),
+                F.col("pos").alias("pb"), F.col("sh").alias("sh_b"),
+            )
+            bound = 3 * (
+                F.least("pa", "pb")
+                + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            ) >= F.col("na") + F.col("nb")
+            cand = (
+                a.join(
+                    b.hint("shuffle_hash"),
+                    (F.col("sh_a") == F.col("sh_b"))
+                    & (F.col("doc1") < F.col("doc2"))
+                    & (F.greatest("na", "nb") <= 2 * F.least("na", "nb"))
+                    & bound,
+                )
+                .select("doc1", "doc2")
+                .distinct()
+                .filter(F.pmod(F.xxhash64("doc1", "doc2"), F.lit(20)) == 0)
+                # materialize the SAMPLED candidate list so the timed
+                # region below is verification alone, not re-enumeration
+                .localCheckpoint(eager=True)
+            )
+            n_sample = cand.count()
+            s1 = ordered.select(
+                F.col("doc_id").alias("doc1"), F.col("s").alias("s1"),
+                F.col("n").alias("n1"),
+            )
+            s2 = ordered.select(
+                F.col("doc_id").alias("doc2"), F.col("s").alias("s2"),
+                F.col("n").alias("n2"),
+            )
+            t0 = time.time()
+            n_match = (
+                cand.hint("shuffle_hash")
+                .join(s1, "doc1")
+                .hint("shuffle_hash")
+                .join(s2, "doc2")
+                .withColumn(
+                    "n_inter", F.size(F.array_intersect("s1", "s2")).cast("long")
+                )
+                .filter(3 * F.col("n_inter") >= F.col("n1") + F.col("n2"))
+                .count()
+            )
+            t_verify = time.time() - t0
+            results["setsim_verify_sampled_pairs@sf10"] = n_sample
+            results["setsim_verify_matches@sf10"] = n_match
+            results["setsim_verify_sec@sf10"] = round(t_verify, 1)
+            results["setsim_verified_pairs_per_sec@sf10"] = round(
+                n_sample / t_verify, 0
+            )
+            print(
+                f"setsim verification @ sf10 (5% pair-hash sample): "
+                f"{n_sample} pairs verified in {t_verify:.0f}s "
+                f"({n_sample / t_verify:.0f} pairs/s), {n_match} matches"
+            )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     print(json.dumps(results))
