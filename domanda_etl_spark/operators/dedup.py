@@ -157,7 +157,18 @@ def minhash_lsh_candidates(
     left = melted.alias("l")
     right = melted.alias("r")
     pairs = (
-        left.join(right, on="bucket")
+        # shuffle_hash pin (r14, the setsim r13 bug class applied here):
+        # unhinted, the static planner's size estimate for the melted
+        # bucket table lands under the broadcast threshold and it plans a
+        # BroadcastHashJoin — collecting the WHOLE corpus-scale bucket
+        # table to the driver (dies on spark.driver.maxResultSize at
+        # ~10M docs; AQE can never demote a static broadcast). Pinned
+        # shuffled-hash, BOTH sides are already hash-partitioned on
+        # `bucket` by the window guard's exchange above, so the join adds
+        # NO new shuffle (ReusedExchange keeps the signature hashing
+        # single-pass) and the per-partition build is bounded by the
+        # bucket-size cap. Plan-gated in tests/test_plans_quality.py.
+        left.join(right.hint("shuffle_hash"), on="bucket")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"),

@@ -465,3 +465,30 @@ def test_flagship_regexp_node_budget(spark):
     p = plan_of(spark, "domanda_pipeline_full")
     n = p.count("regexp_replace") + p.count("regexp_extract")
     assert n <= 600, f"flagship regexp node count {n} exceeds budget 600"
+
+
+def test_dedup_family_no_corpus_scale_broadcast(spark):
+    """r14 family-wide gate (the setsim r13 bug class, hunted via the
+    outlier adjudication's plan audit): every join in the dedup /
+    similarity family whose BOTH sides are corpus-scale (posting lists,
+    shingle/embedding arrays, per-doc or per-fingerprint rollups, the
+    history index) must plan as ShuffledHashJoin — a statically-planned
+    BroadcastExchange there collects a corpus-scale side to the driver
+    and dies on spark.driver.maxResultSize at decade scale (AQE can
+    demote nothing: it can only PROMOTE shuffles to broadcasts).
+    similarity_topk_lsh is exempt: its broadcast side is the 32-row
+    bounded query set, the legitimate broadcast shape."""
+    for name in [
+        "minhash_estimate_audit",
+        "dedup_minhash_lsh_pairs",
+        "lsh_pair_containment",
+        "simhash_hamming_join",
+        "winnowing_fingerprint_dedup",
+        "dedup_embedding_neardup",
+        "semdedup_cluster_prune",
+        "incremental_dedup_newbatch",
+        "setsim_prefix_join",
+    ]:
+        p = plan_of(spark, name)
+        assert "BroadcastExchange" not in p, name
+        assert "SortMergeJoin" not in p, name
