@@ -163,11 +163,16 @@ def minhash_lsh_candidates(
         # BroadcastHashJoin — collecting the WHOLE corpus-scale bucket
         # table to the driver (dies on spark.driver.maxResultSize at
         # ~10M docs; AQE can never demote a static broadcast). Pinned
-        # shuffled-hash, BOTH sides are already hash-partitioned on
-        # `bucket` by the window guard's exchange above, so the join adds
-        # NO new shuffle (ReusedExchange keeps the signature hashing
-        # single-pass) and the per-partition build is bounded by the
-        # bucket-size cap. Plan-gated in tests/test_plans_quality.py.
+        # shuffled-hash. When max_bucket_size is set, both sides are
+        # already hash-partitioned on `bucket` by the window guard's
+        # exchange, so the join adds no new shuffle (ReusedExchange keeps
+        # the signature hashing single-pass); with max_bucket_size=None
+        # there is no guard exchange and the pin DOES introduce the two
+        # bucket-keyed exchanges itself. Per-partition build memory is
+        # bounded by |melted| / numPartitions — many capped buckets hash
+        # into one partition; the cap only limits per-BUCKET blowup of
+        # the pair output, not the partition's build rows (ADVICE r14
+        # low). Plan-gated in tests/test_plans_quality.py.
         left.join(right.hint("shuffle_hash"), on="bucket")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(

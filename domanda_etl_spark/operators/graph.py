@@ -301,8 +301,16 @@ def lpa_labels(
     )
     wv = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("nl").asc())
     for _ in range(rounds):
+        # pinned shuffled-hash, slim per-vertex label table as build: the
+        # caller's checkpointed edge list is a LogicalRDD whose stats
+        # under-estimate ~13x (default column widths), so the static
+        # planner BROADCAST the corpus-scale edge side into every round's
+        # join (r15 sweep — the r14 static-broadcast bug class; AQE can
+        # never demote it, and at ~50M edges the real build is multi-GB).
         nb = (
-            edges.join(lbl.select(F.col("v").alias(b), "lbl"), b)
+            edges.join(
+                lbl.select(F.col("v").alias(b), "lbl").hint("shuffle_hash"), b
+            )
             .groupBy(F.col(a).alias("v"), F.col("lbl").alias("nl"))
             .agg(F.count(F.lit(1)).alias("c"))
         )

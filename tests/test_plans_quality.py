@@ -492,3 +492,48 @@ def test_dedup_family_no_corpus_scale_broadcast(spark):
         p = plan_of(spark, name)
         assert "BroadcastExchange" not in p, name
         assert "SortMergeJoin" not in p, name
+
+
+def test_no_static_broadcast_of_checkpoint_outputs(spark):
+    """r15 gate (VERDICT r14 §next#6, generalized beyond the dedup
+    family): a localCheckpoint output is a LogicalRDD whose stats use
+    default column widths — a measured ~13x UNDER-estimate for two-long
+    edge lists (1.2M rows -> 1.49 MB estimate vs ~19 MB real) — so the
+    static planner keeps BROADCASTING it until ~50M rows, where the real
+    hashed relation is already multi-GB: dead on driver.maxResultSize
+    long before the estimate self-corrects, and AQE can never demote a
+    static broadcast.  The r15 sweep (tools/broadcast_sweep.py) found 12
+    live instances across 5 graph/link-prediction queries that the r14
+    fact-scan sweep missed (an ExistingRDD scan is not a fact-table
+    scan); all are now shuffle_hash-pinned and this gate keeps the class
+    dead: no BroadcastExchange over an unbounded ExistingRDD subtree in
+    any checkpoint-using query.  Unkeyed aggregates and limits bound the
+    build and stay allowed (e.g. degree_assortativity's n_nodes count)."""
+    import inspect
+
+    from tools.broadcast_sweep import CHECKPOINT_BROADCAST_OK, sweep_plan
+
+    # every pure-plan query whose source checkpoints, plus the iterative
+    # graph queries that run jobs at build (safe to plan: no sinks/streams)
+    names = {
+        n
+        for n in QS
+        if n not in entrymod.RUNS_JOBS_AT_BUILD
+        and "localCheckpoint" in inspect.getsource(QS[n])
+    } | {
+        "kcore_decomposition",
+        "pagerank_purchases",
+        "hits_purchase_graph",
+        "ppr_seeded_retrieval",
+        "lpa_modularity_audit",
+        "bfs_reachability_levels",
+        "semdedup_cluster_prune",
+    }
+    flags = []
+    for n in sorted(names):
+        flags += [
+            f
+            for f in sweep_plan(n, plan_of(spark, n))
+            if f[1] == "checkpoint-output" and n not in CHECKPOINT_BROADCAST_OK
+        ]
+    assert not flags, f"static broadcast of checkpoint outputs: {flags}"

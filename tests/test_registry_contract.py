@@ -47,3 +47,34 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         if sql is None and n not in rows_only_allowlist
     ]
     assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_window_freeze_covers_all_edits():
+    """VERDICT r14 §next#1 (the r8 lesson, mechanized): 8 family queries
+    were re-planned AFTER the r14 window froze, so the round closed with
+    no driver hash on the shipped plans.  WINDOW_FREEZE.json stamps a
+    sha256 of every query's source + oracle at window-composition time
+    (`python tools/backlog.py --freeze`); any query whose hash has
+    drifted from the stamp — or that is missing from it — must be in
+    _FIRST50, or this test is red until the window is re-composed and
+    re-frozen."""
+    import json
+
+    from tools.backlog import FREEZE_FILE, source_hash
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), FREEZE_FILE)
+    assert os.path.exists(path), (
+        f"{FREEZE_FILE} missing — run `python tools/backlog.py --freeze` "
+        "after composing the window"
+    )
+    stamp = json.load(open(path))
+    window = set(ent._FIRST50)
+    drifted = [
+        n
+        for n in ent._REGISTRY
+        if stamp.get(n) != source_hash(n) and n not in window
+    ]
+    assert not drifted, (
+        "queries modified (or added) after the window froze but NOT in "
+        f"_FIRST50 — re-window and re-freeze: {drifted}"
+    )

@@ -10,11 +10,24 @@ to `_FIRST50` in __spark_entry__.py, adopted round 11 per VERDICT r10
   window's slot-(c) candidates are read straight off the top.
 
 Usage: python tools/backlog.py [--ages N]   (N = rows to print, def 60)
+       python tools/backlog.py --freeze     (stamp WINDOW_FREEZE.json)
+
+--freeze records a sha256 of every registry query's SOURCE + ORACLE at
+window-composition time into WINDOW_FREEZE.json.  The companion test
+(tests/test_registry_contract.py::test_window_freeze_covers_all_edits)
+fails when any query's hash differs from the stamp and the query is NOT
+in _FIRST50 — the r8/r14 lesson, mechanized (VERDICT r14 §next#1: 8
+family queries were re-planned AFTER the r14 window froze, so the round
+closed with no driver hash on the shipped plans).  Re-run --freeze after
+every window edit; the diff of WINDOW_FREEZE.json shows exactly which
+queries changed since the last freeze.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import re
 import sys
@@ -23,6 +36,26 @@ from collections import Counter
 
 sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
+
+FREEZE_FILE = "WINDOW_FREEZE.json"
+
+
+def source_hash(name: str) -> str:
+    """sha256 over the query's function source + oracle SQL (the two
+    inputs the driver's correctness gate exercises)."""
+    fn, sql = entrymod._REGISTRY[name]
+    src = inspect.getsource(fn)
+    return hashlib.sha256(
+        (src + "\0" + (sql or "")).encode("utf-8")
+    ).hexdigest()
+
+
+def freeze() -> None:
+    stamp = {n: source_hash(n) for n in sorted(entrymod._REGISTRY)}
+    with open(FREEZE_FILE, "w") as f:
+        json.dump(stamp, f, indent=0, sort_keys=True)
+        f.write("\n")
+    print(f"froze {len(stamp)} query hashes -> {FREEZE_FILE}")
 
 
 def evidence_rounds() -> dict[str, int]:
@@ -36,6 +69,9 @@ def evidence_rounds() -> dict[str, int]:
 
 
 def main() -> None:
+    if "--freeze" in sys.argv:
+        freeze()
+        return
     n_show = 60
     if "--ages" in sys.argv:
         n_show = int(sys.argv[sys.argv.index("--ages") + 1])

@@ -1,0 +1,127 @@
+"""Registry-wide static-broadcast sweep (the r14 triage, now a tool).
+
+Flags every BroadcastExchange in every pure-plan query whose build
+subtree is either
+  (a) a `Scan ExistingRDD` — a localCheckpoint output.  LogicalRDD
+      stats are row-count-based with default column widths, a measured
+      ~13x UNDER-estimate for long-pair edge lists (1.2M rows of two
+      longs -> 1.49 MB estimate vs ~19 MB real), so the planner keeps
+      statically broadcasting until ~50M rows, where the real hashed
+      relation is already multi-GB — dead on spark.driver.maxResultSize
+      long before the estimate self-corrects.  AQE can never demote a
+      statically-planned broadcast.  This is the class that regressed
+      resource_allocation_linkpred in the r14 driver bench (9.26 s,
+      unchanged code: the broadcast build is the memory-pressure-
+      sensitive component) — missed by the r14 fact-scan sweep because
+      an ExistingRDD scan is not a fact-table scan.
+  (b) a raw fact-table parquet scan with no intervening aggregate or
+      limit — the r14 criterion, kept (file-based estimates
+      self-correct with data growth, so these are usually benign, but
+      they deserve eyes).
+
+Output: one line per flag with the query, the class, and the subtree
+head; exit 1 iff any class-(a) flag is not in the triaged whitelist
+(tests/test_plans_quality.py::test_no_static_broadcast_of_checkpoint_outputs
+runs the same check in CI).
+
+Usage: python tools/broadcast_sweep.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+# class-(a) flags triaged BENIGN: the checkpointed side is provably
+# bounded (seed sets, k-row centroid tables, |states|-row matrices), the
+# legitimate broadcast shape.  Every entry needs a one-line reason.
+CHECKPOINT_BROADCAST_OK: dict[str, str] = {}
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Lines of the plan subtree rooted at line i (indentation-based)."""
+
+    def depth(s: str) -> int:
+        m = re.match(r"^[\s:+\-*]*", s)
+        return len(m.group(0)) if m else 0
+
+    d0 = depth(lines[i])
+    out = [lines[i]]
+    for ln in lines[i + 1 :]:
+        if ln.strip() == "" or depth(ln) <= d0:
+            break
+        out.append(ln)
+    return out
+
+
+def sweep_plan(name: str, plan: str) -> list[tuple[str, str, str]]:
+    flags = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        sub = _subtree(lines, i)
+        body = "\n".join(sub)
+        if "Scan ExistingRDD" in body:
+            # an UNKEYED aggregate (keys=[] -> 1 row) or an explicit
+            # limit between the broadcast and the checkpoint scan bounds
+            # the build regardless of the scan's size — the legitimate
+            # broadcast shape (e.g. degree_assortativity's n_nodes count)
+            bounded = re.search(r"Aggregate\(keys=\[\]", body) or any(
+                k in body for k in ("Limit", "TakeOrdered")
+            )
+            if not bounded:
+                flags.append((name, "checkpoint-output", sub[1].strip()[:100] if len(sub) > 1 else ""))
+        else:
+            has_fact = any(
+                re.search(rf"Scan parquet .*{t}|FileScan .*{t}", body)
+                for t in FACT_TABLES
+            )
+            has_bound = any(
+                k in body
+                for k in ("HashAggregate", "ObjectHashAggregate", "Limit", "TakeOrdered", "WindowGroupLimit")
+            )
+            if has_fact and not has_bound:
+                flags.append((name, "fact-scan", sub[1].strip()[:100] if len(sub) > 1 else ""))
+    return flags
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from domanda_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="broadcast-sweep")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    qs = entrymod.queries()
+    names = sys.argv[1:] or [
+        n for n in qs if n not in entrymod.RUNS_JOBS_AT_BUILD
+    ]
+    all_flags: list[tuple[str, str, str]] = []
+    for n in names:
+        try:
+            plan = qs[n](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # keep sweeping; a broken query has its own tests
+            print(f"SKIP {n}: {exc}", file=sys.stderr)
+            continue
+        for f in sweep_plan(n, plan):
+            all_flags.append(f)
+            print(f"FLAG {f[1]:<18} {f[0]}: {f[2]}", flush=True)
+    bad = [
+        f for f in all_flags
+        if f[1] == "checkpoint-output" and f[0] not in CHECKPOINT_BROADCAST_OK
+    ]
+    print(
+        f"--- swept={len(names)} flags={len(all_flags)} "
+        f"checkpoint-output-unwhitelisted={len(bad)}"
+    )
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -635,11 +635,17 @@ def main():
                 F.col("n").alias("n2"),
             )
             t0 = time.time()
+            # join chain mirrors the PRODUCTION setsim_prefix_join form
+            # exactly (ADVICE r14 medium): join 2 hints the slim/bounded
+            # s2 side, NOT the candidate-scale array-carrying intermediate
+            # — hinting the intermediate makes IT the hash build side and
+            # blows per-task execution memory at sf1+
+            # (cannotAcquireMemoryToBuildLongHashedRelation), and it would
+            # price a different, riskier plan than the one shipped.
             n_match = (
                 cand.hint("shuffle_hash")
                 .join(s1, "doc1")
-                .hint("shuffle_hash")
-                .join(s2, "doc2")
+                .join(s2.hint("shuffle_hash"), "doc2")
                 .withColumn(
                     "n_inter", F.size(F.array_intersect("s1", "s2")).cast("long")
                 )
