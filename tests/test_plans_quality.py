@@ -537,3 +537,41 @@ def test_no_static_broadcast_of_checkpoint_outputs(spark):
             if f[1] == "checkpoint-output" and n not in CHECKPOINT_BROADCAST_OK
         ]
     assert not flags, f"static broadcast of checkpoint outputs: {flags}"
+
+
+def test_broadcast_sweep_flags_unhinted_checkpoint_join():
+    """The gate above is only as good as the sweep's parser — prove on
+    canned plan fragments that it (a) flags a BroadcastExchange whose
+    build subtree scans a checkpoint output, (b) exempts the bounded
+    unkeyed-aggregate shape, and (c) respects subtree boundaries (a
+    sibling ExistingRDD scan outside the broadcast subtree is no flag)."""
+    from tools.broadcast_sweep import sweep_plan
+
+    bad = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastHashJoin [x#1L], [x#2L], LeftAnti, BuildRight, false",
+        "   :- HashAggregate(keys=[x#1L], functions=[count(1)])",
+        "   +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, false]),false)",
+        "      +- Scan ExistingRDD[x#2L,y#3L]",
+    ])
+    assert [f[1] for f in sweep_plan("q", bad)] == ["checkpoint-output"]
+
+    bounded = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastNestedLoopJoin BuildRight, Cross",
+        "   :- HashAggregate(keys=[], functions=[count(1)])",
+        "   +- BroadcastExchange IdentityBroadcastMode",
+        "      +- HashAggregate(keys=[], functions=[count(1)])",
+        "         +- Scan ExistingRDD[v#1L,dg#2L]",
+    ])
+    assert sweep_plan("q", bounded) == []
+
+    sibling = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- ShuffledHashJoin [x#1L], [x#2L], Inner, BuildRight",
+        "   :- Scan ExistingRDD[x#1L,y#3L]",
+        "   +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, false]),false)",
+        "      +- Filter (n#4L < 8)",
+        "         +- Scan parquet [n#4L] ReadSchema: struct<n:bigint>",
+    ])
+    assert sweep_plan("q", sibling) == []
