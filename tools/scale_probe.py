@@ -147,6 +147,36 @@ SCALE10_DIR = "/tmp/sfscale/sf10"
 DEDUP_DIR = "/tmp/sfscale/sf1_dedup"
 
 
+def build_customer():
+    """10x customer for the LPA decade (idempotent, writes into the
+    existing SCALE_DIR without a full rebuild).  The band graph keys on
+    `c_custkey div 20` blocks, so the per-replica offset is rounded UP
+    to a multiple of 20 — replica block structures are then exact
+    copies of the original's (offsetting by a non-multiple would shift
+    every replica's block phase and change edge counts at block
+    boundaries, densifying instead of scaling).  The global `b <= max`
+    trim touches only the final replica's partial tail block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = os.path.join(SCALE_DIR, "customer.parquet")
+    if os.path.exists(out):
+        return
+    cust = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    base = pc.max(cust.column("c_custkey")).as_py() + 1
+    base += (-base) % 20
+    parts = []
+    idx = cust.schema.get_field_index("c_custkey")
+    for k in range(REPLICAS):
+        parts.append(
+            cust.set_column(
+                idx, "c_custkey", pc.add(cust.column("c_custkey"), k * base)
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), out, row_group_size=200_000)
+
+
 def full_cipher_table(k: int) -> dict:
     """Bijection for the DEDUP decade corpus: rotates lowercase, uppercase,
     DIGITS and a punctuation set each within their class; whitespace fixed.
@@ -329,14 +359,14 @@ def main():
             # round-15: the rest of the checkpoint-broadcast-pinned family
             # (VERDICT r14 asks #2/#6) — prove the shuffled-hash forms
             # scale linearly where the static broadcasts would not.
-            # The two LPA queries are NOT probed: they run on the
-            # synthetic customer band graph and build() replicates only
-            # lineitem/orders/documents/embeddings — their pinned joins
-            # share the exact shapes probed here (per-vertex build side,
-            # edge-list probe side).
             "adamic_adar_linkpred",
             "jaccard_linkpred",
+            # the LPA pair runs on the customer band graph —
+            # build_customer() writes the 20-block-aligned replicas
+            "label_propagation_communities",
+            "lpa_modularity_audit",
         ]
+        build_customer()
         for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
             spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
