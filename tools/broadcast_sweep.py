@@ -37,10 +37,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
 
-# class-(a) flags triaged BENIGN: the checkpointed side is provably
-# bounded (seed sets, k-row centroid tables, |states|-row matrices), the
-# legitimate broadcast shape.  Every entry needs a one-line reason.
-CHECKPOINT_BROADCAST_OK: dict[str, str] = {}
+# class-(a) flags triaged BENIGN: the ExistingRDD side is provably
+# bounded (literal dimension tables, seed sets, k-row centroid tables),
+# the legitimate broadcast shape.  `Scan ExistingRDD` also covers
+# spark.createDataFrame literals, not just localCheckpoint outputs —
+# a 3-row literal that MUST broadcast lands here, not in the gate.
+# Every entry needs a one-line reason.
+CHECKPOINT_BROADCAST_OK: dict[str, str] = {
+    # the broadcast side is the 3-row LITERAL bands table
+    # (createDataFrame, not a checkpoint); the range-join plan gate
+    # REQUIRES BroadcastNestedLoopJoin here — broadcast is the point
+    "range_join_value_bands": "3-row literal bands dimension",
+}
 
 
 def _subtree(lines: list[str], i: int) -> list[str]:
