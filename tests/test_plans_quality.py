@@ -528,6 +528,11 @@ def test_no_static_broadcast_of_checkpoint_outputs(spark):
         "lpa_modularity_audit",
         "bfs_reachability_levels",
         "semdedup_cluster_prune",
+        # clustering family: runs jobs at build (r14-pinned; swept clean
+        # r15) — kept under the gate so an edit cannot reintroduce the class
+        "dedup_canonical_selection",
+        "dedup_cluster_assignment",
+        "grid_density_clusters",
     }
     flags = []
     for n in sorted(names):
