@@ -170,3 +170,60 @@ def test_setsim_prefix_join_scales_linearly_on_replicas(spark, tmp_path):
     nk = q(spark, str(tripled)).count()
     assert n1 == 3, f"expected the 3 toy near-dup pairs, got {n1}"
     assert nk == k * n1, f"linear growth violated: {nk} != {k} * {n1}"
+
+
+@pytest.mark.slow
+def test_lpa_replica_band_graph_is_exact_copies(spark, tmp_path):
+    """The r15 LPA decade claim rests on build_customer()'s 20-block
+    alignment: with the per-replica c_custkey offset rounded up to a
+    multiple of the band graph's block width, every replica's block
+    structure is an exact copy, so the LPA community SIZE DISTRIBUTION
+    is preserved and community COUNT grows exactly k-fold.  A
+    misaligned offset shifts block phases and breaks both.
+
+    Full blocks here (max key = block boundary - 1): with a PARTIAL
+    tail block the first draft of this test found a real second-order
+    effect — the band generator's `b <= global max` trim lets interior
+    replicas reach <= bandwidth PHANTOM vertices above their own
+    replica's original max (the original corpus was cut there, the
+    interior replicas are not), shifting a handful of tail-community
+    sizes while the community COUNT stays exactly k-fold.  Negligible
+    for decade timing (<= 8 vertices per replica); documented in
+    build_customer()'s docstring."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as ent
+
+    cust = pd.DataFrame({"c_custkey": list(range(1, 100))})  # 5 full blocks
+    k = 3
+    single = tmp_path / "single"
+    tripled = tmp_path / "tripled"
+    for d in (single, tripled):
+        d.mkdir()
+    t = pa.Table.from_pandas(cust, preserve_index=False)
+    pq.write_table(t, str(single / "customer.parquet"))
+    base = int(cust["c_custkey"].max()) + 1
+    base += (-base) % 20  # the build_customer() rounding rule
+    parts = [
+        t.set_column(0, "c_custkey", pc.add(t.column("c_custkey"), r * base))
+        for r in range(k)
+    ]
+    pq.write_table(pa.concat_tables(parts), str(tripled / "customer.parquet"))
+
+    q = ent.queries()["label_propagation_communities"]
+    # community size histogram {n_members: count}, top-50-free via collect
+    def hist(sf_dir):
+        rows = q(spark, str(sf_dir)).collect()
+        h = {}
+        for r in rows:
+            h[r.n_members] = h.get(r.n_members, 0) + 1
+        return h
+
+    h1, hk = hist(single), hist(tripled)
+    # the query returns top-50 communities; with <= 15 blocks total both
+    # sides are complete, so the k-replica histogram is exactly k x the
+    # single-corpus histogram for every community size
+    assert hk == {size: k * n for size, n in h1.items()}, (h1, hk)
+    assert sum(hk.values()) == k * sum(h1.values())

@@ -154,8 +154,15 @@ def build_customer():
     to a multiple of 20 — replica block structures are then exact
     copies of the original's (offsetting by a non-multiple would shift
     every replica's block phase and change edge counts at block
-    boundaries, densifying instead of scaling).  The global `b <= max`
-    trim touches only the final replica's partial tail block."""
+    boundaries, densifying instead of scaling).  Tail caveat (found by
+    tests/test_scale_probe_invariants.py's alignment test): if the
+    original max key does not land on a block boundary, the band
+    generator's `b <= global max` trim lets INTERIOR replicas reach up
+    to <bandwidth> phantom vertices above their own copy's original max
+    (the original corpus was cut there; interior replicas are not) —
+    community COUNT still grows exactly k-fold, a handful of
+    tail-community sizes shift by <= 8 vertices per replica, and decade
+    TIMING is unaffected."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
