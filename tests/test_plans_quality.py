@@ -513,14 +513,28 @@ def test_no_static_broadcast_of_checkpoint_outputs(spark):
 
     from tools.broadcast_sweep import CHECKPOINT_BROADCAST_OK, sweep_plan
 
-    # every pure-plan query whose source checkpoints, plus the iterative
-    # graph queries that run jobs at build (safe to plan: no sinks/streams)
-    names = {
-        n
-        for n in QS
-        if n not in entrymod.RUNS_JOBS_AT_BUILD
-        and "localCheckpoint" in inspect.getsource(QS[n])
-    } | {
+    # Package helpers that localCheckpoint INTERNALLY — a query calling
+    # one of these checkpoints without the literal appearing in its own
+    # source, so grepping only for 'localCheckpoint' would let it escape
+    # the gate (ADVICE r15 low: the same coverage-gap shape that let the
+    # r14 fact-scan sweep miss the class).
+    CKPT_HELPERS = (
+        "connected_components",  # operators/dedup.py
+        "kcore",                 # operators/graph.py
+        "pagerank_integer",
+        "hits_integer",
+        "lpa_labels",
+        "ppr_integer",
+    )
+
+    def _uses_ckpt(name: str) -> bool:
+        src = inspect.getsource(QS[name])
+        return "localCheckpoint" in src or any(h in src for h in CKPT_HELPERS)
+
+    # iterative graph/clustering queries that run jobs at build — still
+    # safe to PLAN (no sinks/streams); kept under the gate so an edit
+    # cannot reintroduce the class
+    HAND_PLANNABLE = {
         "kcore_decomposition",
         "pagerank_purchases",
         "hits_purchase_graph",
@@ -528,12 +542,37 @@ def test_no_static_broadcast_of_checkpoint_outputs(spark):
         "lpa_modularity_audit",
         "bfs_reachability_levels",
         "semdedup_cluster_prune",
-        # clustering family: runs jobs at build (r14-pinned; swept clean
-        # r15) — kept under the gate so an edit cannot reintroduce the class
         "dedup_canonical_selection",
         "dedup_cluster_assignment",
         "grid_density_clusters",
     }
+    # the hand list must stay a SUPERSET of every RUNS_JOBS_AT_BUILD
+    # query that checkpoints via the graph/dedup iterators — a future
+    # helper-checkpointing query can't silently escape the gate.  Sink /
+    # streaming queries (not plannable without side effects) checkpoint
+    # only via sinks/versioned.py, which CKPT_HELPERS deliberately
+    # excludes, so this assertion stays precise.
+    NOT_PLANNABLE = {  # write/stream at build: planning them runs the sink
+        "merge_upsert", "versioned_sink_roundtrip",
+        "versioned_retention_roundtrip", "partitioned_merge_roundtrip",
+        "partitioned_delete_roundtrip", "cli_load_roundtrip",
+        "restore_count_check", "small_file_compaction",
+    }
+    escaped = {
+        n
+        for n in entrymod.RUNS_JOBS_AT_BUILD
+        if n in QS and _uses_ckpt(n) and n not in NOT_PLANNABLE
+    } - HAND_PLANNABLE
+    assert not escaped, (
+        f"checkpoint-using RUNS_JOBS_AT_BUILD queries missing from the "
+        f"gate's hand list: {escaped}"
+    )
+
+    names = {
+        n
+        for n in QS
+        if n not in entrymod.RUNS_JOBS_AT_BUILD and _uses_ckpt(n)
+    } | HAND_PLANNABLE
     flags = []
     for n in sorted(names):
         flags += [
@@ -580,3 +619,36 @@ def test_broadcast_sweep_flags_unhinted_checkpoint_join():
         "         +- Scan parquet [n#4L] ReadSchema: struct<n:bigint>",
     ])
     assert sweep_plan("q", sibling) == []
+
+    # (d) ADVICE r15 medium: the bounding aggregate must lie on the
+    # scan's OWN ancestor path — a broadcast of (count(1) agg) JOIN
+    # (raw checkpoint scan) has a keys=[] aggregate in the subtree but
+    # the raw scan is its SIBLING, so the build is still unbounded and
+    # must flag.  The old whole-body check silently passed this.
+    mixed = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- BroadcastHashJoin [x#1L], [x#2L], Inner, BuildRight, false",
+        "   :- Scan parquet [x#1L] ReadSchema: struct<x:bigint>",
+        "   +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, false]),false)",
+        "      +- BroadcastHashJoin [n#5L], [y#3L], Inner, BuildLeft, false",
+        "         :- HashAggregate(keys=[], functions=[count(1)])",
+        "         +- Scan ExistingRDD[x#2L,y#3L]",
+    ])
+    assert [f[1] for f in sweep_plan("q", mixed)] == ["checkpoint-output"]
+
+    # (e) ADVICE r15 low: codegen `*(n)` stars used to count as
+    # tree-prefix, so a starred SIBLING (`+- *(2) Project` after a
+    # `:- BroadcastExchange`) parsed one level deeper and was absorbed
+    # into the broadcast subtree — a verified false checkpoint-output
+    # flag on final-plan / formatted-explain text.  Depth must be
+    # computed with the markers stripped: no flag here.
+    starred = "\n".join([
+        "AdaptiveSparkPlan",
+        "+- *(3) BroadcastHashJoin [x#1L], [x#2L], Inner, BuildLeft, false",
+        "   :- BroadcastExchange HashedRelationBroadcastMode(List(input[0, bigint, false]),false)",
+        "   :  +- *(1) Filter isnotnull(x#1L)",
+        "   :     +- Scan parquet [x#1L] ReadSchema: struct<x:bigint>",
+        "   +- *(2) Project [x#2L]",
+        "      +- Scan ExistingRDD[x#2L,y#3L]",
+    ])
+    assert sweep_plan("q", starred) == []

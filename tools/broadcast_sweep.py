@@ -51,20 +51,51 @@ CHECKPOINT_BROADCAST_OK: dict[str, str] = {
 }
 
 
-def _subtree(lines: list[str], i: int) -> list[str]:
-    """Lines of the plan subtree rooted at line i (indentation-based)."""
+def _depth(s: str) -> int:
+    """Tree depth of a plan line = length of its indentation prefix.
 
-    def depth(s: str) -> int:
-        m = re.match(r"^[\s:+\-*]*", s)
-        return len(m.group(0)) if m else 0
+    WholeStageCodegen annotations (`*(3) Project`) put a literal `*`
+    right where the tree-prefix regex is matching, so a codegen-starred
+    sibling (`+- *(2) Project` after a `:- BroadcastExchange`) used to
+    parse one level DEEPER and get absorbed into the broadcast subtree —
+    a verified false flag on final-plan / formatted-explain text (ADVICE
+    r15 low).  Strip the markers before measuring.
+    """
+    s = re.sub(r"\*\(\d+\)\s*", "", s)
+    m = re.match(r"^[\s:+\-]*", s)
+    return len(m.group(0)) if m else 0
 
-    d0 = depth(lines[i])
-    out = [lines[i]]
-    for ln in lines[i + 1 :]:
-        if ln.strip() == "" or depth(ln) <= d0:
+
+def _subtree_idx(lines: list[str], i: int) -> list[int]:
+    """Indices of the plan subtree rooted at line i (indentation-based)."""
+    d0 = _depth(lines[i])
+    out = [i]
+    for j in range(i + 1, len(lines)):
+        if lines[j].strip() == "" or _depth(lines[j]) <= d0:
             break
-        out.append(ln)
+        out.append(j)
     return out
+
+
+_BOUND_RE = re.compile(r"Aggregate\(keys=\[\]|Limit|TakeOrdered")
+
+
+def _scan_path_bounded(lines: list[str], root: int, scan: int) -> bool:
+    """True iff a keys=[] aggregate or Limit lies on the ANCESTOR PATH
+    from the `Scan ExistingRDD` at line `scan` up to (exclusive) the
+    BroadcastExchange at line `root`.  Scoping the exemption per scan
+    matters: a broadcast of (count(1) agg) JOIN (raw checkpoint scan)
+    has an unkeyed aggregate SOMEWHERE in the subtree but NOT above the
+    raw scan — that broadcast still collects the unbounded side and must
+    flag (ADVICE r15 medium: the whole-body check silently passed it)."""
+    cur = _depth(lines[scan])
+    for k in range(scan - 1, root, -1):
+        d = _depth(lines[k])
+        if d < cur:  # k is the nearest unvisited ancestor of the scan
+            if _BOUND_RE.search(lines[k]):
+                return True
+            cur = d
+    return False
 
 
 def sweep_plan(name: str, plan: str) -> list[tuple[str, str, str]]:
@@ -73,17 +104,17 @@ def sweep_plan(name: str, plan: str) -> list[tuple[str, str, str]]:
     for i, ln in enumerate(lines):
         if "BroadcastExchange" not in ln:
             continue
-        sub = _subtree(lines, i)
+        idx = _subtree_idx(lines, i)
+        sub = [lines[j] for j in idx]
         body = "\n".join(sub)
-        if "Scan ExistingRDD" in body:
+        scans = [j for j in idx if "Scan ExistingRDD" in lines[j]]
+        if scans:
             # an UNKEYED aggregate (keys=[] -> 1 row) or an explicit
             # limit between the broadcast and the checkpoint scan bounds
             # the build regardless of the scan's size — the legitimate
-            # broadcast shape (e.g. degree_assortativity's n_nodes count)
-            bounded = re.search(r"Aggregate\(keys=\[\]", body) or any(
-                k in body for k in ("Limit", "TakeOrdered")
-            )
-            if not bounded:
+            # broadcast shape (e.g. degree_assortativity's n_nodes count).
+            # Checked PER SCAN on its own ancestor path, not per subtree.
+            if not all(_scan_path_bounded(lines, i, j) for j in scans):
                 flags.append((name, "checkpoint-output", sub[1].strip()[:100] if len(sub) > 1 else ""))
         else:
             has_fact = any(
