@@ -78,3 +78,49 @@ def test_window_freeze_covers_all_edits():
         "queries modified (or added) after the window froze but NOT in "
         f"_FIRST50 — re-window and re-freeze: {drifted}"
     )
+
+
+def test_freeze_hash_sees_package_helper_edits(tmp_path, monkeypatch):
+    """VERDICT r15 §next#1 (the freeze-hash helper hole, closed): the r15
+    LPA pins landed in operators/graph.py while the registry function's
+    own source was untouched, so the old getsource-only hash could not
+    see the re-plan and test_window_freeze_covers_all_edits stayed green
+    on a post-freeze package edit.  source_hash now folds in the hashes
+    of every package module file the query's plan transitively depends
+    on — prove it end-to-end: mutate operators/graph.py in a tmp copy of
+    the package and assert (a) the stamps of graph-helper queries DRIFT,
+    (b) the stamp of a query with no graph dependency is UNCHANGED (the
+    mechanism is precise, not a global tripwire)."""
+    import shutil
+
+    from tools import backlog as B
+
+    before = {
+        n: B.source_hash(n)
+        for n in (
+            "label_propagation_communities",  # lpa_labels lives in graph.py
+            "pagerank_purchases",             # pagerank_integer too
+            "grid_density_clusters",          # connected_components (dedup.py)
+            "group_agg_pricing_summary",      # no graph/dedup dependency
+        )
+    }
+    pkg_copy = tmp_path / "domanda_etl_spark"
+    shutil.copytree(B.PKG_ROOT, pkg_copy)
+    graph = pkg_copy / "operators" / "graph.py"
+    graph.write_text(graph.read_text() + "\n# post-freeze re-plan\n")
+    monkeypatch.setattr(B, "PKG_ROOT", str(pkg_copy))
+    after = {n: B.source_hash(n) for n in before}
+
+    assert after["label_propagation_communities"] != before["label_propagation_communities"]
+    assert after["pagerank_purchases"] != before["pagerank_purchases"]
+    # not a graph.py dependent: connected_components is operators/dedup.py
+    assert after["grid_density_clusters"] == before["grid_density_clusters"]
+    assert after["group_agg_pricing_summary"] == before["group_agg_pricing_summary"]
+
+    # and a dedup.py edit drifts the CC-based query but not the others
+    dedup_mod = pkg_copy / "operators" / "dedup.py"
+    dedup_mod.write_text(dedup_mod.read_text() + "\n# post-freeze re-plan\n")
+    B._file_hash.cache_clear()  # path unchanged, content changed
+    third = {n: B.source_hash(n) for n in before}
+    assert third["grid_density_clusters"] != before["grid_density_clusters"]
+    assert third["group_agg_pricing_summary"] == before["group_agg_pricing_summary"]
