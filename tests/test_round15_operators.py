@@ -12,6 +12,8 @@ Python reference or closed-form guarantee next to the DuckDB oracle).
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 
 import __spark_entry__ as entrymod
@@ -58,7 +60,9 @@ def _py_lang_confusion(sf_dir: str):
         n, hits, tok = agg.get(key, [0, 0, 0])
         agg[key] = [n + 1, hits + m, tok + len(toks)]
     return {
-        k: (v[0], v[1], v[2], v[1] * 1_000_000 // v[2])
+        # hit_ppm is undefined over a group of only-empty docs (0 real
+        # tokens) -> None, matching both engines' nullif guard
+        k: (v[0], v[1], v[2], v[1] * 1_000_000 // v[2] if v[2] else None)
         for k, v in sorted(agg.items())
     }
 
@@ -74,3 +78,49 @@ def test_language_id_matches_python_reference(spark):
         for r in QS["language_id_profile"](spark, SF_DIR).collect()
     }
     assert got == _py_lang_confusion(SF_DIR)
+
+
+def test_language_id_empty_text_parity(spark, tmp_path):
+    """ADVICE r15 low: split of empty/whitespace-only text yields ['']
+    in both Spark and DuckDB — a phantom token that inflated n_tok, and
+    a (lang,pred) group made entirely of empty docs divided by zero
+    (Spark `div` -> NULL vs Python ZeroDivisionError).  Both engines now
+    filter empty tokens and nullif the ratio; prove three-way parity
+    (Spark = DuckDB oracle = Python reference) on a corpus that actually
+    CONTAINS empty and whitespace-only docs, including a label whose
+    docs are ALL empty (the 0-token group)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import compare, duckdb_run
+
+    src = "/root/testdata/sf0.001"
+    corp = tmp_path / "sf_lang"
+    corp.mkdir()
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), corp / f)
+    t = pq.read_table(corp / "documents.parquet")
+    df = t.to_pandas()
+    df.loc[df.index[0], "text"] = ""            # empty doc
+    df.loc[df.index[1], "text"] = "  \t \n "   # whitespace-only doc
+    # a label whose docs are ALL empty -> sum(n_tok)=0 group
+    df.loc[df.index[0], "lang"] = "xx-empty"
+    df.loc[df.index[1], "lang"] = "xx-empty"
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), corp / "documents.parquet"
+    )
+
+    sdf = QS["language_id_profile"](spark, str(corp))
+    oracle = duckdb_run(entrymod.oracle_sql()["language_id_profile"], str(corp))
+    ok, msg = compare(sdf, oracle)
+    assert ok, msg
+
+    got = {
+        (r.labeled_lang, r.pred_lang): (r.n_docs, r.total_hits, r.total_tokens, r.hit_ppm)
+        for r in sdf.collect()
+    }
+    assert got == _py_lang_confusion(str(corp))
+    assert got[("xx-empty", "und")] == (2, 0, 0, None)
