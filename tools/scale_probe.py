@@ -480,6 +480,33 @@ def main():
         finally:
             _dedup.connected_components = _orig_cc
         results["cc_rounds"] = cc_rounds
+    if "--r16-decade" in sys.argv:
+        # VERDICT r15 §next#6 (+ the r16 adds, same precedent: measure the
+        # two-stage map-side claims rather than assert them).  All four
+        # targets claim the same shape — a row-scale map projection + a
+        # partial agg onto a bounded key set (|langs|, |price bins|,
+        # |strata|) — so the expected decade is ~linear scan cost with a
+        # flat shuffle.  quantile_sketch reads lineitem; the rest read
+        # documents (cipher replicas: lang strata counts grow exactly 10x).
+        r16_targets = [
+            "language_id_profile",
+            "quantile_sketch_merge_audit",
+            "stratified_sample_audit",
+            "tokenizer_fertility_profile",
+        ]
+        for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+            for q in r16_targets:
+                best = None
+                n = None
+                for _ in range(2):
+                    t0 = time.time()
+                    n = qs[q](spark, sf_dir).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                results[f"{q}@{sf_name}"] = round(best, 2)
+                print(f"{q} @ {sf_name}: {best:.2f} s warm ({n} rows)")
     if "--decade3" in sys.argv:
         if not os.path.exists(os.path.join(SCALE10_DIR, "lineitem.parquet")):
             t0 = time.time()
