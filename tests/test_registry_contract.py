@@ -100,7 +100,7 @@ def test_freeze_hash_sees_package_helper_edits(tmp_path, monkeypatch):
         for n in (
             "label_propagation_communities",  # lpa_labels lives in graph.py
             "pagerank_purchases",             # pagerank_integer too
-            "grid_density_clusters",          # connected_components (dedup.py)
+            "dedup_cluster_assignment",       # connected_components (dedup.py)
             "group_agg_pricing_summary",      # no graph/dedup dependency
         )
     }
@@ -114,7 +114,7 @@ def test_freeze_hash_sees_package_helper_edits(tmp_path, monkeypatch):
     assert after["label_propagation_communities"] != before["label_propagation_communities"]
     assert after["pagerank_purchases"] != before["pagerank_purchases"]
     # not a graph.py dependent: connected_components is operators/dedup.py
-    assert after["grid_density_clusters"] == before["grid_density_clusters"]
+    assert after["dedup_cluster_assignment"] == before["dedup_cluster_assignment"]
     assert after["group_agg_pricing_summary"] == before["group_agg_pricing_summary"]
 
     # and a dedup.py edit drifts the CC-based query but not the others
@@ -122,5 +122,5 @@ def test_freeze_hash_sees_package_helper_edits(tmp_path, monkeypatch):
     dedup_mod.write_text(dedup_mod.read_text() + "\n# post-freeze re-plan\n")
     B._file_hash.cache_clear()  # path unchanged, content changed
     third = {n: B.source_hash(n) for n in before}
-    assert third["grid_density_clusters"] != before["grid_density_clusters"]
+    assert third["dedup_cluster_assignment"] != before["dedup_cluster_assignment"]
     assert third["group_agg_pricing_summary"] == before["group_agg_pricing_summary"]
