@@ -200,6 +200,10 @@ HEADLINE = [
     # round 14 (VERDICT r13 §next#9 gap fills)
     "dup_passage_islands",
     "reliability_diagram_ece",
+    # round 16 (registry-gap fills)
+    "stratified_sample_audit",
+    "tokenizer_fertility_profile",
+    "pairwise_preference_copeland",
 ]
 
 

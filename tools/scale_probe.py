@@ -143,6 +143,35 @@ def build():
     )
 
 
+def build_events():
+    # events replicas for the preference-aggregation decade (r16): offset
+    # user_id and event_id per replica — disjoint judge populations, the
+    # same 5 candidates, so every replica contributes an isomorphic batch
+    # of pairwise comparisons and the matchup tally grows exactly 10x.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+    offsets = {
+        "event_id": pc.max(ev.column("event_id")).as_py() + 1,
+        "user_id": pc.max(ev.column("user_id")).as_py() + 1,
+    }
+    parts = []
+    for k in range(REPLICAS):
+        t = ev
+        for col, base in offsets.items():
+            idx = t.schema.get_field_index(col)
+            t = t.set_column(idx, col, pc.add(ev.column(col), k * base))
+        parts.append(t)
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    pq.write_table(
+        pa.concat_tables(parts),
+        os.path.join(SCALE_DIR, "events.parquet"),
+        row_group_size=200_000,
+    )
+
+
 SCALE10_DIR = "/tmp/sfscale/sf10"
 DEDUP_DIR = "/tmp/sfscale/sf1_dedup"
 
@@ -482,21 +511,29 @@ def main():
         results["cc_rounds"] = cc_rounds
     if "--r16-decade" in sys.argv:
         # VERDICT r15 §next#6 (+ the r16 adds, same precedent: measure the
-        # two-stage map-side claims rather than assert them).  All four
-        # targets claim the same shape — a row-scale map projection + a
-        # partial agg onto a bounded key set (|langs|, |price bins|,
+        # two-stage map-side claims rather than assert them).  The first
+        # four targets claim the same shape — a row-scale map projection +
+        # a partial agg onto a bounded key set (|langs|, |price bins|,
         # |strata|) — so the expected decade is ~linear scan cost with a
-        # flat shuffle.  quantile_sketch reads lineitem; the rest read
-        # documents (cipher replicas: lang strata counts grow exactly 10x).
+        # flat shuffle.  quantile_sketch reads lineitem; the doc targets
+        # read documents (cipher replicas: lang strata counts grow exactly
+        # 10x).  pairwise_preference reads events (user-offset replicas:
+        # disjoint judges, |candidates| fixed, so matchup volume grows
+        # exactly 10x while the final rollup key set stays constant —
+        # expected ~linear through the user-keyed self-join, flat tail).
+        if not os.path.exists(os.path.join(SCALE_DIR, "events.parquet")):
+            build_events()
         r16_targets = [
             "language_id_profile",
             "quantile_sketch_merge_audit",
             "stratified_sample_audit",
             "tokenizer_fertility_profile",
+            "pairwise_preference_copeland",
         ]
         for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
             for q in r16_targets:
                 best = None
                 n = None
