@@ -127,6 +127,11 @@ def test_round16_adds_survive_degenerate_corpora(spark, tmp_path):
         # A lone event has no opponent, so BOTH degenerate corpora give
         # the preference query zero matchups -> empty result, not a crash.
         assert QS["pairwise_preference_copeland"](spark, d).collect() == []
+        # Profile contract: 0-row orders profile nothing; a 1-row orders
+        # table yields all four audited columns, every contract met.
+        prof = QS["column_profile_contract"](spark, d).collect()
+        assert len(prof) == 4 * n_rows
+        assert all(r.contract_pass for r in prof)
         if n_rows == 1:
             [r] = QS["stratified_sample_audit"](spark, d).collect()
             assert (r.n_pop, r.n_target, r.n_sampled, r.exact_contract) == (
@@ -259,6 +264,116 @@ def test_pairwise_preference_tie_and_drawn_record(spark, tmp_path):
     }
     con.close()
     assert got == oracle
+
+
+# --- column_profile_contract ----------------------------------------------
+
+
+def _py_profile(sf_dir: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    con.close()
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    expect = {c: e for c, *e in entrymod._PROFILE_EXPECTATIONS}
+    out = {}
+    for i, c in enumerate(cols):
+        vals = [None if r[i] is None else str(r[i]) for r in rows]
+        if not vals:
+            continue
+        nn = [v for v in vals if v is not None]
+        n_rows, n_null = len(vals), len(vals) - len(nn)
+        null_ppm = n_null * 1_000_000 // n_rows
+        n_distinct = len(set(nn))
+        max_null_ppm, max_distinct, uniq = expect[c]
+        ok = (
+            null_ppm <= max_null_ppm
+            and (max_distinct is None or n_distinct <= max_distinct)
+            and (not uniq or n_distinct == n_rows - n_null)
+        )
+        out[c] = (
+            n_rows,
+            n_null,
+            null_ppm,
+            n_distinct,
+            min(nn) if nn else None,
+            max(nn) if nn else None,
+            ok,
+        )
+    return out
+
+
+def test_column_profile_matches_python_reference(spark):
+    got = {
+        r.col_name: (
+            r.n_rows,
+            r.n_null,
+            r.null_ppm,
+            r.n_distinct,
+            r.min_val,
+            r.max_val,
+            r.contract_pass,
+        )
+        for r in QS["column_profile_contract"](spark, SF_DIR).collect()
+    }
+    assert got == _py_profile(SF_DIR)
+    assert len(got) == 4
+    assert all(v[6] for v in got.values()), "clean corpus must pass contract"
+
+
+def test_column_profile_contract_violations(spark, tmp_path):
+    """The violation branches never fire on the clean corpus, so pin them
+    on a crafted one: a duplicated o_orderkey breaks the uniqueness
+    expectation, a NULL o_custkey breaks its zero-null bound, and both
+    string columns stay within domain (pass)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema("/root/testdata/sf0.001/orders.parquet")
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "O", 5.0, ts, "1-URGENT"),
+        (1, 20, "F", 6.0, ts, "2-HIGH"),  # duplicate o_orderkey
+        (2, None, "O", 7.0, ts, "1-URGENT"),  # NULL o_custkey
+    ]
+    names = [f.name for f in schema]
+    tbl = pa.Table.from_pylist(
+        [dict(zip(names, r)) for r in rows], schema=schema
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/orders.parquet")
+    got = {
+        r.col_name: (r.n_null, r.null_ppm, r.n_distinct, r.contract_pass)
+        for r in QS["column_profile_contract"](spark, d).collect()
+    }
+    assert got == {
+        "o_orderkey": (0, 0, 2, False),  # 2 distinct over 3 rows: not unique
+        "o_custkey": (1, 333333, 2, False),  # null_ppm 333333 > 0
+        "o_orderstatus": (0, 0, 2, True),
+        "o_orderpriority": (0, 0, 2, True),
+    }
+    assert got == {
+        k: (v[1], v[2], v[3], v[6]) for k, v in _py_profile(d).items()
+    }
+
+
+def test_column_profile_plan_single_scan(spark):
+    """Scale claims, plan-gated: ONE FileScan (the stack unpivot profiles
+    every audited column in a single pass), the expectations dim joins as
+    a broadcast of a local literal (never a second scan), no cartesian."""
+    p = (
+        QS["column_profile_contract"](spark, "/root/testdata/sf0.01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("FileScan") == 1
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_pairwise_preference_plan_single_pipeline(spark):

@@ -204,6 +204,7 @@ HEADLINE = [
     "stratified_sample_audit",
     "tokenizer_fertility_profile",
     "pairwise_preference_copeland",
+    "column_profile_contract",
 ]
 
 

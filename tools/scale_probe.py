@@ -529,11 +529,13 @@ def main():
             "stratified_sample_audit",
             "tokenizer_fertility_profile",
             "pairwise_preference_copeland",
+            "column_profile_contract",
         ]
         for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
             spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
             for q in r16_targets:
                 best = None
                 n = None
