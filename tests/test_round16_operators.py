@@ -157,11 +157,19 @@ def _py_preference(sf_dir: str):
     ).fetchall()
     con.close()
     q6 = Decimal("0.000001")
-    s: dict[tuple[int, str], Decimal] = {}
+    # A (judge, candidate) group whose engagement values are ALL NULL has
+    # a NULL total in both engines (SUM skips nulls, all-null -> NULL);
+    # its comparisons are then undecided — neither side wins, but the
+    # matchup still counts (it lands in n_ties). Mirror that: the key
+    # stays present with a None total.
+    s: dict[tuple[int, str], Decimal | None] = {}
     for u, t, v in rows:
-        s[(u, t)] = s.get((u, t), Decimal(0)) + Decimal(repr(v)).quantize(
-            q6, ROUND_HALF_UP
-        )
+        prev = s.get((u, t))
+        if v is None:
+            s.setdefault((u, t), None)
+        else:
+            d = Decimal(repr(v)).quantize(q6, ROUND_HALF_UP)
+            s[(u, t)] = d if prev is None else prev + d
     by_user: dict[int, list[tuple[str, Decimal]]] = {}
     for (u, t), sv in s.items():
         by_user.setdefault(u, []).append((t, sv))
@@ -172,7 +180,12 @@ def _py_preference(sf_dir: str):
             for j in range(i + 1, len(items)):
                 (ta, sa), (tb, sb) = items[i], items[j]
                 w, l, n = pair.get((ta, tb), [0, 0, 0])
-                pair[(ta, tb)] = [w + (sa > sb), l + (sb > sa), n + 1]
+                decided = sa is not None and sb is not None
+                pair[(ta, tb)] = [
+                    w + (decided and sa > sb),
+                    l + (decided and sb > sa),
+                    n + 1,
+                ]
     agg: dict[str, list[int]] = {}
     for (ta, tb), (w, l, n) in pair.items():
         for m, mw, ml in ((ta, w, l), (tb, l, w)):
@@ -259,6 +272,53 @@ def test_pairwise_preference_tie_and_drawn_record(spark, tmp_path):
     oracle = {
         m: (o, nm, w, l, t, ppm, cp)
         for m, o, nm, w, l, t, ppm, cp in con.execute(
+            entrymod._PREF_COPELAND_ORACLE
+        ).fetchall()
+    }
+    con.close()
+    assert got == oracle
+
+
+def test_pairwise_preference_null_engagement_is_undecided(spark, tmp_path):
+    """An all-NULL engagement group totals NULL in both engines, so its
+    matchups are undecided: counted, but won by neither side (they land
+    in n_ties). Pin the three-way parity on a corpus that has one."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema("/root/testdata/sf0.001/events.parquet")
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 1, "x", None, "{}"),  # user 1: x is all-NULL -> undecided
+        (2, ts, 1, "y", 1.0, "{}"),
+        (3, ts, 2, "x", 2.0, "{}"),  # user 2: x beats y
+        (4, ts, 2, "y", 1.0, "{}"),
+    ]
+    names = [f.name for f in schema]
+    tbl = pa.Table.from_pylist(
+        [dict(zip(names, r)) for r in rows], schema=schema
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    got = {
+        r.model: (r.n_matches, r.n_wins, r.n_losses, r.n_ties, r.win_ppm, r.copeland_x2)
+        for r in QS["pairwise_preference_copeland"](spark, d).collect()
+    }
+    assert got == {
+        "x": (2, 1, 0, 1, 1000000, 2),
+        "y": (2, 0, 1, 1, 0, 0),
+    }
+    assert got == {
+        m: (v[1], v[2], v[3], v[4], v[5], v[6])
+        for m, v in _py_preference(d).items()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    oracle = {
+        m: (nm, w, l, t, ppm, cp)
+        for m, _o, nm, w, l, t, ppm, cp in con.execute(
             entrymod._PREF_COPELAND_ORACLE
         ).fetchall()
     }
