@@ -222,13 +222,28 @@ def connected_components(
     """
     # materialize the edge set ONCE — without this every label-propagation
     # round would re-execute the (possibly expensive) upstream candidate
-    # generation, e.g. the whole MinHash/LSH pipeline
-    sym = (
+    # generation, e.g. the whole MinHash/LSH pipeline.  The checkpoint is
+    # PARTITION-PRESERVING on `b` (r16 opt, guide §2.4): every round's
+    # neighbor join keys the edge side on b, so it is exchange-free for
+    # the whole loop; the label side arrives hash(id)-partitioned from
+    # its own distinct (round 0) / the previous round's keyed checkpoint,
+    # so the neighbor join is fully co-located and each round's only
+    # edge-scale exchange is gone.
+    from .checkpoint import keyed_checkpoint, loop_partitions
+
+    # two-step materialization: the plain checkpoint's AQE-coalesced RDD
+    # partition count is the SIZE-ADAPTIVE loop width (loop_partitions —
+    # few tasks at fixture scale, conf-capped full width at 100 TB); the
+    # keyed re-checkpoint then pins hash(b) at exactly that count so the
+    # rounds' exchanges and the preserved partitioning agree.
+    sym0 = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .union(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    parts = loop_partitions(sym0)
+    sym = keyed_checkpoint(sym0.repartition(parts, "b"), parts)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -238,12 +253,32 @@ def connected_components(
 
     converged = False
     for i in range(max_iterations):
+        # shuffle_hash pins on every node-scale side: the round subplans
+        # materialize under keyed_checkpoint's AQE-off scope (below),
+        # where the static planner's LogicalRDD size under-estimates
+        # would BROADCAST a node-scale table (the r15 bug class).  With
+        # sym hash(b)-partitioned and labels hash(id)-partitioned, the
+        # neighbor join is exchange-free; the remaining shuffles per
+        # round are the groupBy("a") partial agg and the two node-scale
+        # re-keyings of the label spine (by component for the shortcut
+        # hop, by id for the join-back — the hop's key is necessarily
+        # fresh each round).
         neighbor_min = (
-            sym.join(labels, sym.b == labels.id)
+            sym.join(labels.hint("shuffle_hash"), sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        staged = labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+        # join ORDER (r16 opt, guide §2.4/§3.3): the pointer-doubling hop
+        # (keyed on `component`) runs FIRST and the nbr_min join-back
+        # (keyed on `id`) runs LAST, so the round's output partitioning
+        # is hash(id) — exactly what the NEXT round's neighbor join and
+        # shortcut legs consume.  With the keyed checkpoint below
+        # preserving it, the labels side of the neighbor join and the
+        # shortcut's build side are exchange-free every round; the two
+        # left joins add independent columns keyed off labels' own
+        # (component, id), so they commute and F.least over the terms is
+        # order-insensitive — results identical (oracle-pinned).
+        staged = labels
         terms = [F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))]
         if i > 0:
             # pointer-doubling hop: the label of my current label (labels
@@ -252,8 +287,17 @@ def connected_components(
             shortcut = labels.select(
                 F.col("id").alias("s_id"), F.col("component").alias("s_comp")
             )
-            staged = staged.join(shortcut, labels.component == F.col("s_id"), "left")
+            staged = staged.join(
+                shortcut.hint("shuffle_hash"),
+                labels.component == F.col("s_id"),
+                "left",
+            )
             terms.append(F.coalesce(F.col("s_comp"), F.col("component")))
+        staged = staged.join(
+            neighbor_min.hint("shuffle_hash"),
+            labels.id == neighbor_min.a,
+            "left",
+        )
         new_component = F.least(*terms) if len(terms) > 1 else terms[0]
         # convergence metric rides the SAME job that materializes the new
         # labels (Observation), instead of costing a second action per round
@@ -270,7 +314,10 @@ def connected_components(
             plan_probe.append(
                 ("cc_round", staged._jdf.queryExecution().executedPlan().toString())
             )
-        labels = staged.drop("__chg").localCheckpoint(eager=True)
+        # partition-preserving: the round's last join keyed on `id`
+        # leaves staged hash(id)-partitioned — keep it visible so the
+        # next round's labels-side joins are exchange-free
+        labels = keyed_checkpoint(staged.drop("__chg"))
         if not obs.get["n_changed"]:
             converged = True
             break

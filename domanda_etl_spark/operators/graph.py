@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .checkpoint import keyed_checkpoint, loop_partitions
+
 
 def _probe(plan_probe: list | None, tag: str, df: DataFrame) -> None:
     """Append (tag, physical-plan string) of a loop-body DataFrame to
@@ -63,11 +65,29 @@ def kcore(
 
     Returns (v, core_degree) for every vertex of the k-core.
     """
-    und = (
+    # partition-preserving checkpoints (r16 opt, guide §2.4): the edge
+    # table lives hash(v)-partitioned for the whole peel, so the
+    # per-round degree groupBy(v) and the v-side semi-join are
+    # exchange-free; only the u-side semi-join pays a shuffle (the u
+    # and v orientations cannot share one partitioning).  The u-semi
+    # runs FIRST so the v-semi's output partitioning — hash(v), what
+    # the next round needs — is what the checkpoint preserves
+    # (semi-joins commute; results identical).  shuffle_hash pins on
+    # the node-scale keep sides: the round subplans materialize under
+    # keyed_checkpoint's AQE-off scope, where LogicalRDD size
+    # under-estimates would statically broadcast them (r15 bug class).
+    # two-step materialization: the plain checkpoint's AQE-coalesced RDD
+    # partition count is the SIZE-ADAPTIVE loop width (loop_partitions —
+    # few tasks at fixture scale, conf-capped full width at 100 TB); the
+    # keyed re-checkpoint then pins hash(v) at exactly that count so
+    # every round's exchanges and the preserved partitioning agree.
+    und0 = (
         edges.selectExpr(f"{a} AS v", f"{b} AS u")
         .union(edges.selectExpr(f"{b} AS v", f"{a} AS u"))
         .localCheckpoint(eager=True)
     )
+    parts = loop_partitions(und0)
+    und = keyed_checkpoint(und0.repartition(parts, "v"), parts)
     alive = und
     n_prev = alive.select("v").distinct().count()
     rounds = 0
@@ -79,7 +99,7 @@ def kcore(
             .select("v")
         )
         _probe(plan_probe, "kcore_peel", keep)
-        keep = keep.localCheckpoint(eager=True)
+        keep = keyed_checkpoint(keep, parts)
         n_keep = keep.count()
         if n_keep == n_prev:
             break
@@ -89,11 +109,13 @@ def kcore(
                 f"kcore: no fixpoint after {max_rounds} peel rounds "
                 f"({n_prev} -> {n_keep} survivors); raise max_rounds"
             )
-        alive = alive.join(keep, "v", "leftsemi").join(
-            keep.withColumnRenamed("v", "u"), "u", "leftsemi"
-        )
+        alive = alive.join(
+            keep.withColumnRenamed("v", "u").hint("shuffle_hash"),
+            "u",
+            "leftsemi",
+        ).join(keep.hint("shuffle_hash"), "v", "leftsemi")
         _probe(plan_probe, "kcore_prune", alive)
-        alive = alive.localCheckpoint(eager=True)
+        alive = keyed_checkpoint(alive, parts)
         n_prev = n_keep
     if stats is not None:
         stats["rounds"] = rounds
@@ -129,27 +151,46 @@ def pagerank_integer(
     e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(
         eager=True
     )
-    nodes = (
+    # nodes and the outdeg-folded edge table are PARTITION-PRESERVING
+    # checkpoints (r16 opt, guide §2.4): nodes hash(node) from its
+    # distinct, the edge table hash(src) from the outdeg window — so
+    # every loop-body join below reuses the partitioning instead of
+    # re-exchanging both sides each round.  outdeg itself is loop-
+    # INVARIANT and folds in as a count-over-src window: one src-keyed
+    # exchange + window replaces the old self-join (same integer per
+    # row), and that exchange IS the loop's co-location.  All loop
+    # exchanges run at the size-adaptive width read off the edge
+    # checkpoint (loop_partitions — see checkpoint.py).
+    parts = loop_partitions(e)
+    nodes = keyed_checkpoint(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        parts,
     )
-    # outdeg is loop-INVARIANT: fold it into the edge table once (and
-    # checkpoint the result) instead of re-joining it every iteration —
-    # one join per round saved, and the per-round join keys on src only.
-    e = (
-        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
-        .localCheckpoint(eager=True)
+    e = keyed_checkpoint(
+        e.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ),
+        parts,
     )
     base = (1000 - damping_milli) * init_micro // 1000
     ranks = nodes.select("node", F.lit(init_micro).cast("long").alias("r"))
     for it in range(iterations):
-        contrib = e.join(ranks, e.src == ranks.node).select(
-            F.col("dst"), F.expr("r div outdeg").alias("c")
-        )
+        # shuffle_hash pins on the node-scale sides: the loop subplans
+        # materialize under keyed_checkpoint's AQE-off scope, where the
+        # static planner's LogicalRDD under-estimates would otherwise
+        # BROADCAST a node-scale table (the r15 bug class).  Both joins
+        # run exchange-FREE over the preserved partitioning: e is
+        # hash(src), ranks/nodes are hash(node), incoming is hash(dst)
+        # from its own partial agg — 1 exchange per round total.
+        contrib = e.join(
+            ranks.hint("shuffle_hash"), e.src == ranks.node
+        ).select(F.col("dst"), F.expr("r div outdeg").alias("c"))
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+        ranks = nodes.join(
+            incoming.hint("shuffle_hash"), nodes.node == incoming.dst, "left"
+        ).select(
             "node",
             (
                 F.lit(base)
@@ -159,9 +200,11 @@ def pagerank_integer(
         _probe(plan_probe, "pagerank_step", ranks)
         # checkpoint every OTHER round: lineage stays O(1) deep (2 rounds
         # of join+agg unroll fine through codegen) while the number of
-        # eager materialization jobs — the fixed per-round cost — halves
+        # eager materialization jobs — the fixed per-round cost — halves.
+        # (A single 8-round plan was A/B-tested and is SLOWER warm:
+        # plan/codegen depth beats the saved checkpoint jobs.)
         if it % 2 == 1 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = keyed_checkpoint(ranks, parts)
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
@@ -219,6 +262,16 @@ def hits_integer(
         F.countDistinct("src"), F.countDistinct("dst")
     ).collect()
     use_window = max(n_hub, n_auth) <= window_norm_max_nodes
+    # partition-preserving edge copies (r16 opt, guide §2.4): each
+    # half-step joins the edge list on ITS key (auth step on src, hub
+    # step on dst), so one copy per orientation — hash(src) and
+    # hash(dst) — makes every half-step's edge side exchange-FREE for
+    # the whole iteration count (2 extra one-off repartitions buy
+    # 2 x iterations eliminated edge-scale exchanges).  Same
+    # doubled-footprint trade as pagerank's undirected edge doubling.
+    parts = loop_partitions(e)
+    e_src = keyed_checkpoint(e.repartition(parts, "src"), parts)
+    e_dst = keyed_checkpoint(e.repartition(parts, "dst"), parts)
     hubs = (
         e.select(F.col("src").alias("node"))
         .distinct()
@@ -226,8 +279,14 @@ def hits_integer(
     )
 
     def _half(scores, key_in, key_out):
-        joined = e.join(
-            scores.withColumnRenamed("node", key_in), key_in
+        # scores side pinned shuffle_hash: half-step subplans materialize
+        # under keyed_checkpoint's AQE-off scope where the static
+        # planner's LogicalRDD under-estimates would broadcast the
+        # node-scale side (r15 bug class); build side is the slim scores.
+        e_keyed = e_src if key_in == "src" else e_dst
+        joined = e_keyed.join(
+            scores.withColumnRenamed("node", key_in).hint("shuffle_hash"),
+            key_in,
         )
         agg = joined.groupBy(F.col(key_out).alias("node")).agg(
             F.sum(F.col("v").cast("decimal(38,0)")).alias("s")
@@ -240,7 +299,10 @@ def hits_integer(
                 ).alias("v"),
             )
         else:
-            agg = agg.localCheckpoint(eager=True)
+            # partition-preserving: agg is hash(node) from its own
+            # grouping, the broadcast crossJoin keeps it, so the NEXT
+            # half-step's scores side is exchange-free too.
+            agg = keyed_checkpoint(agg, parts)
             mx = agg.agg(F.max("s").alias("mx"))
             half = agg.crossJoin(F.broadcast(mx)).select(
                 "node",
@@ -296,6 +358,15 @@ def lpa_labels(
     (v, neighbor-label) + a per-vertex rank window — every exchange is
     keyed on vertex, nothing node-scale crosses a SinglePartition.
     Returns (v, lbl)."""
+    # partition-preserving edge copy (r16 opt, guide §2.4): the per-round
+    # join keys the edge list on `b`, so one hash(b)-partitioned
+    # checkpoint makes the edge side of every round exchange-free; the
+    # label side arrives hash(v)-partitioned from its own distinct /
+    # rank window, so the join is fully co-located.  One extra one-off
+    # repartition of the (caller-materialized) edge list buys `rounds`
+    # eliminated edge-scale exchanges.
+    parts = loop_partitions(edges)
+    eb = keyed_checkpoint(edges.repartition(parts, F.col(b)), parts)
     lbl = edges.select(F.col(a).alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
@@ -308,7 +379,7 @@ def lpa_labels(
         # join (r15 sweep — the r14 static-broadcast bug class; AQE can
         # never demote it, and at ~50M edges the real build is multi-GB).
         nb = (
-            edges.join(
+            eb.join(
                 lbl.select(F.col("v").alias(b), "lbl").hint("shuffle_hash"), b
             )
             .groupBy(F.col(a).alias("v"), F.col("lbl").alias("nl"))
@@ -352,15 +423,25 @@ def ppr_integer(
     e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(
         eager=True
     )
-    nodes = (
+    # partition-preserving checkpoints + window outdeg fold + loop pins:
+    # identical r16 optimization to pagerank_integer above (one exchange
+    # per round — the partial-agg groupBy(dst); every join reuses the
+    # preserved hash partitioning; node-scale sides pinned shuffle_hash
+    # because the loop subplans are statically planned inside
+    # keyed_checkpoint's AQE-off scope).  The broadcast seed join is the
+    # one legitimate broadcast (bounded seed set by construction).
+    parts = loop_partitions(e)
+    nodes = keyed_checkpoint(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        parts,
     )
-    e = (
-        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src")
-        .localCheckpoint(eager=True)
+    e = keyed_checkpoint(
+        e.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ),
+        parts,
     )
     base = (1000 - damping_milli) * init_micro // 1000
     sd = seeds.select("node").distinct().withColumn(
@@ -377,12 +458,16 @@ def ppr_integer(
         )
     )
     for it in range(iterations):
-        contrib = e.join(ranks, e.src == ranks.node).select(
-            F.col("dst"), F.expr("r div outdeg").alias("c")
-        )
+        contrib = e.join(
+            ranks.hint("shuffle_hash"), e.src == ranks.node
+        ).select(F.col("dst"), F.expr("r div outdeg").alias("c"))
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(incoming, nodes.node == incoming.dst, "left")
+            nodes.join(
+                incoming.hint("shuffle_hash"),
+                nodes.node == incoming.dst,
+                "left",
+            )
             .join(F.broadcast(sd), "node", "left")
             .select(
                 "node",
@@ -394,5 +479,5 @@ def ppr_integer(
         )
         _probe(plan_probe, "ppr_step", ranks)
         if it % 2 == 1 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = keyed_checkpoint(ranks, parts)
     return ranks.select("node", F.col("r").alias("rank_micro"))
