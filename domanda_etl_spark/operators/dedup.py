@@ -316,8 +316,14 @@ def connected_components(
             )
         # partition-preserving: the round's last join keyed on `id`
         # leaves staged hash(id)-partitioned — keep it visible so the
-        # next round's labels-side joins are exchange-free
-        labels = keyed_checkpoint(staged.drop("__chg"))
+        # next round's labels-side joins are exchange-free.  `parts` is
+        # REQUIRED here: without it the AQE-off materialization runs
+        # every round exchange at the session's full shuffle-partition
+        # conf (32 tiny tasks per stage at fixture scale — measured
+        # +2 s/query on the two CC dedup queries) AND the preserved
+        # hash(id) count would disagree with sym's hash(b) count, so
+        # the next round's neighbor join would re-exchange anyway.
+        labels = keyed_checkpoint(staged.drop("__chg"), parts)
         if not obs.get["n_changed"]:
             converged = True
             break

@@ -123,9 +123,14 @@ def main() -> None:
         .unionByName(edges.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     )
     try:
-        from domanda_etl_spark.operators.checkpoint import keyed_checkpoint
+        from domanda_etl_spark.operators.checkpoint import (
+            keyed_checkpoint,
+            loop_partitions,
+        )
 
-        und = keyed_checkpoint(und_plain.repartition("src"))
+        und0 = und_plain.localCheckpoint(eager=True)
+        parts = loop_partitions(und0)
+        und = keyed_checkpoint(und0.repartition(parts, "src"), parts)
         pinned = True
     except ImportError:  # before-tree: no checkpoint module
         und = und_plain.localCheckpoint(eager=True)
@@ -149,6 +154,22 @@ def main() -> None:
                 "left_anti",
             )
         )
+        # the entry wraps this level in keyed_checkpoint(..., parts):
+        # plan it under the SAME conf scope (AQE off, loop width) so the
+        # captured plan is the one that actually materializes, without
+        # checkpoint-truncating the capture itself
+        _aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        _shuf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            plan_txt = nxt._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", _aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", _shuf)
+        _dump("bfs_level", tag, [("bfs_level1_nxt", plan_txt)])
+        spark.stop()
+        return
     else:
         nxt = (
             frontier.join(und, frontier["node"] == und["src"])
