@@ -320,8 +320,15 @@ def hits_integer(
         # the FINAL auth table is read again (by the output union). Scale
         # form: each half-step already materialized its aggregate, so the
         # extra checkpoint would be a second copy of a trivial plan.
+        # The checkpoint is PARTITION-PRESERVING at the loop width (r16
+        # opt, guide §2.4): a plain localCheckpoint re-enters the planner
+        # as UnknownPartitioning, so the next auth half-step re-exchanges
+        # the scores side; repartition(parts, "node") inside the keyed
+        # scope hands the join hash(node->src) directly (interleaved A/B,
+        # 4 reps with control: 7.72 -> 6.41 s min warm, values
+        # bit-identical).
         if use_window and (it % 2 == 1 or it == iterations - 1):
-            hubs = hubs.localCheckpoint(eager=True)
+            hubs = keyed_checkpoint(hubs.repartition(parts, "node"), parts)
     if use_window:
         auths = auths.localCheckpoint(eager=True)
     return hubs.select(

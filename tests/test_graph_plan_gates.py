@@ -149,6 +149,22 @@ def test_hits_window_form_only_below_gate(spark):
     assert any("Window" in plan for _, plan in probes)
 
 
+def test_hits_window_form_hubs_checkpoint_is_keyed(spark):
+    """r16 opt: the window form's round-carrying hubs checkpoint is
+    PARTITION-PRESERVING (keyed_checkpoint at the loop width), so the
+    next auth half-step's scores side joins exchange-free instead of
+    re-exchanging from UnknownPartitioning. Pin the planner-visible
+    hashpartitioning(node) on the hub scan of the returned plan (the
+    final-round checkpoint uses the same code path as the in-loop one)."""
+    out = hits_integer(_edges(spark), iterations=2)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(node" in plan, (
+        "hubs checkpoint lost its hash(node) partitioning:\n" + plan
+    )
+
+
 def test_hits_both_norm_forms_identical(spark):
     """The gate is PHYSICAL only: both normalization forms are the same
     exact-integer math (s * ppm div max(s)), so scores must be
