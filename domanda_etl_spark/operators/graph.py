@@ -424,9 +424,11 @@ def ppr_integer(
     `seeds` is a DataFrame with a `node` column (deduplicated here).
     Scale shape identical to pagerank_integer: edge list + outdeg folded
     and checkpointed once; per round one edge-side shuffle join + one
-    partial-agg groupBy(dst) + one node-scale left join; the seed table
-    is broadcast (seed sets are small by construction).  Returns
-    (node, rank_micro)."""
+    partial-agg groupBy(dst) + one node-scale left join.  The seed
+    indicator is folded into the nodes checkpoint as a base-mass column
+    via ONE broadcast join before the loop (seed sets are small by
+    construction), so the loop body is exactly pagerank's — no per-round
+    broadcast.  Returns (node, rank_micro)."""
     e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(
         eager=True
     )
@@ -435,13 +437,24 @@ def ppr_integer(
     # per round — the partial-agg groupBy(dst); every join reuses the
     # preserved hash partitioning; node-scale sides pinned shuffle_hash
     # because the loop subplans are statically planned inside
-    # keyed_checkpoint's AQE-off scope).  The broadcast seed join is the
-    # one legitimate broadcast (bounded seed set by construction).
+    # keyed_checkpoint's AQE-off scope).  The seed base term rides the
+    # nodes checkpoint as a column (b = teleport mass for seeds, NULL
+    # otherwise): joined once by the one legitimate broadcast (bounded
+    # seed set by construction) BEFORE the loop — the per-round
+    # re-broadcast it replaces cost one BroadcastExchange job every
+    # iteration (the same broadcast-subquery tax measured on the HITS
+    # broadcast-max variant).  BroadcastHashJoin preserves the streamed
+    # side's partitioning, so nodes still checkpoints as hash(node).
+    base = (1000 - damping_milli) * init_micro // 1000
+    sd = seeds.select("node").distinct().withColumn(
+        "b", F.lit(base).cast("long")
+    )
     parts = loop_partitions(e)
     nodes = keyed_checkpoint(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct(),
+        .distinct()
+        .join(F.broadcast(sd), "node", "left"),
         parts,
     )
     e = keyed_checkpoint(
@@ -450,19 +463,12 @@ def ppr_integer(
         ),
         parts,
     )
-    base = (1000 - damping_milli) * init_micro // 1000
-    sd = seeds.select("node").distinct().withColumn(
-        "b", F.lit(base).cast("long")
-    )
-    ranks = (
-        nodes.join(F.broadcast(sd), "node", "left")
-        .select(
-            "node",
-            F.when(F.col("b").isNotNull(), F.lit(init_micro))
-            .otherwise(0)
-            .cast("long")
-            .alias("r"),
-        )
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("b").isNotNull(), F.lit(init_micro))
+        .otherwise(0)
+        .cast("long")
+        .alias("r"),
     )
     for it in range(iterations):
         contrib = e.join(
@@ -475,7 +481,6 @@ def ppr_integer(
                 nodes.node == incoming.dst,
                 "left",
             )
-            .join(F.broadcast(sd), "node", "left")
             .select(
                 "node",
                 (
