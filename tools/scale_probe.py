@@ -401,6 +401,14 @@ def main():
             # build_customer() writes the 20-block-aligned replicas
             "label_propagation_communities",
             "lpa_modularity_audit",
+            # r16 optimization round: the two remaining keyed-checkpoint
+            # loop rewrites not already in this list (pagerank/ppr/hits/
+            # lpa are above; CC runs under --dedup-decade) — re-proving
+            # the DECADE on the optimized plans, not just sf0.1 speed.
+            # bfs reads orders+lineitem replicas; kcore reads the
+            # build_customer() band-graph replicas.
+            "bfs_reachability_levels",
+            "kcore_decomposition",
         ]
         build_customer()
         for sf_name, sf_dir in [("sf0.1", SRC), ("sf1", SCALE_DIR)]:
