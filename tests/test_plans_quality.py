@@ -545,6 +545,9 @@ def test_no_static_broadcast_of_checkpoint_outputs(spark):
         "dedup_canonical_selection",
         "dedup_cluster_assignment",
         "grid_density_clusters",
+        # r17: khop adopted the BFS posture (keyed edge copies + keyed
+        # frontier checkpoints) — runs jobs at build, still plannable
+        "khop_reachability",
     }
     # the hand list must stay a SUPERSET of every RUNS_JOBS_AT_BUILD
     # query that checkpoints via the graph/dedup iterators — a future
