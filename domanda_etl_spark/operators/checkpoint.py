@@ -45,15 +45,55 @@ The remaining trades, stated for call sites:
   the r15 static-broadcast bug class.
 - Joins that reuse the preserved partitioning cannot be skew-split by
   AQE (no fresh shuffle to split) — identical to the bucketed-join
-  trade. Hot-key handling, where needed, belongs upstream (salting).
+  trade.  `keyed_posture_ok` below is the gate (r17, VERDICT r16
+  §wrong#2): every iterative operator probes its loop-invariant edge
+  table's hottest key ONCE before adopting the keyed posture, and a
+  hot-key graph falls back to plain localCheckpoints, where every loop
+  join replans under AQE with runtime skew-splitting.
+
+ONE-OFF (non-loop) keyed checkpoints — the linkpred-trio / deg-rollup
+posture: when a table is materialized once and its consumers join or
+aggregate on the key its OWN last exchange already established (a
+distinct, groupBy or rank window), `keyed_checkpoint` with the default
+width merely keeps that partitioning planner-visible — no loop, no
+repeated-width contract, so the CC kilobyte-task trap does not apply
+and the `partitions` pin is optional (pass one when a vanilla
+200-partition session materializing the subplan statically would
+otherwise run kilobyte tasks).  The gain is the consumers' build/stream
+side re-exchange of the materialized table — bytes-moved at corpus
+scale even where the sf0.1 wall is neutral.
+
+CONCURRENCY CONTRACT (r17, VERDICT r16 §wrong#3): keyed_checkpoint
+toggles SESSION-GLOBAL conf (AQE + shuffle width) around the
+materialization.  The engine's driver/bench/test paths are all
+single-threaded per SparkSession, and the try/finally restores the conf
+even on error — but a future concurrent query sharing the session could
+be planned with AQE off during the window.  If concurrency is ever
+introduced, materialize through a cloned session
+(`spark.newSession()`-style conf isolation) instead of relaxing this.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _AQE_KEY = "spark.sql.adaptive.enabled"
 _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+
+# Hot-key gate for the keyed loop posture (guide §2.5).  A single join
+# key owning more rows than BOTH bounds means the preserved-partitioning
+# loop would pin that key's rows into ONE task every round with no
+# runtime rescue (the loop subplans materialize statically inside the
+# AQE-off scope, so skew-split never sees them).  SKEW_FACTOR = 8 sits
+# above AQE's skewedPartitionFactor = 5 so the gate does not flap on
+# benign imbalance; SKEW_MIN_ROWS approximates AQE's 256 MB
+# skewedPartitionThresholdInBytes at ~64 B per slim shuffled edge row —
+# a few-million-row task is comfortable at any scale, so fixture-scale
+# inputs always stay keyed and the measured fast posture is unchanged.
+# Module-level (not parameters) so tests can monkeypatch the gate.
+SKEW_FACTOR = 8.0
+SKEW_MIN_ROWS = 4_000_000
 
 
 def loop_partitions(df: DataFrame) -> int:
@@ -63,6 +103,54 @@ def loop_partitions(df: DataFrame) -> int:
     materializing shuffle — proportional to bytes, capped by the
     session's shuffle-partition conf."""
     return max(1, df.rdd.getNumPartitions())
+
+
+def keyed_posture_ok(df: DataFrame) -> bool:
+    """True when no partition of the MATERIALIZED keyed edge table
+    concentrates more rows than max(SKEW_FACTOR x mean, SKEW_MIN_ROWS)
+    (guide §2.5).  `df` must be the keyed checkpoint itself, so the
+    probe is one cheap scan of the in-memory checkpoint blocks — a
+    count per spark_partition_id whose readout is <= numPartitions rows
+    (the same bounded-readout legitimacy class as hits_integer's
+    node-count probe; an exact per-KEY groupBy histogram was measured
+    ~10x dearer on the CC family at sf0.1 and the partition level is
+    what task sizing actually experiences, hash collisions included).
+
+    Iterative operators run this ONCE per call on the loop-invariant
+    edge table after keying it; the per-round tables need no probe
+    (their aggregates leave <= 1 row per vertex, which cannot
+    concentrate).  False means: discard the keyed posture for this run
+    — use the plain-checkpoint loop, where every round's joins replan
+    under AQE and runtime skew-splitting bounds the hot key's task (the
+    pre-r16 posture; values are identical either way, only the physical
+    plan changes).  The one-off keyed materialization that fed the
+    probe is wasted in that rare case — one straggler task once,
+    instead of one per round.
+    """
+    hist = [
+        r["c"]
+        for r in df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    nparts = max(df.rdd.getNumPartitions(), 1)
+    if not hist or nparts <= 1:
+        return True
+    # mean over ALL partitions (empty ones produce no histogram row —
+    # a single hot partition among empties must still trip the gate)
+    mean = sum(hist) / nparts
+    return max(hist) <= max(SKEW_FACTOR * mean, float(SKEW_MIN_ROWS))
+
+
+def loop_checkpointer(keyed: bool, partitions: int):
+    """The per-round checkpoint function for an iterative operator,
+    selected ONCE per call from the `keyed_posture_ok` probe: the keyed
+    (partition-preserving, exchange-eliding) form on uniform keys, the
+    plain AQE-planned form when a hot key needs runtime skew-splitting.
+    """
+    if keyed:
+        return lambda df: keyed_checkpoint(df, partitions)
+    return lambda df: df.localCheckpoint(eager=True)
 
 
 def keyed_checkpoint(df: DataFrame, partitions: int | None = None) -> DataFrame:

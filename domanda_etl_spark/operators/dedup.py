@@ -229,7 +229,12 @@ def connected_components(
     # its own distinct (round 0) / the previous round's keyed checkpoint,
     # so the neighbor join is fully co-located and each round's only
     # edge-scale exchange is gone.
-    from .checkpoint import keyed_checkpoint, loop_partitions
+    from .checkpoint import (
+        keyed_checkpoint,
+        keyed_posture_ok,
+        loop_checkpointer,
+        loop_partitions,
+    )
 
     # two-step materialization: the plain checkpoint's AQE-coalesced RDD
     # partition count is the SIZE-ADAPTIVE loop width (loop_partitions —
@@ -243,7 +248,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     parts = loop_partitions(sym0)
-    sym = keyed_checkpoint(sym0.repartition(parts, "b"), parts)
+    # skew gate (r17, guide §2.5): sym is symmetric, so the hash(b)
+    # layout's partition histogram covers both join orientations; a
+    # near-dup megacluster hub falls back to plain checkpoints — every
+    # round then replans under AQE with runtime skew-splitting instead
+    # of pinning the hot key into one task per round.
+    sym_keyed = keyed_checkpoint(sym0.repartition(parts, "b"), parts)
+    keyed = keyed_posture_ok(sym_keyed)
+    ck = loop_checkpointer(keyed, parts)
+    sym = sym_keyed if keyed else sym0
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -323,7 +336,7 @@ def connected_components(
         # +2 s/query on the two CC dedup queries) AND the preserved
         # hash(id) count would disagree with sym's hash(b) count, so
         # the next round's neighbor join would re-exchange anyway.
-        labels = keyed_checkpoint(staged.drop("__chg"), parts)
+        labels = ck(staged.drop("__chg"))
         if not obs.get["n_changed"]:
             converged = True
             break

@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import keyed_checkpoint, loop_partitions
+from .checkpoint import (
+    keyed_checkpoint,
+    keyed_posture_ok,
+    loop_checkpointer,
+    loop_partitions,
+)
 
 
 def _probe(plan_probe: list | None, tag: str, df: DataFrame) -> None:
@@ -81,13 +86,22 @@ def kcore(
     # few tasks at fixture scale, conf-capped full width at 100 TB); the
     # keyed re-checkpoint then pins hash(v) at exactly that count so
     # every round's exchanges and the preserved partitioning agree.
+    from pyspark.sql import Observation
+
     und0 = (
         edges.selectExpr(f"{a} AS v", f"{b} AS u")
         .union(edges.selectExpr(f"{b} AS v", f"{a} AS u"))
         .localCheckpoint(eager=True)
     )
     parts = loop_partitions(und0)
-    und = keyed_checkpoint(und0.repartition(parts, "v"), parts)
+    # skew gate (r17, guide §2.5): und is symmetric (both orientations),
+    # so the hash(v) layout's histogram covers both semi-join keys.  A
+    # hot vertex falls back to plain checkpoints and AQE-planned peel
+    # rounds with runtime skew-splitting.
+    und_keyed = keyed_checkpoint(und0.repartition(parts, "v"), parts)
+    keyed = keyed_posture_ok(und_keyed)
+    ck = loop_checkpointer(keyed, parts)
+    und = und_keyed if keyed else und0
     alive = und
     n_prev = alive.select("v").distinct().count()
     rounds = 0
@@ -99,8 +113,14 @@ def kcore(
             .select("v")
         )
         _probe(plan_probe, "kcore_peel", keep)
-        keep = keyed_checkpoint(keep, parts)
-        n_keep = keep.count()
+        # survivor count rides the SAME job that materializes keep
+        # (Observation — the connected_components move, r17 opt): the
+        # separate keep.count() action cost one full job per peel round,
+        # and at low SF the per-round job floor IS the query's time
+        # (8-vs-32-core scaling ratio 1.03, PERF r16).
+        obs = Observation()
+        keep = ck(keep.observe(obs, F.count(F.lit(1)).alias("n_keep")))
+        n_keep = obs.get["n_keep"]
         if n_keep == n_prev:
             break
         rounds += 1
@@ -115,7 +135,7 @@ def kcore(
             "leftsemi",
         ).join(keep.hint("shuffle_hash"), "v", "leftsemi")
         _probe(plan_probe, "kcore_prune", alive)
-        alive = keyed_checkpoint(alive, parts)
+        alive = ck(alive)
         n_prev = n_keep
     if stats is not None:
         stats["rounds"] = rounds
@@ -162,18 +182,41 @@ def pagerank_integer(
     # exchanges run at the size-adaptive width read off the edge
     # checkpoint (loop_partitions — see checkpoint.py).
     parts = loop_partitions(e)
-    nodes = keyed_checkpoint(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct(),
-        parts,
-    )
-    e = keyed_checkpoint(
+    # skew gate (r17, guide §2.5 / VERDICT r16 §wrong#2): ONE partition-
+    # histogram probe on the keyed edge checkpoint decides the posture.
+    # A hot src (celebrity node) would otherwise land its whole edge set
+    # in one task of the contrib join EVERY round, with no runtime
+    # rescue — the keyed loop subplans are statically planned, so AQE
+    # skew-split never sees them.  On a hot-key graph: plain checkpoints
+    # (every round replans under AQE, skew-split active) and outdeg via
+    # partial-agg groupBy + join instead of the count-over-window (whose
+    # per-src window task would hold the entire hot key).
+    e_keyed = keyed_checkpoint(
         e.withColumn(
             "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         ),
         parts,
     )
+    keyed = keyed_posture_ok(e_keyed)
+    ck = loop_checkpointer(keyed, parts)
+    if keyed:
+        nodes = keyed_checkpoint(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            parts,
+        )
+        e = e_keyed
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = e.join(
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+        ).localCheckpoint(eager=True)
     base = (1000 - damping_milli) * init_micro // 1000
     ranks = nodes.select("node", F.lit(init_micro).cast("long").alias("r"))
     for it in range(iterations):
@@ -204,7 +247,7 @@ def pagerank_integer(
         # (A single 8-round plan was A/B-tested and is SLOWER warm:
         # plan/codegen depth beats the saved checkpoint jobs.)
         if it % 2 == 1 or it == iterations - 1:
-            ranks = keyed_checkpoint(ranks, parts)
+            ranks = ck(ranks)
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
@@ -270,8 +313,16 @@ def hits_integer(
     # 2 x iterations eliminated edge-scale exchanges).  Same
     # doubled-footprint trade as pagerank's undirected edge doubling.
     parts = loop_partitions(e)
+    # skew gate (r17, guide §2.5): both orientations carry a copy, so
+    # both layouts must be hot-free for the keyed posture; a hot
+    # hub/auth node falls back to the plain edge table and AQE-planned
+    # half-steps with runtime skew-splitting.
     e_src = keyed_checkpoint(e.repartition(parts, "src"), parts)
     e_dst = keyed_checkpoint(e.repartition(parts, "dst"), parts)
+    keyed = keyed_posture_ok(e_src) and keyed_posture_ok(e_dst)
+    ck = loop_checkpointer(keyed, parts)
+    if not keyed:
+        e_src = e_dst = e
     hubs = (
         e.select(F.col("src").alias("node"))
         .distinct()
@@ -301,8 +352,9 @@ def hits_integer(
         else:
             # partition-preserving: agg is hash(node) from its own
             # grouping, the broadcast crossJoin keeps it, so the NEXT
-            # half-step's scores side is exchange-free too.
-            agg = keyed_checkpoint(agg, parts)
+            # half-step's scores side is exchange-free too (plain under
+            # the skew fallback — ck carries the posture).
+            agg = ck(agg)
             mx = agg.agg(F.max("s").alias("mx"))
             half = agg.crossJoin(F.broadcast(mx)).select(
                 "node",
@@ -328,7 +380,11 @@ def hits_integer(
         # 4 reps with control: 7.72 -> 6.41 s min warm, values
         # bit-identical).
         if use_window and (it % 2 == 1 or it == iterations - 1):
-            hubs = keyed_checkpoint(hubs.repartition(parts, "node"), parts)
+            hubs = (
+                keyed_checkpoint(hubs.repartition(parts, "node"), parts)
+                if keyed
+                else hubs.localCheckpoint(eager=True)
+            )
     if use_window:
         auths = auths.localCheckpoint(eager=True)
     return hubs.select(
@@ -373,7 +429,12 @@ def lpa_labels(
     # repartition of the (caller-materialized) edge list buys `rounds`
     # eliminated edge-scale exchanges.
     parts = loop_partitions(edges)
+    # skew gate (r17, guide §2.5): a hot-`b` vertex would pin its whole
+    # edge set into one task of every round's label join; fall back to
+    # the plain (AQE-planned, skew-splittable) posture on such graphs.
     eb = keyed_checkpoint(edges.repartition(parts, F.col(b)), parts)
+    if not keyed_posture_ok(eb):
+        eb = edges
     lbl = edges.select(F.col(a).alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
@@ -450,19 +511,30 @@ def ppr_integer(
         "b", F.lit(base).cast("long")
     )
     parts = loop_partitions(e)
-    nodes = keyed_checkpoint(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(F.broadcast(sd), "node", "left"),
-        parts,
-    )
-    e = keyed_checkpoint(
+    # skew gate: same probe/posture split as pagerank_integer (the loop
+    # body is literally pagerank's)
+    e_keyed = keyed_checkpoint(
         e.withColumn(
             "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         ),
         parts,
     )
+    keyed = keyed_posture_ok(e_keyed)
+    ck = loop_checkpointer(keyed, parts)
+    nodes0 = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(F.broadcast(sd), "node", "left")
+    )
+    if keyed:
+        nodes = keyed_checkpoint(nodes0, parts)
+        e = e_keyed
+    else:
+        nodes = nodes0.localCheckpoint(eager=True)
+        e = e.join(
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+        ).localCheckpoint(eager=True)
     ranks = nodes.select(
         "node",
         F.when(F.col("b").isNotNull(), F.lit(init_micro))
@@ -491,5 +563,5 @@ def ppr_integer(
         )
         _probe(plan_probe, "ppr_step", ranks)
         if it % 2 == 1 or it == iterations - 1:
-            ranks = keyed_checkpoint(ranks, parts)
+            ranks = ck(ranks)
     return ranks.select("node", F.col("r").alias("rank_micro"))
