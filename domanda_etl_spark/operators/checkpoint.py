@@ -105,7 +105,28 @@ def loop_partitions(df: DataFrame) -> int:
     return max(1, df.rdd.getNumPartitions())
 
 
-def keyed_posture_ok(df: DataFrame) -> bool:
+def keyed_checkpoint_counted(
+    df: DataFrame, partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """`keyed_checkpoint` that also returns the materialized ROW COUNT,
+    observed on the checkpoint job itself (CollectMetrics — zero extra
+    jobs; the node passes the child's partitioning through, so the
+    preserved hash layout is unchanged).  The count feeds
+    `keyed_posture_ok`'s free small-table path: when the whole table is
+    under SKEW_MIN_ROWS no partition can exceed the floor, so the
+    histogram probe job is skipped entirely — the skew gate costs
+    NOTHING at bench/fixture scale and one cheap in-memory scan at
+    corpus scale."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = keyed_checkpoint(
+        df.observe(obs, F.count(F.lit(1)).alias("n")), partitions
+    )
+    return out, obs.get["n"]
+
+
+def keyed_posture_ok(df: DataFrame, total_rows: int | None = None) -> bool:
     """True when no partition of the MATERIALIZED keyed edge table
     concentrates more rows than max(SKEW_FACTOR x mean, SKEW_MIN_ROWS)
     (guide §2.5).  `df` must be the keyed checkpoint itself, so the
@@ -126,7 +147,13 @@ def keyed_posture_ok(df: DataFrame) -> bool:
     plan changes).  The one-off keyed materialization that fed the
     probe is wasted in that rare case — one straggler task once,
     instead of one per round.
+
+    `total_rows` (from keyed_checkpoint_counted's free Observation)
+    short-circuits the probe: a table wholly under SKEW_MIN_ROWS cannot
+    have a partition over the floor, so no histogram job runs at all.
     """
+    if total_rows is not None and total_rows <= SKEW_MIN_ROWS:
+        return True
     hist = [
         r["c"]
         for r in df.groupBy(F.spark_partition_id().alias("p"))

@@ -230,7 +230,7 @@ def connected_components(
     # so the neighbor join is fully co-located and each round's only
     # edge-scale exchange is gone.
     from .checkpoint import (
-        keyed_checkpoint,
+        keyed_checkpoint_counted,
         keyed_posture_ok,
         loop_checkpointer,
         loop_partitions,
@@ -253,8 +253,10 @@ def connected_components(
     # near-dup megacluster hub falls back to plain checkpoints — every
     # round then replans under AQE with runtime skew-splitting instead
     # of pinning the hot key into one task per round.
-    sym_keyed = keyed_checkpoint(sym0.repartition(parts, "b"), parts)
-    keyed = keyed_posture_ok(sym_keyed)
+    sym_keyed, n_sym = keyed_checkpoint_counted(
+        sym0.repartition(parts, "b"), parts
+    )
+    keyed = keyed_posture_ok(sym_keyed, n_sym)
     ck = loop_checkpointer(keyed, parts)
     sym = sym_keyed if keyed else sym0
     labels = (

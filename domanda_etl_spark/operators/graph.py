@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from .checkpoint import (
     keyed_checkpoint,
+    keyed_checkpoint_counted,
     keyed_posture_ok,
     loop_checkpointer,
     loop_partitions,
@@ -98,8 +99,10 @@ def kcore(
     # so the hash(v) layout's histogram covers both semi-join keys.  A
     # hot vertex falls back to plain checkpoints and AQE-planned peel
     # rounds with runtime skew-splitting.
-    und_keyed = keyed_checkpoint(und0.repartition(parts, "v"), parts)
-    keyed = keyed_posture_ok(und_keyed)
+    und_keyed, n_und = keyed_checkpoint_counted(
+        und0.repartition(parts, "v"), parts
+    )
+    keyed = keyed_posture_ok(und_keyed, n_und)
     ck = loop_checkpointer(keyed, parts)
     und = und_keyed if keyed else und0
     alive = und
@@ -191,13 +194,13 @@ def pagerank_integer(
     # (every round replans under AQE, skew-split active) and outdeg via
     # partial-agg groupBy + join instead of the count-over-window (whose
     # per-src window task would hold the entire hot key).
-    e_keyed = keyed_checkpoint(
+    e_keyed, n_e = keyed_checkpoint_counted(
         e.withColumn(
             "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         ),
         parts,
     )
-    keyed = keyed_posture_ok(e_keyed)
+    keyed = keyed_posture_ok(e_keyed, n_e)
     ck = loop_checkpointer(keyed, parts)
     if keyed:
         nodes = keyed_checkpoint(
@@ -317,9 +320,9 @@ def hits_integer(
     # both layouts must be hot-free for the keyed posture; a hot
     # hub/auth node falls back to the plain edge table and AQE-planned
     # half-steps with runtime skew-splitting.
-    e_src = keyed_checkpoint(e.repartition(parts, "src"), parts)
-    e_dst = keyed_checkpoint(e.repartition(parts, "dst"), parts)
-    keyed = keyed_posture_ok(e_src) and keyed_posture_ok(e_dst)
+    e_src, n_src = keyed_checkpoint_counted(e.repartition(parts, "src"), parts)
+    e_dst, n_dst = keyed_checkpoint_counted(e.repartition(parts, "dst"), parts)
+    keyed = keyed_posture_ok(e_src, n_src) and keyed_posture_ok(e_dst, n_dst)
     ck = loop_checkpointer(keyed, parts)
     if not keyed:
         e_src = e_dst = e
@@ -432,8 +435,10 @@ def lpa_labels(
     # skew gate (r17, guide §2.5): a hot-`b` vertex would pin its whole
     # edge set into one task of every round's label join; fall back to
     # the plain (AQE-planned, skew-splittable) posture on such graphs.
-    eb = keyed_checkpoint(edges.repartition(parts, F.col(b)), parts)
-    if not keyed_posture_ok(eb):
+    eb, n_eb = keyed_checkpoint_counted(
+        edges.repartition(parts, F.col(b)), parts
+    )
+    if not keyed_posture_ok(eb, n_eb):
         eb = edges
     lbl = edges.select(F.col(a).alias("v")).distinct().withColumn(
         "lbl", F.col("v")
@@ -513,13 +518,13 @@ def ppr_integer(
     parts = loop_partitions(e)
     # skew gate: same probe/posture split as pagerank_integer (the loop
     # body is literally pagerank's)
-    e_keyed = keyed_checkpoint(
+    e_keyed, n_e = keyed_checkpoint_counted(
         e.withColumn(
             "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         ),
         parts,
     )
-    keyed = keyed_posture_ok(e_keyed)
+    keyed = keyed_posture_ok(e_keyed, n_e)
     ck = loop_checkpointer(keyed, parts)
     nodes0 = (
         e.select(F.col("src").alias("node"))
