@@ -369,6 +369,22 @@ def hits_integer(
     auths = None
     for it in range(iterations):
         auths = _half(hubs, "src", "dst")
+        # FINAL round only (r17 opt, guide §1.2 — don't compute things
+        # twice): the last auth table has TWO consumers — the final hub
+        # half-step and the output union.  Checkpointing it BEFORE the
+        # hub half-step makes the final-hub checkpoint job evaluate ONE
+        # half-step instead of re-walking the whole chain since the last
+        # hub checkpoint, and replaces the old post-loop auths
+        # localCheckpoint that re-evaluated that same chain a THIRD time
+        # (for iterations=4: 11 half-step evaluations -> the minimal 8).
+        # Keyed at hash(node) = hash(dst), the final hub join is also
+        # co-located.  Values identical: checkpoints are value-preserving.
+        if use_window and it == iterations - 1:
+            auths = (
+                keyed_checkpoint(auths.repartition(parts, "node"), parts)
+                if keyed
+                else auths.localCheckpoint(eager=True)
+            )
         hubs = _half(auths, "dst", "src")
         # window form: checkpoint only the round-carrying table (hubs)
         # every other round — auths are consumed within the round and only
@@ -388,8 +404,6 @@ def hits_integer(
                 if keyed
                 else hubs.localCheckpoint(eager=True)
             )
-    if use_window:
-        auths = auths.localCheckpoint(eager=True)
     return hubs.select(
         "node", F.lit("hub").alias("side"), F.col("v").alias("score_ppm")
     ).unionByName(
